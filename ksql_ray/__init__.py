@@ -1,0 +1,61 @@
+"""ksql_ray — a Ray-Data-native streaming SQL / CEP engine.
+
+Brand-new engine re-implementing the query surface of ksqlDB as encoded by
+the gulfstream-h/ksql reference client (see SURVEY.md), executed as
+ray.data.Dataset pipelines over zero-copy Arrow batches.
+"""
+
+from .aggregates import (
+    Avg,
+    CollectList,
+    CollectSet,
+    Count,
+    EarliestByOffset,
+    Histogram,
+    LatestByOffset,
+    Max,
+    Min,
+    Sum,
+    TopK,
+    TopKDistinct,
+)
+from .builder import Schema, Select, SelectBuilder
+from .catalog import Catalog, Ref, Relation, STREAM, TABLE, TOPIC, testdata_catalog
+from .errors import CatalogError, KsqlRayError, PlanError, SchemaError
+from .exec.bounded import Engine
+from .expr import (
+    Add,
+    And,
+    Case,
+    CaseWhen,
+    Div,
+    F,
+    Field,
+    Literal,
+    Mod,
+    Mul,
+    Not,
+    Or,
+    Sub,
+)
+from .windows import (
+    DAYS,
+    HOURS,
+    Hopping,
+    MILLISECONDS,
+    MINUTES,
+    SECONDS,
+    Session,
+    Tumbling,
+)
+
+__all__ = [
+    "Avg", "CollectList", "CollectSet", "Count", "EarliestByOffset",
+    "Histogram", "LatestByOffset", "Max", "Min", "Sum", "TopK",
+    "TopKDistinct", "Schema", "Select", "SelectBuilder", "Catalog", "Ref",
+    "Relation", "STREAM", "TABLE", "TOPIC", "testdata_catalog",
+    "CatalogError", "KsqlRayError", "PlanError", "SchemaError", "Engine",
+    "Add", "And", "Case", "CaseWhen", "Div", "F", "Field", "Literal",
+    "Mod", "Mul", "Not", "Or", "Sub", "DAYS", "HOURS", "Hopping",
+    "MILLISECONDS", "MINUTES", "SECONDS", "Session", "Tumbling",
+]

@@ -1,0 +1,299 @@
+"""Bounded (pull-query) execution: logical plan -> ray.data.Dataset.
+
+This is the engine behind ``SelectOnce`` semantics
+(streams/specification.go:588-620 in the reference — there it snapshots a
+remote ksqlDB materialization; here the pipeline IS the engine):
+
+  read_parquet(columns=pruned)               -- prune at the read
+    -> [broadcast | shuffle joins]           -- §2.5
+    -> map_batches(filter+project fused)     -- §2.2, zero-copy Arrow
+    -> two-phase grouped aggregation         -- §2.3 (exec/groupby.py)
+    -> HAVING filter                         -- §2.3
+    -> sort                                  -- §2.6 (bounded output only)
+
+Everything stays a lazy streaming Dataset; nothing materializes except
+the small build sides of broadcast joins.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..aggregates import AggExpr
+from ..builder import JoinClause, SelectBuilder
+from ..catalog import Catalog, Ref, Relation
+from ..errors import PlanError
+from ..expr import Expr, Field, Order
+from ..windows import Hopping, Session, Tumbling
+from .groupby import DEFAULT_NUM_PARTITIONS, GroupByPlan, SessionGroupByPlan
+from .joins import (
+    BROADCAST_MAX_BYTES,
+    extract_equi_keys,
+    join_batch,
+    plan_right_renames,
+    shuffle_join,
+)
+
+
+def _to_array(v, n: int):
+    if isinstance(v, pa.Scalar):
+        if not v.is_valid:
+            return pa.nulls(n, type=v.type if not pa.types.is_null(v.type) else pa.null())
+        return pa.array([v.as_py()] * n, type=v.type)
+    return v
+
+
+def _auto_name(agg: AggExpr) -> str:
+    return agg.auto_name()
+
+
+class Engine:
+    """Executes validated SelectBuilder plans on Ray Data."""
+
+    def __init__(
+        self,
+        catalog: Catalog,
+        num_partitions: int = DEFAULT_NUM_PARTITIONS,
+        broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+    ):
+        self.catalog = catalog
+        self.num_partitions = num_partitions
+        self.broadcast_max_bytes = broadcast_max_bytes
+
+    # ------------------------------------------------------------------
+    def dataset(self, b: SelectBuilder) -> ray.data.Dataset:
+        b.validate(self.catalog)
+        rel = b._source_relation(self.catalog)
+        aggs = self._unique_aggs(b)
+        needed = self._needed_columns(b, rel, aggs)
+
+        ds = self._read_source(b, rel, needed)
+        ds, working_names = self._apply_joins(b, ds, rel)
+
+        if b.wheres:
+            wheres = list(b.wheres)
+
+            def filter_fn(batch: pa.Table, _w=wheres) -> pa.Table:
+                mask = None
+                for c in _w:
+                    m = c.eval(batch)
+                    mask = m if mask is None else pc.and_kleene(mask, m)
+                return batch.filter(pc.fill_null(mask, False))
+
+            ds = ds.map_batches(filter_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+        if aggs or b.groupby:
+            ds = self._aggregate(b, ds, rel, aggs)
+        else:
+            fields = list(b.fields)
+
+            def project_fn(batch: pa.Table, _f=fields) -> pa.Table:
+                n = batch.num_rows
+                cols, names = [], []
+                for e in _f:
+                    cols.append(_to_array(e.eval(batch), n))
+                    names.append(e.output_name())
+                return pa.table(dict(zip(names, cols))) if cols else batch
+
+            ds = ds.map_batches(project_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+        if b.orderbys:
+            keys, desc = [], []
+            for o in b.orderbys:
+                name = o.expr.output_name()
+                keys.append(name)
+                desc.append(not o.ascending)
+            ds = ds.sort(keys, descending=desc)
+        return ds
+
+    def table(self, b: SelectBuilder) -> pa.Table:
+        """Materialize a bounded query result (small outputs only)."""
+        ds = self.dataset(b)
+        tables = ray.get(ds.to_arrow_refs())
+        tables = [t for t in tables if t.num_rows >= 0]
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables, promote_options="permissive")
+
+    # ------------------------------------------------------------------
+    def _unique_aggs(self, b: SelectBuilder) -> list[AggExpr]:
+        return b._agg_exprs()
+
+    def _needed_columns(self, b: SelectBuilder, rel: Relation, aggs) -> list[str]:
+        cols: set[str] = set()
+        for e in b.fields + b.wheres + b.groupby + b.havings:
+            cols |= e.columns()
+        for o in b.orderbys:
+            cols |= o.expr.columns()
+        for j in b.joins:
+            for c in j.conds:
+                cols |= c.columns()
+        if b.window is not None and rel.timestamp_col:
+            cols.add(rel.timestamp_col)
+        if any(a.needs_order for a in aggs):
+            cols.update(rel.order_cols)
+        return [n for n in rel.schema.names if n in cols]
+
+    def _read_source(self, b: SelectBuilder, rel: Relation, needed: list[str]) -> ray.data.Dataset:
+        if b.cte and b.source.name == b.cte[0]:
+            return self.dataset(b.cte[1])
+        if rel.path is None:
+            raise PlanError(f"relation {rel.name} has no backing path")
+        cols = needed or None
+        return ray.data.read_parquet(rel.path, columns=cols)
+
+    # ------------------------------------------------------------------
+    def _apply_joins(self, b: SelectBuilder, ds: ray.data.Dataset, rel: Relation):
+        left_names = set(rel.schema.names)
+        for j in b.joins:
+            jrel = self.catalog.get(j.source.name)
+            alias = j.source.alias or j.source.name
+            right_names = set(jrel.schema.names)
+            lk, rk, residual = extract_equi_keys(j.conds, left_names, right_names, alias)
+            renames = plan_right_renames(left_names, jrel.schema, rk, lk, alias)
+            rk = [renames.get(k, k) for k in rk]
+
+            small = self._rel_bytes(jrel) <= self.broadcast_max_bytes
+            if j.how in ("inner", "left", "cross") and small:
+                right_cols = self._right_needed(b, jrel, rk, renames)
+                build = pq.read_table(jrel.path, columns=right_cols or None)
+                if renames:
+                    build = build.rename_columns(
+                        [renames.get(n, n) for n in build.column_names]
+                    )
+                ref = ray.put(build)
+                how, lkk, rkk, res = j.how, list(lk), list(rk), list(residual)
+
+                def bjoin(batch: pa.Table, _r=ref, _h=how, _lk=lkk, _rk=rkk, _res=res):
+                    return join_batch(batch, ray.get(_r), _h, _lk, _rk, _res)
+
+                ds = ds.map_batches(bjoin, batch_format="pyarrow", zero_copy_batch=True)
+            else:
+                if j.how == "cross":
+                    raise PlanError("CROSS JOIN build side too large to broadcast")
+                if residual:
+                    if j.how != "inner":
+                        raise PlanError(
+                            "non-equi residual ON conditions only supported for "
+                            "INNER joins in the shuffle path"
+                        )
+                right_ds = ray.data.read_parquet(jrel.path)
+                if renames:
+                    right_ds = right_ds.rename_columns(renames)
+                ds = shuffle_join(ds, right_ds, j.how, lk, rk, self.num_partitions)
+                if residual:
+                    res = list(residual)
+
+                    def resfilter(batch: pa.Table, _res=res):
+                        mask = None
+                        for c in _res:
+                            m = c.eval(batch)
+                            mask = m if mask is None else pc.and_kleene(mask, m)
+                        return batch.filter(pc.fill_null(mask, False))
+
+                    ds = ds.map_batches(resfilter, batch_format="pyarrow", zero_copy_batch=True)
+            left_names |= {renames.get(n, n) for n in right_names}
+        return ds, left_names
+
+    def _right_needed(self, b: SelectBuilder, jrel: Relation, rk, renames) -> list[str]:
+        cols: set[str] = set(k for k in rk)
+        inv = {v: k for k, v in renames.items()}
+        for e in b.fields + b.wheres + b.havings:
+            for c in e.columns():
+                base = inv.get(c, c)
+                if base in jrel.schema.names:
+                    cols.add(base)
+        for o in b.orderbys:
+            for c in o.expr.columns():
+                base = inv.get(c, c)
+                if base in jrel.schema.names:
+                    cols.add(base)
+        return [n for n in jrel.schema.names if n in cols or renames.get(n, n) in cols]
+
+    def _rel_bytes(self, rel: Relation) -> int:
+        if rel.path and os.path.isfile(rel.path):
+            return os.path.getsize(rel.path)
+        if rel.path and os.path.isdir(rel.path):
+            total = 0
+            for root, _, files in os.walk(rel.path):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            return total
+        return 1 << 62
+
+    # ------------------------------------------------------------------
+    def _aggregate(self, b: SelectBuilder, ds, rel: Relation, aggs: list[AggExpr]):
+        agg_names = [_auto_name(a) for a in aggs]
+
+        if isinstance(b.window, Session):
+            plan = SessionGroupByPlan(
+                b.groupby, aggs, rel.order_cols, b.window, rel.timestamp_col,
+                self.num_partitions,
+            )
+            routed = ds.map_batches(plan.route_fn, batch_format="pyarrow", zero_copy_batch=True)
+            merged = routed.groupby("__part").map_groups(
+                plan.session_merge_fn, batch_format="pyarrow"
+            )
+        else:
+            plan = GroupByPlan(
+                b.groupby, aggs, rel.order_cols, b.window, rel.timestamp_col,
+                self.num_partitions,
+            )
+            partials = ds.map_batches(plan.partial_fn, batch_format="pyarrow", zero_copy_batch=True)
+            merged = partials.groupby("__part").map_groups(
+                plan.merge_fn, batch_format="pyarrow"
+            )
+
+        key_out_names = [e.output_name() for e in b.groupby]
+        gb_key_map = {e.key(): out for e, out in zip(b.groupby, key_out_names)}
+        win = b.window
+        havings = list(b.havings)
+        fields = list(b.fields)
+        key_names = list(plan.key_names)
+        final_agg_names = list(agg_names)
+
+        def finalize_fn(batch: pa.Table) -> pa.Table:
+            # rename internal columns to their public names
+            names = list(batch.column_names)
+            mapping = {}
+            for kn, out in zip(key_names, key_out_names):
+                mapping[kn] = out
+            for i, an in enumerate(final_agg_names):
+                mapping[f"__agg{i}"] = an
+            batch = batch.rename_columns([mapping.get(n, n) for n in names])
+            n = batch.num_rows
+            if win is not None and not isinstance(win, Session):
+                ws = batch.column("__ws")
+                batch = batch.drop_columns(["__ws"])
+                start = pc.cast(ws, pa.timestamp("us"))
+                end = pc.cast(pc.add(ws, win.size_us), pa.timestamp("us"))
+                batch = batch.append_column("window_start", start)
+                batch = batch.append_column("window_end", end)
+            if havings:
+                mask = None
+                for c in havings:
+                    m = c.eval(batch)
+                    mask = m if mask is None else pc.and_kleene(mask, m)
+                batch = batch.filter(pc.fill_null(mask, False))
+                n = batch.num_rows
+            cols, names_out = [], []
+            if win is not None:
+                for wc in ("window_start", "window_end"):
+                    cols.append(batch.column(wc))
+                    names_out.append(wc)
+            for e in fields:
+                if e.key() in gb_key_map:
+                    cols.append(batch.column(gb_key_map[e.key()]))
+                else:
+                    cols.append(_to_array(e.eval(batch), n))
+                names_out.append(e.output_name())
+            return pa.table(dict(zip(names_out, cols)))
+
+        return merged.map_batches(finalize_fn, batch_format="pyarrow", zero_copy_batch=True)

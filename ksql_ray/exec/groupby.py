@@ -1,0 +1,325 @@
+"""Distributed two-phase grouped aggregation over Ray Data.
+
+Design (SURVEY.md §2.3 "RD mapping" and §7.3): the reference delegates
+GROUP BY execution to ksqlDB; here it becomes
+
+  phase 1 — ``ds.map_batches(partial_fn, batch_format="pyarrow")``:
+      one vectorized ``pa.TableGroupBy`` per Arrow batch emits *one row per
+      (group key, batch)* carrying algebraic partials. This is the combiner
+      that keeps the all-to-all exchange proportional to key cardinality,
+      not row count (critical at 100 TB).
+  phase 2 — ``partials.groupby("__part").map_groups(merge_fn)``:
+      partials are hash-partitioned by group key (vectorized
+      ``pd.util.hash_array``), and each partition is merged in ONE
+      vectorized pass (a second ``pa.TableGroupBy`` + numpy segment
+      finalizers) — never a Python loop per group.
+
+Windows (SURVEY.md §2.4): tumbling adds a computed ``window_start`` key;
+hopping flat-maps each row into its covering windows before phase 1;
+session windows co-locate raw rows per key partition and split on gaps
+vectorized (they cannot be pre-aggregated per batch because sessions merge
+across batches).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..aggregates import AggExpr, CollectList, EarliestByOffset, LatestByOffset
+from ..errors import PlanError
+from ..expr import Expr
+from ..windows import Hopping, Session, Tumbling, Window
+
+DEFAULT_NUM_PARTITIONS = 64
+
+
+def hash_partition_ids(tbl: pa.Table, cols: Sequence[str], num_partitions: int) -> np.ndarray:
+    """Deterministic vectorized hash of key columns -> partition ids."""
+    acc = np.zeros(tbl.num_rows, dtype=np.uint64)
+    for c in cols:
+        col = tbl.column(c)
+        arr = col.to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(arr, hash_key="ksql_ray_0000001")
+        acc = acc * np.uint64(31) + h
+    return (acc % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _segment_starts(tbl: pa.Table, key_cols: Sequence[str]) -> np.ndarray:
+    """Row indices where a new group starts in a key-sorted table
+    (null-safe adjacent compare, vectorized)."""
+    n = tbl.num_rows
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for k in key_cols:
+        col = tbl.column(k)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        a, b = col.slice(1), col.slice(0, n - 1)
+        ne = pc.fill_null(pc.not_equal(a, b), False).to_numpy(zero_copy_only=False)
+        va = pc.is_valid(a).to_numpy(zero_copy_only=False)
+        vb = pc.is_valid(b).to_numpy(zero_copy_only=False)
+        change |= ne.astype(bool) | (va != vb)
+    return np.concatenate(([0], np.nonzero(change)[0] + 1)).astype(np.int64)
+
+
+def _ts_us(batch: pa.Table, ts_col: str) -> np.ndarray:
+    ts = batch.column(ts_col)
+    return pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+class GroupByPlan:
+    """Compiled grouped-aggregation stage."""
+
+    def __init__(
+        self,
+        key_exprs: Sequence[Expr],
+        aggs: Sequence[AggExpr],
+        order_cols: Sequence[str],
+        window: Window | None = None,
+        ts_col: str | None = None,
+        num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    ):
+        self.key_exprs = list(key_exprs)
+        self.aggs = list(aggs)
+        self.window = window
+        self.ts_col = ts_col
+        self.num_partitions = num_partitions
+
+        self.needs_order = any(a.needs_order for a in self.aggs)
+        self.order_cols = list(order_cols) if self.needs_order else []
+        self.key_names = [f"__k{j}" for j in range(len(self.key_exprs))]
+        self.agg_names = [f"__a{i}" for i in range(len(self.aggs))]
+        self.ord_names = [f"__o{j}" for j in range(len(self.order_cols))]
+        if self.needs_order and not self.order_cols:
+            raise PlanError(
+                "order-sensitive aggregate (COLLECT_LIST / LATEST_BY_OFFSET / "
+                "EARLIEST_BY_OFFSET) requires relation order columns "
+                "(catalog Relation.order_cols; offset analog of "
+                "ksql/aggregate_fn.go:143-156)"
+            )
+        if self.window is not None and not self.ts_col:
+            raise PlanError("windowed aggregation requires a timestamp column")
+        self.win_keys = (
+            ["__ws"] if isinstance(self.window, (Tumbling, Hopping)) else []
+        )
+        self.all_keys = self.key_names + self.win_keys
+
+    # ------------------------------------------------------------------ p1
+    def _p1_entries(self) -> list[tuple[str, str]]:
+        entries: list[tuple[str, str]] = []
+        for a, name in zip(self.aggs, self.agg_names):
+            entries.extend(a.p1_kernels(name))
+        # shared order partials
+        picks = set()
+        for a in self.aggs:
+            if isinstance(a, EarliestByOffset):
+                picks.add("first")
+            elif isinstance(a, LatestByOffset):
+                picks.add("last")
+            elif isinstance(a, CollectList):
+                picks.add("list")
+        for p in sorted(picks):
+            entries.extend((o, p) for o in self.ord_names)
+        return entries
+
+    def partial_fn(self, batch: pa.Table) -> pa.Table:
+        """Phase-1 combiner (runs inside map_batches, zero-copy Arrow)."""
+        cols: dict[str, pa.ChunkedArray | pa.Array] = {}
+        n = batch.num_rows
+        for name, e in zip(self.key_names, self.key_exprs):
+            v = e.eval(batch)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * n, type=v.type)
+            cols[name] = v
+        take_idx = None
+        ws = None
+        if isinstance(self.window, (Tumbling, Hopping)):
+            ts = _ts_us(batch, self.ts_col)
+            row_idx, ws = self.window.assign_ids(ts)
+            if isinstance(self.window, Hopping):
+                take_idx = pa.array(row_idx)
+        for name, e in zip(self.agg_names, self.aggs):
+            v = e.arg.eval(batch)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * n, type=v.type)
+            cols[name] = v
+        for name, oc in zip(self.ord_names, self.order_cols):
+            cols[name] = batch.column(oc)
+        tmp = pa.table(cols)
+        if take_idx is not None:
+            tmp = tmp.take(take_idx)
+        if ws is not None:
+            tmp = tmp.append_column("__ws", pa.array(ws, type=pa.int64()))
+        if self.needs_order:
+            sort_idx = pc.sort_indices(
+                tmp, sort_keys=[(o, "ascending") for o in self.ord_names]
+            )
+            tmp = tmp.take(sort_idx)
+        partial = pa.TableGroupBy(tmp, self.all_keys).aggregate(self._p1_entries())
+        part = hash_partition_ids(partial, self.all_keys, self.num_partitions)
+        return partial.append_column("__part", pa.array(part, type=pa.int64()))
+
+    # ------------------------------------------------------------------ p2
+    def merge_fn(self, part_tbl: pa.Table) -> pa.Table:
+        """Phase-2 merge for one hash partition of partials.
+
+        Every pass sorts the partition by the group keys first, so group
+        segments are contiguous and identically ordered across passes:
+        scalar partials merge through one ``pa.TableGroupBy`` (first-seen
+        order == sorted order), list partials merge through vectorized
+        segment operations (MergeCtx) — no per-group Python loop."""
+        from ..aggregates import MergeCtx
+
+        if "__part" in part_tbl.column_names:
+            part_tbl = part_tbl.drop_columns(["__part"])
+        # group merge passes by required pre-sort ("", "first", "last")
+        passes: dict[str, list[int]] = {}
+        for i, a in enumerate(self.aggs):
+            if isinstance(a, EarliestByOffset):
+                passes.setdefault("first", []).append(i)
+            elif isinstance(a, LatestByOffset):
+                passes.setdefault("last", []).append(i)
+            else:
+                passes.setdefault("", []).append(i)
+
+        out_cols: dict[int, pa.Array | pa.ChunkedArray] = {}
+        keys_out: pa.Table | None = None
+        for pick, idxs in sorted(passes.items()):
+            sort_keys = [(k, "ascending") for k in self.all_keys]
+            if pick:
+                sort_keys += [(f"{o}_{pick}", "ascending") for o in self.ord_names]
+            tbl = part_tbl.take(pc.sort_indices(part_tbl, sort_keys=sort_keys))
+            seg_starts = _segment_starts(tbl, self.all_keys)
+            ctx = MergeCtx(tbl, seg_starts)
+            entries = []
+            for i in idxs:
+                entries.extend(self.aggs[i].p2_kernels(self.agg_names[i]))
+            entries = list(dict.fromkeys(entries))
+            merged = (
+                pa.TableGroupBy(tbl, self.all_keys).aggregate(entries)
+                if entries
+                else None
+            )
+            pass_keys = (
+                merged.select(self.all_keys)
+                if merged is not None
+                else tbl.select(self.all_keys).take(pa.array(seg_starts))
+            )
+            if keys_out is None:
+                keys_out = pass_keys
+            for i in idxs:
+                a, name = self.aggs[i], self.agg_names[i]
+                if a.list_partial:
+                    out_cols[i] = a.finalize_ctx(ctx, name, self.ord_names)
+                else:
+                    out_cols[i] = a.finalize(merged, name)
+
+        assert keys_out is not None
+        result = keys_out
+        for i in range(len(self.aggs)):
+            col = out_cols[i]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            result = result.append_column(f"__agg{i}", col)
+        return result
+
+
+class SessionGroupByPlan(GroupByPlan):
+    """Session windows: raw rows are co-partitioned by key hash, each
+    partition is sorted by (keys, ts) and split on gaps vectorized
+    (cumulative sum over gap flags), then aggregated in one pass
+    (SURVEY.md §2.4 Session)."""
+
+    def __init__(self, key_exprs, aggs, order_cols, window: Session, ts_col, num_partitions=DEFAULT_NUM_PARTITIONS):
+        super().__init__(key_exprs, aggs, order_cols, None, ts_col, num_partitions)
+        self.session = window
+
+    def route_fn(self, batch: pa.Table) -> pa.Table:
+        """Phase 0: evaluate keys/args, attach partition id (raw rows)."""
+        n = batch.num_rows
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+        for name, e in zip(self.key_names, self.key_exprs):
+            v = e.eval(batch)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * n, type=v.type)
+            cols[name] = v
+        for name, e in zip(self.agg_names, self.aggs):
+            v = e.arg.eval(batch)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * n, type=v.type)
+            cols[name] = v
+        for name, oc in zip(self.ord_names, self.order_cols):
+            cols[name] = batch.column(oc)
+        cols["__ts"] = pc.cast(batch.column(self.ts_col), pa.int64())
+        tmp = pa.table(cols)
+        part = hash_partition_ids(tmp, self.key_names, self.num_partitions)
+        return tmp.append_column("__part", pa.array(part, type=pa.int64()))
+
+    def session_merge_fn(self, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        tbl = tbl.drop_columns(["__part"])
+        si = pc.sort_indices(
+            tbl,
+            sort_keys=[(k, "ascending") for k in self.key_names]
+            + [("__ts", "ascending")]
+            + [(o, "ascending") for o in self.ord_names],
+        )
+        tbl = tbl.take(si)
+        ts = tbl.column("__ts").to_numpy(zero_copy_only=False)
+        n = len(ts)
+        newsess = np.ones(n, dtype=bool)
+        if n > 1:
+            gap_ok = (ts[1:] - ts[:-1]) > self.session.gap_us
+            keychange = np.zeros(n - 1, dtype=bool)
+            for k in self.key_names:
+                kv = tbl.column(k).to_numpy(zero_copy_only=False)
+                keychange |= kv[1:] != kv[:-1]
+            newsess[1:] = gap_ok | keychange
+        sess_id = np.cumsum(newsess) - 1
+        tbl = tbl.append_column("__sess", pa.array(sess_id, type=pa.int64()))
+        keys = self.key_names + ["__sess"]
+        entries = []
+        for a, name in zip(self.aggs, self.agg_names):
+            entries.extend(a.p1_kernels(name))
+        picks = set()
+        for a in self.aggs:
+            if isinstance(a, EarliestByOffset):
+                picks.add("first")
+            elif isinstance(a, LatestByOffset):
+                picks.add("last")
+            elif isinstance(a, CollectList):
+                picks.add("list")
+        for p in sorted(picks):
+            entries.extend((o, p) for o in self.ord_names)
+        entries += [("__ts", "min"), ("__ts", "max")]
+        partial = pa.TableGroupBy(tbl, keys).aggregate(list(dict.fromkeys(entries)))
+        # feed partials (one per session already) through the standard merge
+        inner = GroupByPlan(
+            [],  # keys handled manually below
+            self.aggs,
+            self.order_cols,
+            None,
+            None,
+            self.num_partitions,
+        )
+        inner.key_names = keys
+        inner.all_keys = keys
+        inner.ord_names = self.ord_names
+        merged = inner.merge_fn(partial.append_column("__part", pa.array(np.zeros(partial.num_rows), type=pa.int64())))
+        # recover window bounds; ksqlDB session window = [first ts, last ts]
+        si2 = pc.sort_indices(partial, sort_keys=[(k, "ascending") for k in keys])
+        partial_sorted = partial.take(si2)
+        merged = merged.append_column(
+            "window_start", pc.cast(partial_sorted.column("__ts_min"), pa.timestamp("us"))
+        )
+        merged = merged.append_column(
+            "window_end", pc.cast(partial_sorted.column("__ts_max"), pa.timestamp("us"))
+        )
+        return merged.drop_columns(["__sess"])
