@@ -10,24 +10,26 @@ Execution model (ours, Ray-Data-first — nothing like this exists in the
 reference, which delegates aggregation to ksqlDB):
 
 * **Phase 1 (combiner)** runs inside ``map_batches`` on every Arrow batch:
-  one ``pa.TableGroupBy`` computes vectorized *partials* per group key —
-  one output row per key per batch — so the all-to-all exchange moves
-  per-batch partials, not raw rows.
+  one single-threaded ``pa.TableGroupBy`` computes vectorized *partials*
+  per group key — one output row per key per batch — so the all-to-all
+  exchange moves per-batch partials, not raw rows.
 * **Phase 2 (merge)** runs once per hash partition
-  (``groupby("__part").map_groups``): a second ``pa.TableGroupBy`` merges
-  partials with agg-specific kernels, then a vectorized ``finalize``
-  turns merged partials into the final column. Per-group Python loops are
-  avoided via flattened-array + segment-id numpy operations.
+  (``groupby("__part").map_groups``): the partition's partials are sorted
+  by group key, making group segments contiguous, and every aggregate
+  merges with deterministic vectorized segment operations
+  (``np.add.reduceat`` et al. — NEVER a grouped kernel, whose emission
+  order Acero does not guarantee, and never a per-group Python loop).
 
 Offset semantics: the reference's LATEST/EARLIEST_BY_OFFSET use Kafka
 arrival offset; our relations declare explicit *order columns* (e.g.
 ``(ts, turn_idx)`` for transcripts per BASELINE.json input_hint) and the
-offset rank is the lexicographic order over them.
+offset rank is the lexicographic order over them. Nulls are skipped
+(ksqlDB latestByOffset default).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -36,41 +38,129 @@ import pyarrow.compute as pc
 from .errors import PlanError, TypeError_
 from .expr import Expr, wrap
 
+FIRSTLAST_OPTS = pc.ScalarAggregateOptions(skip_nulls=True, min_count=0)
+
 # ---------------------------------------------------------------------------
-# segment helpers: operate on a flattened values array + per-group offsets
-# (the layout produced by pc.list_flatten over a merged list-of-lists).
+# MergeCtx: the phase-2 partition view. Partials are sorted by group key
+# (and, per merge pass, by order-rank partials), so each group is one
+# contiguous row segment.
+
+
+class MergeCtx:
+    def __init__(self, sorted_tbl: pa.Table, seg_starts: np.ndarray):
+        self.tbl = sorted_tbl
+        self.seg_starts = seg_starts.astype(np.int64)
+        self.n_groups = len(seg_starts)
+        self._bounds = np.concatenate((self.seg_starts, [sorted_tbl.num_rows]))
+
+    # --- scalar partial access --------------------------------------------
+    def col(self, name: str) -> pa.Array:
+        c = self.tbl.column(name)
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    def scalar(self, name: str) -> tuple[np.ndarray, np.ndarray]:
+        """(values, validity) as numpy; timestamps viewed as int64."""
+        c = self.col(name)
+        valid = pc.is_valid(c).to_numpy(zero_copy_only=False)
+        if pa.types.is_timestamp(c.type):
+            c = pc.cast(c, pa.int64())
+        v = c.to_numpy(zero_copy_only=False)
+        return v, valid
+
+    # --- list partial access ----------------------------------------------
+    def flat(self, col_name: str) -> tuple[pa.Array, np.ndarray]:
+        """Flatten a list-typed partial column into (values, per-group
+        offsets in the flattened domain)."""
+        col = self.col(col_name)
+        counts = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts.astype(np.float64), nan=0.0).astype(np.int64)
+        row_off = np.concatenate(([0], np.cumsum(counts)))
+        values = pc.list_flatten(col)  # skips null rows, aligned with 0 counts
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        group_offsets = row_off[self._bounds]
+        return values, group_offsets
+
+    # --- deterministic segment reductions ---------------------------------
+    def seg_sum(self, name: str, out_type: pa.DataType) -> pa.Array:
+        v, valid = self.scalar(name)
+        if v.dtype == object:
+            v = v.astype(np.float64)
+        filled = np.where(valid, v, 0)
+        s = np.add.reduceat(filled, self.seg_starts)
+        nvalid = np.add.reduceat(valid.astype(np.int64), self.seg_starts)
+        mask = nvalid > 0
+        return pa.array(s, type=out_type, mask=~mask)
+
+    def _seg_extreme(self, name: str, is_min: bool) -> pa.Array:
+        """Per-segment min/max: sort rows by (segment, direction-adjusted
+        value key, invalids last), take each segment's first row — exact
+        values recovered by position take, no float roundtrip."""
+        src = self.col(name)
+        v, valid = self.scalar(name)
+        seg_ids = np.repeat(np.arange(self.n_groups), np.diff(self._bounds))
+        if v.dtype.kind in "iufM":
+            x = v.astype(np.float64)
+            key = np.where(valid, x if is_min else -x, np.inf)
+        else:  # strings/objects: rank-encode the valid values
+            uniq, inv = np.unique(v[valid].astype(str), return_inverse=True)
+            key = np.full(len(v), np.inf)
+            key[valid] = inv if is_min else -inv
+        order = np.lexsort((key, seg_ids))
+        sel = order[self._bounds[:-1]]
+        out = src.take(pa.array(sel))
+        nvalid = np.add.reduceat(valid.astype(np.int64), self.seg_starts) if len(v) else np.array([], dtype=np.int64)
+        if (nvalid == 0).any():
+            m = nvalid == 0
+            return pa.array(
+                [None if m[i] else out[i].as_py() for i in range(self.n_groups)],
+                type=src.type,
+            )
+        return out
+
+    def seg_min(self, name: str) -> pa.Array:
+        return self._seg_extreme(name, True)
+
+    def seg_max(self, name: str) -> pa.Array:
+        return self._seg_extreme(name, False)
+
+    def seg_first_valid(self, name: str) -> pa.Array:
+        """First non-null value per segment, in current row order."""
+        src = self.col(name)
+        _, valid = self.scalar(name)
+        n = len(valid)
+        idx = np.arange(n, dtype=np.int64)
+        pos = np.minimum.reduceat(np.where(valid, idx, n), self.seg_starts)
+        missing = pos >= n
+        pos = np.where(missing, 0, pos)
+        out = src.take(pa.array(pos))
+        if missing.any():
+            return pa.array(
+                [None if missing[i] else out[i].as_py() for i in range(self.n_groups)],
+                type=src.type,
+            )
+        return out
+
+    def seg_last_valid(self, name: str) -> pa.Array:
+        src = self.col(name)
+        _, valid = self.scalar(name)
+        n = len(valid)
+        idx = np.arange(n, dtype=np.int64)
+        pos = np.maximum.reduceat(np.where(valid, idx, -1), self.seg_starts)
+        missing = pos < 0
+        pos = np.where(missing, 0, pos)
+        out = src.take(pa.array(pos))
+        if missing.any():
+            return pa.array(
+                [None if missing[i] else out[i].as_py() for i in range(self.n_groups)],
+                type=src.type,
+            )
+        return out
 
 
 def _segment_ids(offsets: np.ndarray) -> np.ndarray:
     counts = np.diff(offsets)
     return np.repeat(np.arange(len(counts)), counts)
-
-
-class MergeCtx:
-    """Phase-2 merge context: the partition's partial table sorted by group
-    keys, with contiguous per-group row segments. ``flat(col)`` flattens a
-    list-typed partial column into (values, per-group offsets) — the layout
-    every list finalizer consumes — without any grouped 'list' kernel
-    (pyarrow's hash_list lacks list-of-list support)."""
-
-    def __init__(self, sorted_tbl: pa.Table, seg_starts: np.ndarray):
-        self.tbl = sorted_tbl
-        self.seg_starts = seg_starts  # row index of each group's first partial
-        self.n_groups = len(seg_starts)
-        self._bounds = np.concatenate((seg_starts, [sorted_tbl.num_rows]))
-
-    def flat(self, col_name: str) -> tuple[pa.Array, np.ndarray]:
-        col = self.tbl.column(col_name)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        counts = pc.list_value_length(col).to_numpy(zero_copy_only=False)
-        counts = np.nan_to_num(counts.astype(np.float64), nan=0.0).astype(np.int64)
-        row_off = np.concatenate(([0], np.cumsum(counts)))
-        values = pc.list_flatten(col)  # skips null rows, aligned with zero counts
-        if isinstance(values, pa.ChunkedArray):
-            values = values.combine_chunks()
-        group_offsets = row_off[self._bounds]
-        return values, group_offsets
 
 
 def _np(values: pa.Array) -> np.ndarray:
@@ -85,7 +175,6 @@ def _rebuild_list(values: pa.Array, counts: np.ndarray) -> pa.Array:
 def _sort_within_segments(
     seg: np.ndarray, keys: Sequence[np.ndarray], descending: bool = False
 ) -> np.ndarray:
-    """Indices that sort rows by segment, then by keys (vectorized lexsort)."""
     ks = list(keys)
     if descending:
         ks = [_negate_for_sort(k) for k in ks]
@@ -95,7 +184,8 @@ def _sort_within_segments(
 def _negate_for_sort(k: np.ndarray) -> np.ndarray:
     if k.dtype.kind in "iuf":
         return -k.astype(np.float64) if k.dtype.kind == "u" else -k
-    # strings/objects: rank-encode then negate
+    if k.dtype.kind == "M":
+        return -k.astype(np.int64)
     uniq, inv = np.unique(k, return_inverse=True)
     return -inv
 
@@ -109,7 +199,7 @@ class AggExpr(Expr):
 
     fn_name = "?"
     needs_order = False  # requires relation order columns (offset rank)
-    list_partial = False  # phase-2 merge via MergeCtx segments, not TableGroupBy
+    merge_pass = ""  # "", "first", or "last": phase-2 pre-sort requirement
 
     def __init__(self, arg):
         self.arg = wrap(arg)
@@ -143,18 +233,13 @@ class AggExpr(Expr):
         return f"{self.fn_name.upper()}({self.arg!r})"
 
     # --- two-phase protocol -------------------------------------------------
-    def p1_kernels(self, a: str) -> list[tuple[str, str]]:
-        """(source column, pa grouped kernel) pairs for the per-batch partial.
-        Source ``a`` is this aggregate's private copy of its evaluated arg."""
+    def p1_kernels(self, a: str) -> list[tuple]:
+        """(source column, pa grouped kernel[, options]) entries for the
+        per-batch partial. ``a`` is this aggregate's private arg copy."""
         raise NotImplementedError
 
-    def p2_kernels(self, a: str) -> list[tuple[str, str]]:
-        """(partial column, pa grouped kernel) pairs for the merge groupby.
-        Partial columns are named ``{src}_{kernel}`` by pyarrow."""
-        raise NotImplementedError
-
-    def finalize(self, merged: pa.Table, a: str) -> pa.Array | pa.ChunkedArray:
-        """Merged partials -> final value column (one row per group)."""
+    def finalize(self, ctx: MergeCtx, a: str, ordcols: list[str]):
+        """Merged partials (per-segment) -> final column, one row/group."""
         raise NotImplementedError
 
 
@@ -170,11 +255,8 @@ class Count(AggExpr):
     def p1_kernels(self, a):
         return [(a, "count")]
 
-    def p2_kernels(self, a):
-        return [(f"{a}_count", "sum")]
-
-    def finalize(self, merged, a):
-        return pc.cast(merged.column(f"{a}_count_sum"), pa.int64())
+    def finalize(self, ctx, a, ordcols):
+        return ctx.seg_sum(f"{a}_count", pa.int64())
 
 
 class Sum(AggExpr):
@@ -193,11 +275,10 @@ class Sum(AggExpr):
     def p1_kernels(self, a):
         return [(a, "sum")]
 
-    def p2_kernels(self, a):
-        return [(f"{a}_sum", "sum")]
-
-    def finalize(self, merged, a):
-        return merged.column(f"{a}_sum_sum")
+    def finalize(self, ctx, a, ordcols):
+        t = ctx.col(f"{a}_sum").type
+        out = pa.float64() if pa.types.is_floating(t) else pa.int64()
+        return ctx.seg_sum(f"{a}_sum", out)
 
 
 class Avg(AggExpr):
@@ -214,12 +295,9 @@ class Avg(AggExpr):
     def p1_kernels(self, a):
         return [(a, "sum"), (a, "count")]
 
-    def p2_kernels(self, a):
-        return [(f"{a}_sum", "sum"), (f"{a}_count", "sum")]
-
-    def finalize(self, merged, a):
-        s = pc.cast(merged.column(f"{a}_sum_sum"), pa.float64())
-        c = pc.cast(merged.column(f"{a}_count_sum"), pa.float64())
+    def finalize(self, ctx, a, ordcols):
+        s = ctx.seg_sum(f"{a}_sum", pa.float64())
+        c = ctx.seg_sum(f"{a}_count", pa.float64())
         return pc.divide(s, c)
 
 
@@ -232,11 +310,8 @@ class Min(AggExpr):
     def p1_kernels(self, a):
         return [(a, "min")]
 
-    def p2_kernels(self, a):
-        return [(f"{a}_min", "min")]
-
-    def finalize(self, merged, a):
-        return merged.column(f"{a}_min_min")
+    def finalize(self, ctx, a, ordcols):
+        return ctx.seg_min(f"{a}_min")
 
 
 class Max(AggExpr):
@@ -248,21 +323,17 @@ class Max(AggExpr):
     def p1_kernels(self, a):
         return [(a, "max")]
 
-    def p2_kernels(self, a):
-        return [(f"{a}_max", "max")]
-
-    def finalize(self, merged, a):
-        return merged.column(f"{a}_max_max")
+    def finalize(self, ctx, a, ordcols):
+        return ctx.seg_max(f"{a}_max")
 
 
 class CollectList(AggExpr):
     """COLLECT_LIST: all values per group in offset order
-    (ksql/aggregate_fn.go:127-132). Partials carry the order-rank columns so
-    the merge can re-interleave lists from different batches correctly."""
+    (ksql/aggregate_fn.go:127-132). Partials carry the order-rank columns
+    so the merge re-interleaves lists from different batches correctly."""
 
     fn_name = "collect_list"
     needs_order = True
-    list_partial = True
 
     def out_type(self, schema):
         return pa.list_(self.arg.out_type(schema))
@@ -272,10 +343,7 @@ class CollectList(AggExpr):
         # are added by the executor
         return [(a, "list")]
 
-    def p2_kernels(self, a):
-        return []
-
-    def finalize_ctx(self, ctx: MergeCtx, a: str, ordcols: list[str]):
+    def finalize(self, ctx, a, ordcols):
         values, offsets = ctx.flat(f"{a}_list")
         seg = _segment_ids(offsets)
         keys = []
@@ -294,7 +362,6 @@ class CollectSet(AggExpr):
     order is not reproducible across a parallel merge)."""
 
     fn_name = "collect_set"
-    list_partial = True
 
     def out_type(self, schema):
         return pa.list_(self.arg.out_type(schema))
@@ -302,34 +369,35 @@ class CollectSet(AggExpr):
     def p1_kernels(self, a):
         return [(a, "distinct")]
 
-    def p2_kernels(self, a):
-        return []
-
-    def finalize_ctx(self, ctx: MergeCtx, a: str, ordcols=None):
+    def finalize(self, ctx, a, ordcols):
         values, offsets = ctx.flat(f"{a}_distinct")
         seg = _segment_ids(offsets)
         mask = pc.is_valid(values).to_numpy(zero_copy_only=False)
         v_np = _np(values)
-        # drop nulls, then distinct within segment via (value, seg) sort
-        seg, v_keep = seg[mask], v_np[mask]
+        seg_k, v_keep = seg[mask], v_np[mask]
         keep_idx = np.nonzero(mask)[0]
-        order = np.lexsort((v_keep, seg))
-        seg_s, v_s, idx_s = seg[order], v_keep[order], keep_idx[order]
+        order = np.lexsort((v_keep, seg_k))
+        seg_s, v_s, idx_s = seg_k[order], v_keep[order], keep_idx[order]
         first = np.ones(len(seg_s), dtype=bool)
         if len(seg_s) > 1:
             first[1:] = (seg_s[1:] != seg_s[:-1]) | (v_s[1:] != v_s[:-1])
         final_idx = idx_s[first]
         final_seg = seg_s[first]
-        counts = np.bincount(final_seg, minlength=len(offsets) - 1)
+        counts = np.bincount(final_seg, minlength=self.n_groups_of(offsets))
         return _rebuild_list(values.take(pa.array(final_idx)), counts)
+
+    @staticmethod
+    def n_groups_of(offsets) -> int:
+        return len(offsets) - 1
 
 
 class LatestByOffset(AggExpr):
     """LATEST_BY_OFFSET: value at max offset rank
-    (ksql/aggregate_fn.go:143-148)."""
+    (ksql/aggregate_fn.go:143-148). Nulls skipped (ksqlDB default)."""
 
     fn_name = "latest_by_offset"
     needs_order = True
+    merge_pass = "last"
     _pick = "last"
 
     def out_type(self, schema):
@@ -337,27 +405,22 @@ class LatestByOffset(AggExpr):
 
     def p1_kernels(self, a):
         # batch pre-sorted by order columns
-        return [(a, self._pick)]
+        return [(a, self._pick, FIRSTLAST_OPTS)]
 
-    def p1_order_kernels(self, a, ordcols):
-        return [(o, self._pick) for o in ordcols]
-
-    def p2_kernels(self, a):
-        # partition pre-sorted by (keys, partial order columns)
-        return [(f"{a}_{self._pick}", self._pick)]
-
-    def p2_sort_cols(self, a: str, ordcols: list[str]) -> list[str]:
-        return [f"{o}_{self._pick}" for o in ordcols]
-
-    def finalize(self, merged, a):
-        return merged.column(f"{a}_{self._pick}_{self._pick}")
+    def finalize(self, ctx, a, ordcols):
+        # partition pre-sorted by (keys, {__o*}_{pick}); pick last valid
+        return ctx.seg_last_valid(f"{a}_{self._pick}")
 
 
 class EarliestByOffset(LatestByOffset):
     """EARLIEST_BY_OFFSET (ksql/aggregate_fn.go:151-156)."""
 
     fn_name = "earliest_by_offset"
+    merge_pass = "first"
     _pick = "first"
+
+    def finalize(self, ctx, a, ordcols):
+        return ctx.seg_first_valid(f"{a}_{self._pick}")
 
 
 class TopK(AggExpr):
@@ -366,7 +429,6 @@ class TopK(AggExpr):
 
     fn_name = "topk"
     distinct = False
-    list_partial = True
 
     def __init__(self, arg, k: int):
         super().__init__(arg)
@@ -378,16 +440,12 @@ class TopK(AggExpr):
         return f"{self.fn_name}({self.arg!r},{self.k})"
 
     def out_type(self, schema):
-        t = self.arg.out_type(schema)
-        return pa.list_(t)
+        return pa.list_(self.arg.out_type(schema))
 
     def p1_kernels(self, a):
         return [(a, "distinct" if self.distinct else "list")]
 
-    def p2_kernels(self, a):
-        return []
-
-    def finalize_ctx(self, ctx: MergeCtx, a: str, ordcols=None):
+    def finalize(self, ctx, a, ordcols):
         src = "distinct" if self.distinct else "list"
         values, offsets = ctx.flat(f"{a}_{src}")
         seg = _segment_ids(offsets)
@@ -402,7 +460,6 @@ class TopK(AggExpr):
             if len(seg_s) > 1:
                 uniq[1:] = (seg_s[1:] != seg_s[:-1]) | (v_s[1:] != v_s[:-1])
             seg_s, idx_s = seg_s[uniq], idx_s[uniq]
-        # position within segment < k
         n_groups = len(offsets) - 1
         counts_all = np.bincount(seg_s, minlength=n_groups)
         starts = np.concatenate(([0], np.cumsum(counts_all)))[:-1]
@@ -422,11 +479,10 @@ class TopKDistinct(TopK):
 
 class Histogram(AggExpr):
     """HISTOGRAM(col, buckets): value -> count map, capped bucket count
-    (ksql/aggregate_fn.go:237-275). Output is MAP<VARCHAR, BIGINT> with keys
-    in ascending order (deterministic)."""
+    (ksql/aggregate_fn.go:237-275). Output is MAP<VARCHAR, BIGINT> with
+    keys in ascending order (deterministic)."""
 
     fn_name = "histogram"
-    list_partial = True
 
     def __init__(self, arg, buckets: int):
         super().__init__(arg)
@@ -444,19 +500,16 @@ class Histogram(AggExpr):
     def p1_kernels(self, a):
         return [(a, "list")]
 
-    def p2_kernels(self, a):
-        return []
-
-    def finalize_ctx(self, ctx: MergeCtx, a: str, ordcols=None):
+    def finalize(self, ctx, a, ordcols):
         values, offsets = ctx.flat(f"{a}_list")
         seg = _segment_ids(offsets)
         mask = pc.is_valid(values).to_numpy(zero_copy_only=False)
         seg_k = seg[mask]
         v_str = _np(pc.cast(values, pa.string()))[mask]
+        n_groups = len(offsets) - 1
         order = np.lexsort((v_str, seg_k))
         seg_s, v_s = seg_k[order], v_str[order]
         n = len(seg_s)
-        n_groups = len(offsets) - 1
         if n == 0:
             mo = np.zeros(n_groups + 1, dtype=np.int32)
             return pa.MapArray.from_arrays(
@@ -471,7 +524,6 @@ class Histogram(AggExpr):
         cnts = np.diff(bounds)
         pair_seg = seg_s[starts]
         pair_val = v_s[starts]
-        # cap buckets per group (keep first `buckets` distinct values)
         grp_counts = np.bincount(pair_seg, minlength=n_groups)
         grp_starts = np.concatenate(([0], np.cumsum(grp_counts)))[:-1]
         pos = np.arange(len(pair_seg)) - grp_starts[pair_seg]

@@ -206,13 +206,12 @@ class Engine:
     def _right_needed(self, b: SelectBuilder, jrel: Relation, rk, renames) -> list[str]:
         cols: set[str] = set(k for k in rk)
         inv = {v: k for k, v in renames.items()}
-        for e in b.fields + b.wheres + b.havings:
+        exprs: list[Expr] = list(b.fields) + list(b.wheres) + list(b.havings) + list(b.groupby)
+        exprs += [o.expr for o in b.orderbys]
+        for j2 in b.joins:
+            exprs += list(j2.conds)
+        for e in exprs:
             for c in e.columns():
-                base = inv.get(c, c)
-                if base in jrel.schema.names:
-                    cols.add(base)
-        for o in b.orderbys:
-            for c in o.expr.columns():
                 base = inv.get(c, c)
                 if base in jrel.schema.names:
                     cols.add(base)

@@ -10,9 +10,11 @@ GROUP BY execution to ksqlDB; here it becomes
       not row count (critical at 100 TB).
   phase 2 — ``partials.groupby("__part").map_groups(merge_fn)``:
       partials are hash-partitioned by group key (vectorized
-      ``pd.util.hash_array``), and each partition is merged in ONE
-      vectorized pass (a second ``pa.TableGroupBy`` + numpy segment
-      finalizers) — never a Python loop per group.
+      ``pd.util.hash_array``); each partition is sorted by key so groups
+      are contiguous segments, then merged with deterministic numpy
+      segment reductions (aggregates.MergeCtx) — never a grouped Acero
+      kernel (emission order is not guaranteed) and never a Python loop
+      per group.
 
 Windows (SURVEY.md §2.4): tumbling adds a computed ``window_start`` key;
 hopping flat-maps each row into its covering windows before phase 1;
@@ -111,11 +113,7 @@ class GroupByPlan:
         self.all_keys = self.key_names + self.win_keys
 
     # ------------------------------------------------------------------ p1
-    def _p1_entries(self) -> list[tuple[str, str]]:
-        entries: list[tuple[str, str]] = []
-        for a, name in zip(self.aggs, self.agg_names):
-            entries.extend(a.p1_kernels(name))
-        # shared order partials
+    def _shared_order_picks(self) -> set[str]:
         picks = set()
         for a in self.aggs:
             if isinstance(a, EarliestByOffset):
@@ -124,9 +122,28 @@ class GroupByPlan:
                 picks.add("last")
             elif isinstance(a, CollectList):
                 picks.add("list")
-        for p in sorted(picks):
-            entries.extend((o, p) for o in self.ord_names)
-        return entries
+        return picks
+
+    def _p1_entries(self) -> list[tuple]:
+        entries: list[tuple] = []
+        for a, name in zip(self.aggs, self.agg_names):
+            entries.extend(a.p1_kernels(name))
+        # shared order partials (offset-rank columns for order-aware merges)
+        from ..aggregates import FIRSTLAST_OPTS
+
+        for p in sorted(self._shared_order_picks()):
+            if p in ("first", "last"):
+                entries.extend((o, p, FIRSTLAST_OPTS) for o in self.ord_names)
+            else:
+                entries.extend((o, p) for o in self.ord_names)
+        seen: set[tuple[str, str]] = set()
+        uniq: list[tuple] = []
+        for e in entries:
+            k = (e[0], e[1])
+            if k not in seen:
+                seen.add(k)
+                uniq.append(e)
+        return uniq
 
     def partial_fn(self, batch: pa.Table) -> pa.Table:
         """Phase-1 combiner (runs inside map_batches, zero-copy Arrow)."""
@@ -161,7 +178,9 @@ class GroupByPlan:
                 tmp, sort_keys=[(o, "ascending") for o in self.ord_names]
             )
             tmp = tmp.take(sort_idx)
-        partial = pa.TableGroupBy(tmp, self.all_keys).aggregate(self._p1_entries())
+        partial = pa.TableGroupBy(tmp, self.all_keys, use_threads=False).aggregate(
+            self._p1_entries()
+        )
         part = hash_partition_ids(partial, self.all_keys, self.num_partitions)
         return partial.append_column("__part", pa.array(part, type=pa.int64()))
 
@@ -169,24 +188,17 @@ class GroupByPlan:
     def merge_fn(self, part_tbl: pa.Table) -> pa.Table:
         """Phase-2 merge for one hash partition of partials.
 
-        Every pass sorts the partition by the group keys first, so group
-        segments are contiguous and identically ordered across passes:
-        scalar partials merge through one ``pa.TableGroupBy`` (first-seen
-        order == sorted order), list partials merge through vectorized
-        segment operations (MergeCtx) — no per-group Python loop."""
+        Every pass sorts the partition by the group keys first (plus, for
+        LATEST/EARLIEST passes, the order-rank partials), making group
+        segments contiguous and identically key-ordered across passes.
+        All merges are deterministic vectorized segment reductions."""
         from ..aggregates import MergeCtx
 
         if "__part" in part_tbl.column_names:
             part_tbl = part_tbl.drop_columns(["__part"])
-        # group merge passes by required pre-sort ("", "first", "last")
         passes: dict[str, list[int]] = {}
         for i, a in enumerate(self.aggs):
-            if isinstance(a, EarliestByOffset):
-                passes.setdefault("first", []).append(i)
-            elif isinstance(a, LatestByOffset):
-                passes.setdefault("last", []).append(i)
-            else:
-                passes.setdefault("", []).append(i)
+            passes.setdefault(a.merge_pass, []).append(i)
 
         out_cols: dict[int, pa.Array | pa.ChunkedArray] = {}
         keys_out: pa.Table | None = None
@@ -197,28 +209,10 @@ class GroupByPlan:
             tbl = part_tbl.take(pc.sort_indices(part_tbl, sort_keys=sort_keys))
             seg_starts = _segment_starts(tbl, self.all_keys)
             ctx = MergeCtx(tbl, seg_starts)
-            entries = []
-            for i in idxs:
-                entries.extend(self.aggs[i].p2_kernels(self.agg_names[i]))
-            entries = list(dict.fromkeys(entries))
-            merged = (
-                pa.TableGroupBy(tbl, self.all_keys).aggregate(entries)
-                if entries
-                else None
-            )
-            pass_keys = (
-                merged.select(self.all_keys)
-                if merged is not None
-                else tbl.select(self.all_keys).take(pa.array(seg_starts))
-            )
             if keys_out is None:
-                keys_out = pass_keys
+                keys_out = tbl.select(self.all_keys).take(pa.array(seg_starts))
             for i in idxs:
-                a, name = self.aggs[i], self.agg_names[i]
-                if a.list_partial:
-                    out_cols[i] = a.finalize_ctx(ctx, name, self.ord_names)
-                else:
-                    out_cols[i] = a.finalize(merged, name)
+                out_cols[i] = self.aggs[i].finalize(ctx, self.agg_names[i], self.ord_names)
 
         assert keys_out is not None
         result = keys_out
@@ -285,21 +279,9 @@ class SessionGroupByPlan(GroupByPlan):
         sess_id = np.cumsum(newsess) - 1
         tbl = tbl.append_column("__sess", pa.array(sess_id, type=pa.int64()))
         keys = self.key_names + ["__sess"]
-        entries = []
-        for a, name in zip(self.aggs, self.agg_names):
-            entries.extend(a.p1_kernels(name))
-        picks = set()
-        for a in self.aggs:
-            if isinstance(a, EarliestByOffset):
-                picks.add("first")
-            elif isinstance(a, LatestByOffset):
-                picks.add("last")
-            elif isinstance(a, CollectList):
-                picks.add("list")
-        for p in sorted(picks):
-            entries.extend((o, p) for o in self.ord_names)
+        entries = list(self._p1_entries())
         entries += [("__ts", "min"), ("__ts", "max")]
-        partial = pa.TableGroupBy(tbl, keys).aggregate(list(dict.fromkeys(entries)))
+        partial = pa.TableGroupBy(tbl, keys, use_threads=False).aggregate(entries)
         # feed partials (one per session already) through the standard merge
         inner = GroupByPlan(
             [],  # keys handled manually below
