@@ -55,6 +55,62 @@ def _auto_name(agg: AggExpr) -> str:
     return agg.auto_name()
 
 
+def make_finalizer(b: SelectBuilder, plan, agg_names: list[str]):
+    """Build the (picklable) post-aggregation shaping function shared by
+    the bounded engine and the streaming state actors: rename internal
+    key/agg columns, materialize window bounds, apply HAVING, project.
+
+    Input batch columns: plan.key_names + (__ws | window_start/window_end)
+    + __agg{i}; output: the query's public schema (Returns() semantics)."""
+    from ..windows import Session
+
+    key_out_names = [e.output_name() for e in b.groupby]
+    gb_key_map = {e.key(): out for e, out in zip(b.groupby, key_out_names)}
+    win = b.window
+    havings = list(b.havings)
+    fields = list(b.fields)
+    key_names = list(plan.key_names)
+    final_agg_names = list(agg_names)
+
+    def finalize_fn(batch: pa.Table) -> pa.Table:
+        names = list(batch.column_names)
+        mapping = {}
+        for kn, out in zip(key_names, key_out_names):
+            mapping[kn] = out
+        for i, an in enumerate(final_agg_names):
+            mapping[f"__agg{i}"] = an
+        batch = batch.rename_columns([mapping.get(n, n) for n in names])
+        n = batch.num_rows
+        if win is not None and not isinstance(win, Session):
+            ws = batch.column("__ws")
+            batch = batch.drop_columns(["__ws"])
+            start = pc.cast(ws, pa.timestamp("us"))
+            end = pc.cast(pc.add(ws, win.size_us), pa.timestamp("us"))
+            batch = batch.append_column("window_start", start)
+            batch = batch.append_column("window_end", end)
+        if havings:
+            mask = None
+            for c in havings:
+                m = c.eval(batch)
+                mask = m if mask is None else pc.and_kleene(mask, m)
+            batch = batch.filter(pc.fill_null(mask, False))
+            n = batch.num_rows
+        cols, names_out = [], []
+        if win is not None:
+            for wc in ("window_start", "window_end"):
+                cols.append(batch.column(wc))
+                names_out.append(wc)
+        for e in fields:
+            if e.key() in gb_key_map:
+                cols.append(batch.column(gb_key_map[e.key()]))
+            else:
+                cols.append(_to_array(e.eval(batch), n))
+            names_out.append(e.output_name())
+        return pa.table(dict(zip(names_out, cols)))
+
+    return finalize_fn
+
+
 class Engine:
     """Executes validated SelectBuilder plans on Ray Data."""
 
@@ -188,7 +244,12 @@ class Engine:
                 right_ds = ray.data.read_parquet(jrel.path)
                 if renames:
                     right_ds = right_ds.rename_columns(renames)
-                ds = shuffle_join(ds, right_ds, j.how, lk, rk, self.num_partitions)
+                # Ray's hash-shuffle join spawns one aggregator actor per
+                # partition; cap at the CPU budget so small clusters don't
+                # starve (raise num_partitions for real multi-node runs)
+                navail = int(ray.available_resources().get("CPU", 4)) if ray.is_initialized() else 4
+                nparts = max(2, min(self.num_partitions, navail))
+                ds = shuffle_join(ds, right_ds, j.how, lk, rk, nparts)
                 if residual:
                     res = list(residual)
 
@@ -250,49 +311,5 @@ class Engine:
                 plan.merge_fn, batch_format="pyarrow"
             )
 
-        key_out_names = [e.output_name() for e in b.groupby]
-        gb_key_map = {e.key(): out for e, out in zip(b.groupby, key_out_names)}
-        win = b.window
-        havings = list(b.havings)
-        fields = list(b.fields)
-        key_names = list(plan.key_names)
-        final_agg_names = list(agg_names)
-
-        def finalize_fn(batch: pa.Table) -> pa.Table:
-            # rename internal columns to their public names
-            names = list(batch.column_names)
-            mapping = {}
-            for kn, out in zip(key_names, key_out_names):
-                mapping[kn] = out
-            for i, an in enumerate(final_agg_names):
-                mapping[f"__agg{i}"] = an
-            batch = batch.rename_columns([mapping.get(n, n) for n in names])
-            n = batch.num_rows
-            if win is not None and not isinstance(win, Session):
-                ws = batch.column("__ws")
-                batch = batch.drop_columns(["__ws"])
-                start = pc.cast(ws, pa.timestamp("us"))
-                end = pc.cast(pc.add(ws, win.size_us), pa.timestamp("us"))
-                batch = batch.append_column("window_start", start)
-                batch = batch.append_column("window_end", end)
-            if havings:
-                mask = None
-                for c in havings:
-                    m = c.eval(batch)
-                    mask = m if mask is None else pc.and_kleene(mask, m)
-                batch = batch.filter(pc.fill_null(mask, False))
-                n = batch.num_rows
-            cols, names_out = [], []
-            if win is not None:
-                for wc in ("window_start", "window_end"):
-                    cols.append(batch.column(wc))
-                    names_out.append(wc)
-            for e in fields:
-                if e.key() in gb_key_map:
-                    cols.append(batch.column(gb_key_map[e.key()]))
-                else:
-                    cols.append(_to_array(e.eval(batch), n))
-                names_out.append(e.output_name())
-            return pa.table(dict(zip(names_out, cols)))
-
+        finalize_fn = make_finalizer(b, plan, agg_names)
         return merged.map_batches(finalize_fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -86,12 +86,14 @@ class GroupByPlan:
         window: Window | None = None,
         ts_col: str | None = None,
         num_partitions: int = DEFAULT_NUM_PARTITIONS,
+        include_ts: bool = False,
     ):
         self.key_exprs = list(key_exprs)
         self.aggs = list(aggs)
         self.window = window
         self.ts_col = ts_col
         self.num_partitions = num_partitions
+        self.include_ts = include_ts  # streaming: carry per-key max ts + row count
 
         self.needs_order = any(a.needs_order for a in self.aggs)
         self.order_cols = list(order_cols) if self.needs_order else []
@@ -168,6 +170,8 @@ class GroupByPlan:
             cols[name] = v
         for name, oc in zip(self.ord_names, self.order_cols):
             cols[name] = batch.column(oc)
+        if self.include_ts:
+            cols["__ts"] = pc.cast(batch.column(self.ts_col), pa.int64())
         tmp = pa.table(cols)
         if take_idx is not None:
             tmp = tmp.take(take_idx)
@@ -178,10 +182,17 @@ class GroupByPlan:
                 tmp, sort_keys=[(o, "ascending") for o in self.ord_names]
             )
             tmp = tmp.take(sort_idx)
-        partial = pa.TableGroupBy(tmp, self.all_keys, use_threads=False).aggregate(
-            self._p1_entries()
+        entries = self._p1_entries()
+        if self.include_ts:
+            entries = entries + [("__ts", "max"), ("__ts", "count")]
+        partial = pa.TableGroupBy(tmp, self.all_keys, use_threads=False).aggregate(entries)
+        # streaming (include_ts): partition by the group key ONLY, so every
+        # window of a key lands on the same state actor and the per-partition
+        # watermark is coherent; bounded: include the window for balance.
+        part_cols = (
+            self.key_names if (self.include_ts and self.key_names) else self.all_keys
         )
-        part = hash_partition_ids(partial, self.all_keys, self.num_partitions)
+        part = hash_partition_ids(partial, part_cols, self.num_partitions)
         return partial.append_column("__part", pa.array(part, type=pa.int64()))
 
     # ------------------------------------------------------------------ p2
@@ -254,6 +265,40 @@ class SessionGroupByPlan(GroupByPlan):
         tmp = pa.table(cols)
         part = hash_partition_ids(tmp, self.key_names, self.num_partitions)
         return tmp.append_column("__part", pa.array(part, type=pa.int64()))
+
+    def sessionize_partial_fn(self, batch: pa.Table) -> pa.Table:
+        """Streaming phase 1: sessionize WITHIN the micro-batch (vectorized)
+        and emit one partial row per (key, within-batch session) with
+        interval bounds — the partition state actor merges intervals across
+        batches (session merge is associative)."""
+        tbl = self.route_fn(batch).drop_columns(["__part"])
+        si = pc.sort_indices(
+            tbl,
+            sort_keys=[(k, "ascending") for k in self.key_names]
+            + [("__ts", "ascending")]
+            + [(o, "ascending") for o in self.ord_names],
+        )
+        tbl = tbl.take(si)
+        ts = tbl.column("__ts").to_numpy(zero_copy_only=False)
+        n = len(ts)
+        newsess = np.ones(n, dtype=bool)
+        if n > 1:
+            gap_ok = (ts[1:] - ts[:-1]) > self.session.gap_us
+            keychange = np.zeros(n - 1, dtype=bool)
+            for k in self.key_names:
+                kv = tbl.column(k).to_numpy(zero_copy_only=False)
+                keychange |= kv[1:] != kv[:-1]
+            newsess[1:] = gap_ok | keychange
+        sess_id = np.cumsum(newsess) - 1
+        tbl = tbl.append_column("__sess", pa.array(sess_id, type=pa.int64()))
+        keys = self.key_names + ["__sess"]
+        entries = list(self._p1_entries())
+        entries += [("__ts", "min"), ("__ts", "max"), ("__ts", "count")]
+        partial = pa.TableGroupBy(tbl, keys, use_threads=False).aggregate(entries)
+        part = hash_partition_ids(partial, self.key_names, self.num_partitions)
+        return partial.drop_columns(["__sess"]).append_column(
+            "__part", pa.array(part, type=pa.int64())
+        )
 
     def session_merge_fn(self, tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:

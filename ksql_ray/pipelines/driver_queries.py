@@ -1,0 +1,423 @@
+"""Driver-facing query registry: every implemented operator from
+SURVEY.md §2 as a (Ray pipeline, DuckDB oracle SQL) pair.
+
+The driver calls ``queries()[name](sf_dir)`` and compares row count,
+schema and an order-insensitive value hash against ``oracle_sql()[name]``
+run by DuckDB over the same parquet tables. Column names match on both
+sides by construction. Float aggregates are rounded on BOTH sides so the
+hash is robust to summation order.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..aggregates import (
+    Avg, CollectList, CollectSet, Count, EarliestByOffset, Histogram,
+    LatestByOffset, Max, Min, Sum, TopK, TopKDistinct,
+)
+from ..builder import Schema, Select, SelectBuilder
+from ..catalog import testdata_catalog
+from ..exec.bounded import Engine
+from ..expr import And, Case, CaseWhen, Div, F, Literal, Mod, Mul, Or, Sub
+from ..windows import HOURS, Hopping, MINUTES, Session, Tumbling
+
+HOUR_US = 3_600_000_000
+HALF_US = HOUR_US // 2
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _round_cols(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
+    for c, nd in cols.items():
+        if c in tbl.column_names:
+            i = tbl.column_names.index(c)
+            tbl = tbl.set_column(
+                i, c, pc.round(pc.cast(tbl.column(c), pa.float64()), ndigits=nd)
+            )
+    return tbl
+
+
+def _map_to_json(tbl: pa.Table, col: str) -> pa.Table:
+    """map<string,int64> -> canonical 'k1:v1,k2:v2' string (keys presorted
+    ascending by construction in Histogram.finalize)."""
+    i = tbl.column_names.index(col)
+    arr = tbl.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = []
+    for m in arr.to_pylist():
+        if m is None:
+            out.append(None)
+        else:
+            items = m.items() if isinstance(m, dict) else m
+            out.append(",".join(f"{k}:{v}" for k, v in items))
+    return tbl.set_column(i, col, pa.array(out, type=pa.string()))
+
+
+class Q:
+    def __init__(self, builder_fn: Callable[[], SelectBuilder], sql: str | None,
+                 post: Callable[[pa.Table], pa.Table] | None = None):
+        self.builder_fn = builder_fn
+        self.sql = sql
+        self.post = post
+
+    def run(self, sf_dir: str) -> pa.Table:
+        cat = testdata_catalog(sf_dir)
+        eng = Engine(cat)
+        t = eng.table(self.builder_fn())
+        if self.post:
+            t = self.post(t)
+        return t
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def q(name: str, sql: str | None = None, post=None):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql, post)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------- §2.1/§2.2
+@q("filter_project",
+   "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45")
+def _filter_project():
+    return (Select(F("l_orderkey"), F("l_linenumber"), F("l_quantity"))
+            .From(Schema("lineitem")).Where(F("l_quantity").Greater(45)))
+
+
+@q("where_and_chain",
+   "SELECT l_orderkey, l_linenumber FROM lineitem "
+   "WHERE l_quantity > 30 AND l_discount <= 0.02")
+def _where_chain():
+    return (Select(F("l_orderkey"), F("l_linenumber")).From(Schema("lineitem"))
+            .Where(F("l_quantity").Greater(30), F("l_discount").LessEq(0.02)))
+
+
+@q("where_or_in",
+   "SELECT o_orderkey, o_orderstatus FROM orders "
+   "WHERE o_orderstatus IN ('F','P') OR o_totalprice > 300000.0")
+def _where_or_in():
+    return (Select(F("o_orderkey"), F("o_orderstatus")).From(Schema("orders"))
+            .Where(Or(F("o_orderstatus").In("F", "P"),
+                      F("o_totalprice").Greater(300000.0))))
+
+
+@q("arithmetic",
+   "SELECT l_orderkey, l_linenumber, "
+   "ROUND(l_extendedprice*(1.0-l_discount), 4) AS revenue, "
+   "l_quantity/2.0 AS half_qty, CAST(l_linenumber % 3 AS INT) AS ln3 "
+   "FROM lineitem WHERE l_quantity >= 48")
+def _arith():
+    return (Select(
+        F("l_orderkey"), F("l_linenumber"),
+        Mul(F("l_extendedprice"), Sub(Literal(1.0), F("l_discount"))).As("revenue"),
+        Div(F("l_quantity"), 2.0).As("half_qty"),
+        Mod(F("l_linenumber"), 3).As("ln3"),
+    ).From(Schema("lineitem")).Where(F("l_quantity").GreaterEq(48)))
+
+
+def _arith_post(t: pa.Table) -> pa.Table:
+    return _round_cols(t, {"revenue": 4})
+
+
+REGISTRY["arithmetic"].post = _arith_post
+
+
+@q("case_when",
+   "SELECT o_orderkey, CASE WHEN o_totalprice > 250000.0 THEN 'big' "
+   "WHEN o_totalprice > 100000.0 THEN 'mid' ELSE 'small' END AS bucket FROM orders")
+def _case():
+    return (Select(
+        F("o_orderkey"),
+        Case("bucket",
+             CaseWhen(F("o_totalprice").Greater(250000.0), "big"),
+             CaseWhen(F("o_totalprice").Greater(100000.0), "mid")).Else("small"),
+    ).From(Schema("orders")))
+
+
+@q("null_checks",
+   "SELECT o_orderkey FROM orders WHERE o_orderstatus IS NOT NULL AND o_custkey IS NOT NULL")
+def _nulls():
+    return (Select(F("o_orderkey")).From(Schema("orders"))
+            .Where(F("o_orderstatus").IsNotNull(), F("o_custkey").IsNotNull()))
+
+
+# --------------------------------------------------------------- §2.3 aggregates
+@q("agg_basic",
+   "SELECT l_returnflag, l_linestatus, ROUND(sum(l_quantity), 4) AS sum_qty, "
+   "ROUND(avg(l_extendedprice), 4) AS avg_price, min(l_discount) AS min_disc, "
+   "max(l_discount) AS max_disc, count(l_orderkey) AS cnt "
+   "FROM lineitem GROUP BY l_returnflag, l_linestatus")
+def _agg_basic():
+    return (Select(
+        F("l_returnflag"), F("l_linestatus"),
+        Sum(F("l_quantity")).As("sum_qty"),
+        Avg(F("l_extendedprice")).As("avg_price"),
+        Min(F("l_discount")).As("min_disc"),
+        Max(F("l_discount")).As("max_disc"),
+        Count(F("l_orderkey")).As("cnt"),
+    ).From(Schema("lineitem")).GroupBy(F("l_returnflag"), F("l_linestatus")))
+
+
+REGISTRY["agg_basic"].post = lambda t: _round_cols(t, {"sum_qty": 4, "avg_price": 4})
+
+
+@q("agg_having_orderby",
+   "SELECT o_custkey, count(o_orderkey) AS cnt, ROUND(sum(o_totalprice), 2) AS total "
+   "FROM orders GROUP BY o_custkey HAVING count(o_orderkey) > 10 ORDER BY o_custkey")
+def _agg_having():
+    return (Select(F("o_custkey"), Count(F("o_orderkey")).As("cnt"),
+                   Sum(F("o_totalprice")).As("total"))
+            .From(Schema("orders")).GroupBy(F("o_custkey"))
+            .Having(Count(F("o_orderkey")).Greater(10))
+            .OrderBy(F("o_custkey").Asc()))
+
+
+REGISTRY["agg_having_orderby"].post = lambda t: _round_cols(t, {"total": 2})
+
+
+@q("agg_over_arithmetic",
+   "SELECT l_returnflag, ROUND(sum(l_extendedprice) * 0.05, 2) AS commission "
+   "FROM lineitem GROUP BY l_returnflag")
+def _agg_arith():
+    return (Select(F("l_returnflag"),
+                   Mul(Sum(F("l_extendedprice")), 0.05).As("commission"))
+            .From(Schema("lineitem")).GroupBy(F("l_returnflag")))
+
+
+REGISTRY["agg_over_arithmetic"].post = lambda t: _round_cols(t, {"commission": 2})
+
+
+@q("collect_list",
+   "SELECT l_orderkey, list(l_quantity ORDER BY l_orderkey, l_linenumber) AS qtys "
+   "FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_orderkey")
+def _collect_list():
+    return (Select(F("l_orderkey"), CollectList(F("l_quantity")).As("qtys"))
+            .From(Schema("lineitem")).Where(F("l_orderkey").LessEq(100))
+            .GroupBy(F("l_orderkey")))
+
+
+@q("collect_set",
+   "SELECT l_returnflag, list(DISTINCT l_linestatus ORDER BY l_linestatus) AS statuses "
+   "FROM lineitem GROUP BY l_returnflag")
+def _collect_set():
+    return (Select(F("l_returnflag"), CollectSet(F("l_linestatus")).As("statuses"))
+            .From(Schema("lineitem")).GroupBy(F("l_returnflag")))
+
+
+@q("latest_earliest_by_offset",
+   "SELECT user_id, last(event_type ORDER BY ts, event_id) AS last_type, "
+   "first(event_type ORDER BY ts, event_id) AS first_type "
+   "FROM events GROUP BY user_id")
+def _latest_earliest():
+    return (Select(F("user_id"),
+                   LatestByOffset(F("event_type")).As("last_type"),
+                   EarliestByOffset(F("event_type")).As("first_type"))
+            .From(Schema("events")).GroupBy(F("user_id")).EmitChanges())
+
+
+@q("topk",
+   "SELECT l_returnflag, (list(l_quantity ORDER BY l_quantity DESC))[1:3] AS top3 "
+   "FROM lineitem GROUP BY l_returnflag")
+def _topk():
+    return (Select(F("l_returnflag"), TopK(F("l_quantity"), 3).As("top3"))
+            .From(Schema("lineitem")).GroupBy(F("l_returnflag")))
+
+
+@q("topk_distinct",
+   "SELECT l_returnflag, (list(DISTINCT l_quantity ORDER BY l_quantity DESC))[1:4] AS top4 "
+   "FROM lineitem GROUP BY l_returnflag")
+def _topk_distinct():
+    return (Select(F("l_returnflag"), TopKDistinct(F("l_quantity"), 4).As("top4"))
+            .From(Schema("lineitem")).GroupBy(F("l_returnflag")))
+
+
+@q("histogram",
+   "SELECT user_id, string_agg(event_type || ':' || cnt, ',' ORDER BY event_type) AS hist "
+   "FROM (SELECT user_id, event_type, count(*) AS cnt FROM events "
+   "      GROUP BY user_id, event_type) GROUP BY user_id",
+   post=lambda t: _map_to_json(t, "hist"))
+def _histogram():
+    return (Select(F("user_id"), Histogram(F("event_type"), 100).As("hist"))
+            .From(Schema("events")).GroupBy(F("user_id")).EmitChanges())
+
+
+# --------------------------------------------------------------- §2.5 joins
+@q("join_inner",
+   "SELECT o_orderkey, c_name, o_totalprice FROM orders "
+   "JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 300000.0")
+def _join_inner():
+    return (Select(F("o_orderkey"), F("c_name"), F("o_totalprice"))
+            .From(Schema("orders"))
+            .Join(Schema("customer"), F("orders.o_custkey").Equal(F("customer.c_custkey")))
+            .Where(F("o_totalprice").Greater(300000.0)))
+
+
+@q("join_left",
+   "SELECT c_custkey, s_name FROM customer LEFT JOIN supplier ON c_nationkey = s_nationkey")
+def _join_left():
+    return (Select(F("c_custkey"), F("s_name")).From(Schema("customer"))
+            .LeftJoin(Schema("supplier"),
+                      F("customer.c_nationkey").Equal(F("supplier.s_nationkey"))))
+
+
+@q("join_right",
+   "SELECT c_custkey, s_name FROM supplier RIGHT JOIN customer ON s_nationkey = c_nationkey")
+def _join_right():
+    return (Select(F("c_custkey"), F("s_name")).From(Schema("supplier"))
+            .RightJoin(Schema("customer"),
+                       F("supplier.s_nationkey").Equal(F("customer.c_nationkey"))))
+
+
+@q("join_outer",
+   "SELECT s_suppkey, n_name FROM supplier "
+   "FULL OUTER JOIN nation ON s_nationkey = n_nationkey")
+def _join_outer():
+    return (Select(F("s_suppkey"), F("n_name")).From(Schema("supplier"))
+            .OuterJoin(Schema("nation"),
+                       F("supplier.s_nationkey").Equal(F("nation.n_nationkey"))))
+
+
+@q("join_cross",
+   "SELECT r_name, n_name FROM region CROSS JOIN nation")
+def _join_cross():
+    return (Select(F("r_name"), F("n_name")).From(Schema("region"))
+            .CrossJoin(Schema("nation")))
+
+
+@q("join_multi",
+   "SELECT l_orderkey, c_name, n_name FROM lineitem "
+   "JOIN orders ON l_orderkey = o_orderkey "
+   "JOIN customer ON o_custkey = c_custkey "
+   "JOIN nation ON c_nationkey = n_nationkey WHERE l_quantity > 49")
+def _join_multi():
+    return (Select(F("l_orderkey"), F("c_name"), F("n_name"))
+            .From(Schema("lineitem"))
+            .Join(Schema("orders"), F("lineitem.l_orderkey").Equal(F("orders.o_orderkey")))
+            .Join(Schema("customer"), F("orders.o_custkey").Equal(F("customer.c_custkey")))
+            .Join(Schema("nation"), F("customer.c_nationkey").Equal(F("nation.n_nationkey")))
+            .Where(F("l_quantity").Greater(49)))
+
+
+@q("join_then_aggregate",
+   "SELECT n_name, ROUND(sum(o_totalprice), 2) AS total, count(o_orderkey) AS cnt "
+   "FROM orders JOIN customer ON o_custkey = c_custkey "
+   "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")
+def _join_agg():
+    return (Select(F("n_name"), Sum(F("o_totalprice")).As("total"),
+                   Count(F("o_orderkey")).As("cnt"))
+            .From(Schema("orders"))
+            .Join(Schema("customer"), F("orders.o_custkey").Equal(F("customer.c_custkey")))
+            .Join(Schema("nation"), F("customer.c_nationkey").Equal(F("nation.n_nationkey")))
+            .GroupBy(F("n_name")))
+
+
+REGISTRY["join_then_aggregate"].post = lambda t: _round_cols(t, {"total": 2})
+
+
+@q("join_compound_on",
+   "SELECT o_orderkey, c_name FROM orders "
+   "JOIN customer ON o_custkey = c_custkey AND c_acctbal > 0.0")
+def _join_compound():
+    return (Select(F("o_orderkey"), F("c_name")).From(Schema("orders"))
+            .Join(Schema("customer"),
+                  And(F("orders.o_custkey").Equal(F("customer.c_custkey")),
+                      F("customer.c_acctbal").Greater(0.0))))
+
+
+# --------------------------------------------------------------- §2.4 windows
+@q("window_tumbling",
+   f"SELECT make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US}) AS window_start, "
+   f"make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US} + {HOUR_US}) AS window_end, "
+   "user_id, count(event_id) AS cnt, ROUND(sum(value), 4) AS sv "
+   "FROM events GROUP BY 1, 2, 3")
+def _win_tumbling():
+    return (Select(F("user_id"), Count(F("event_id")).As("cnt"),
+                   Sum(F("value")).As("sv"))
+            .From(Schema("events")).GroupBy(F("user_id"))
+            .Windowed(Tumbling(1, HOURS)))
+
+
+REGISTRY["window_tumbling"].post = lambda t: _round_cols(t, {"sv": 4})
+
+
+@q("window_tumbling_latest",
+   f"SELECT make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US}) AS window_start, "
+   f"make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US} + {HOUR_US}) AS window_end, "
+   "user_id, last(event_type ORDER BY ts, event_id) AS last_type "
+   "FROM events GROUP BY 1, 2, 3")
+def _win_latest():
+    return (Select(F("user_id"), LatestByOffset(F("event_type")).As("last_type"))
+            .From(Schema("events")).GroupBy(F("user_id"))
+            .Windowed(Tumbling(1, HOURS)))
+
+
+@q("window_hopping",
+   f"""WITH exp AS (
+     SELECT user_id, event_id,
+            unnest(range(greatest((epoch_us(ts) - {HOUR_US}) // {HALF_US} + 1, 0),
+                         epoch_us(ts) // {HALF_US} + 1)) AS k
+     FROM events)
+   SELECT make_timestamp(k * {HALF_US}) AS window_start,
+          make_timestamp(k * {HALF_US} + {HOUR_US}) AS window_end,
+          user_id, count(event_id) AS cnt
+   FROM exp GROUP BY 1, 2, 3""")
+def _win_hopping():
+    return (Select(F("user_id"), Count(F("event_id")).As("cnt"))
+            .From(Schema("events")).GroupBy(F("user_id"))
+            .Windowed(Hopping(60, MINUTES, 30, MINUTES)))
+
+
+@q("window_session",
+   f"""WITH flagged AS (
+     SELECT user_id, event_id, value, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+   ), sessions AS (
+     SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+     FROM flagged)
+   SELECT min(ts) AS window_start, max(ts) AS window_end, user_id,
+          count(event_id) AS cnt, ROUND(avg(value), 4) AS av
+   FROM sessions GROUP BY user_id, sess_id""")
+def _win_session():
+    return (Select(F("user_id"), Count(F("event_id")).As("cnt"),
+                   Avg(F("value")).As("av"))
+            .From(Schema("events")).GroupBy(F("user_id"))
+            .Windowed(Session(30, MINUTES)))
+
+
+REGISTRY["window_session"].post = lambda t: _round_cols(t, {"av": 4})
+
+
+# --------------------------------------------------------------- §2.7 CTE
+@q("cte",
+   "WITH spend_by_cust AS (SELECT o_custkey, sum(o_totalprice) AS spend "
+   "FROM orders GROUP BY o_custkey) "
+   "SELECT o_custkey, ROUND(spend, 2) AS spend FROM spend_by_cust "
+   "WHERE spend > 1000000.0")
+def _cte():
+    inner = (Select(F("o_custkey"), Sum(F("o_totalprice")).As("spend"))
+             .From(Schema("orders")).GroupBy(F("o_custkey")).As("spend_by_cust"))
+    return (Select(F("o_custkey"), F("spend")).From(Schema("spend_by_cust"))
+            .Where(F("spend").Greater(1000000.0)).WithCTE(inner))
+
+
+REGISTRY["cte"].post = lambda t: _round_cols(t, {"spend": 2})
+
+
+def queries() -> dict[str, Callable[[str], pa.Table]]:
+    return {name: (lambda sf_dir, _q=qq: _q.run(sf_dir)) for name, qq in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qq.sql for name, qq in REGISTRY.items() if qq.sql}

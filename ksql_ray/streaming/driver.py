@@ -1,0 +1,322 @@
+"""Micro-batch streaming driver: push queries over a Parquet stream.
+
+The Ray-native replacement for the reference's push-query path
+(`SelectWithEmit`, streams/specification.go:626-655 + the long-poll
+reader network/network.go:162-188): instead of holding an HTTP
+connection to ksqlDB, the driver consumes a sequence of Parquet
+micro-batches (epochs) and runs an incremental pipeline per epoch
+(SURVEY.md §2.1 'Push query' RD mapping):
+
+  per epoch:  prep task(s)   — read (column-pruned) -> stream-table
+              (parallel       broadcast joins -> WHERE -> vectorized
+               per file)      phase-1 partials -> hash-route into P slices
+              state actors  — P `StateActor`s (one per key partition; keys
+                              never move between actors) merge partials
+                              into window state, advance the per-partition
+                              watermark, and emit per the EMIT mode
+              sink          — each actor writes its own
+                              part-{p}-epoch-{e}.parquet (two-phase); the
+                              driver commits the epoch in the manifest
+                              after every partition acked.
+
+Exactly-once: deterministic routing + idempotent (partition, epoch) sink
+files + manifest commit; recovery restores actor state from the latest
+checkpoint and replays newer epochs (replayed writes are skipped by the
+sink). Metrics per north_rule: rows in/out, late drops, watermark lag.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from ..builder import SelectBuilder
+from ..catalog import Catalog, Ref
+from ..errors import PlanError
+from ..exec.bounded import Engine, _auto_name, make_finalizer
+from ..exec.groupby import GroupByPlan, SessionGroupByPlan
+from ..exec.joins import extract_equi_keys, join_batch, plan_right_renames
+from ..windows import Session
+from .sink import TwoPhaseSink
+from .state import PartitionState
+
+
+def _split_by_part(tbl: pa.Table, num_partitions: int) -> list[pa.Table]:
+    """Sort by __part and slice — zero-copy views per partition."""
+    si = pc.sort_indices(tbl, sort_keys=[("__part", "ascending")])
+    tbl = tbl.take(si)
+    parts = tbl.column("__part").to_numpy(zero_copy_only=False)
+    out = []
+    bounds = np.searchsorted(parts, np.arange(num_partitions + 1))
+    for p in range(num_partitions):
+        out.append(tbl.slice(bounds[p], bounds[p + 1] - bounds[p]))
+    return out
+
+
+@ray.remote
+def _prep_file(
+    path_or_tbl,
+    columns,
+    join_specs: list,
+    wheres: list,
+    plan,
+    num_partitions: int,
+):
+    """Stateless per-epoch prep: read -> broadcast joins -> filter ->
+    phase-1 partials -> split by partition. Returns a list of P tables."""
+    if isinstance(path_or_tbl, pa.Table):
+        batch = path_or_tbl
+    else:
+        batch = pq.read_table(path_or_tbl, columns=columns)
+    for build_tbl, how, lk, rk, residual in join_specs:
+        if isinstance(build_tbl, ray.ObjectRef):
+            build_tbl = ray.get(build_tbl)  # plasma-cached per node, zero-copy
+        batch = join_batch(batch, build_tbl, how, lk, rk, residual)
+    if wheres:
+        mask = None
+        for c in wheres:
+            m = c.eval(batch)
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        batch = batch.filter(pc.fill_null(mask, False))
+    if isinstance(plan, SessionGroupByPlan):
+        partial = plan.sessionize_partial_fn(batch)
+    else:
+        partial = plan.partial_fn(batch)
+    return _split_by_part(partial, num_partitions)
+
+
+@ray.remote
+class StateActor:
+    """One hash partition of keyed window state + its own sink writer."""
+
+    def __init__(self, part_id: int, state_kwargs: dict, sink_dir: str, finalizer):
+        self.part_id = part_id
+        self.state = PartitionState(part_id=part_id, **state_kwargs)
+        self.sink = TwoPhaseSink(sink_dir)
+        self.finalizer = finalizer
+
+    def process(self, epoch: int, parts: list) -> dict:
+        emitted = []
+        for t in parts:
+            if t.num_rows:
+                emitted.append(self.state.process(t.drop_columns(["__part"])))
+        out = None
+        nonempty = [t for t in emitted if t.num_rows]
+        if nonempty:
+            out = pa.concat_tables(nonempty, promote_options="permissive")
+        if out is not None and out.num_rows:
+            final = self.finalizer(out)
+            if final.num_rows:
+                self.sink.write(self.part_id, epoch, final)
+        return self.state.metrics()
+
+    def flush(self, epoch: int) -> dict:
+        out = self.state.flush()
+        if out.num_rows:
+            final = self.finalizer(out)
+            if final.num_rows:
+                self.sink.write(self.part_id, epoch, final)
+        return self.state.metrics()
+
+    def checkpoint(self, epoch: int, ckpt_dir: str) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        final = os.path.join(ckpt_dir, f"state-{self.part_id:04d}-epoch-{epoch:06d}.pkl")
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(self.state.snapshot())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+        return final
+
+    def restore(self, path: str) -> None:
+        with open(path, "rb") as f:
+            self.state.restore(f.read())
+
+
+class StreamingJob:
+    """A continuous windowed-aggregate (+ broadcast-join) push query."""
+
+    def __init__(
+        self,
+        builder: SelectBuilder,
+        catalog: Catalog,
+        out_dir: str,
+        num_partitions: int = 8,
+        lateness_us: int = 0,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 0,
+        resume: bool = False,
+    ):
+        builder.validate(catalog)
+        if builder.window is None or not builder.groupby:
+            raise PlanError("streaming jobs require a windowed GROUP BY query")
+        rel = builder._source_relation(catalog)
+        self.builder = builder
+        self.catalog = catalog
+        self.num_partitions = num_partitions
+        self.emit = "final" if builder.emit == "final" else "changes"
+        self.sink = TwoPhaseSink(out_dir)
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+
+        eng = Engine(catalog, num_partitions=num_partitions)
+        aggs = builder._agg_exprs()
+        self.aggs = aggs
+        schema = builder.input_schema(catalog)
+        if isinstance(builder.window, Session):
+            plan = SessionGroupByPlan(
+                builder.groupby, aggs, rel.order_cols, builder.window,
+                rel.timestamp_col, num_partitions,
+            )
+        else:
+            plan = GroupByPlan(
+                builder.groupby, aggs, rel.order_cols, builder.window,
+                rel.timestamp_col, num_partitions, include_ts=True,
+            )
+        self.plan = plan
+        self.finalizer = make_finalizer(builder, plan, [_auto_name(a) for a in aggs])
+
+        # column pruning at the read (same rule as the bounded engine)
+        self.columns = eng._needed_columns(builder, rel, aggs) or None
+
+        # stream-table joins: broadcast build sides once (ray.put)
+        self.join_specs = []
+        left_names = set(rel.schema.names)
+        for j in builder.joins:
+            jrel = catalog.get(j.source.name)
+            if j.how not in ("inner", "left", "cross"):
+                raise PlanError(
+                    "streaming supports broadcast stream-table joins "
+                    "(INNER/LEFT/CROSS) in v1"
+                )
+            alias = j.source.alias or j.source.name
+            lk, rk, residual = extract_equi_keys(
+                j.conds, left_names, set(jrel.schema.names), alias
+            )
+            renames = plan_right_renames(left_names, jrel.schema, rk, lk, alias)
+            rk = [renames.get(k, k) for k in rk]
+            build = pq.read_table(jrel.path)
+            if renames:
+                build = build.rename_columns(
+                    [renames.get(n, n) for n in build.column_names]
+                )
+            self.join_specs.append((ray.put(build), j.how, lk, rk, residual))
+            left_names |= {renames.get(n, n) for n in jrel.schema.names}
+
+        key_types = [e.out_type(schema) for e in builder.groupby]
+        agg_types = [a.out_type(schema) for a in aggs]
+        state_kwargs = dict(
+            aggs=aggs,
+            key_names=plan.key_names,
+            ord_names=plan.ord_names,
+            window=builder.window,
+            lateness_us=lateness_us,
+            emit=self.emit,
+            key_types=key_types,
+            agg_types=agg_types,
+        )
+        self.actors = [
+            StateActor.remote(p, state_kwargs, out_dir, self.finalizer)
+            for p in range(num_partitions)
+        ]
+
+        self.epoch = -1
+        self.metrics_log: list[dict] = []
+        self._resume_cursor = -1
+        if resume:
+            self._restore()
+
+    # ------------------------------------------------------------------
+    @property
+    def ckpt_manifest(self) -> str:
+        return os.path.join(self.checkpoint_dir, "checkpoint.json")
+
+    def _restore(self) -> None:
+        if not self.checkpoint_dir or not os.path.exists(self.ckpt_manifest):
+            return
+        with open(self.ckpt_manifest) as f:
+            doc = json.load(f)
+        epoch = doc["epoch"]
+        ray.get(
+            [
+                a.restore.remote(
+                    os.path.join(
+                        self.checkpoint_dir,
+                        f"state-{p:04d}-epoch-{epoch:06d}.pkl",
+                    )
+                )
+                for p, a in enumerate(self.actors)
+            ]
+        )
+        # the epoch counter restarts at -1: the caller re-feeds the stream
+        # from the beginning and epochs <= cursor are skipped (their effect
+        # is already in the restored state; their sink files already exist)
+        self.epoch = -1
+        self._resume_cursor = epoch
+
+    def _maybe_checkpoint(self) -> None:
+        if not self.checkpoint_dir or not self.checkpoint_every:
+            return
+        if (self.epoch + 1) % self.checkpoint_every != 0:
+            return
+        ray.get([a.checkpoint.remote(self.epoch, self.checkpoint_dir) for a in self.actors])
+        tmp = self.ckpt_manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": self.epoch}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.ckpt_manifest)
+
+    # ------------------------------------------------------------------
+    def process_epoch(self, files_or_tables: Sequence) -> list[dict] | None:
+        """One micro-batch epoch: any number of files/tables processed in
+        parallel prep tasks, then routed to the state actors."""
+        self.epoch += 1
+        if self.epoch <= self._resume_cursor:
+            return None  # already reflected in restored state
+        split_refs = [
+            _prep_file.remote(
+                x, self.columns, self.join_specs, list(self.builder.wheres),
+                self.plan, self.num_partitions,
+            )
+            for x in files_or_tables
+        ]
+        splits = ray.get(split_refs)  # list (per file) of lists (per part)
+        acks = []
+        for p, actor in enumerate(self.actors):
+            parts = [s[p] for s in splits]
+            acks.append(actor.process.remote(self.epoch, parts))
+        metrics = ray.get(acks)
+        self.sink.commit_epoch(self.epoch, {"per_partition": metrics})
+        self.metrics_log.append({"epoch": self.epoch, "partitions": metrics})
+        self._maybe_checkpoint()
+        return metrics
+
+    def run(self, files: Sequence[str], files_per_epoch: int = 1) -> None:
+        batch: list[str] = []
+        for f in files:
+            batch.append(f)
+            if len(batch) >= files_per_epoch:
+                self.process_epoch(batch)
+                batch = []
+        if batch:
+            self.process_epoch(batch)
+
+    def finish(self) -> list[dict]:
+        """Flush all open windows (end-of-stream) and commit."""
+        self.epoch += 1
+        metrics = ray.get([a.flush.remote(self.epoch) for a in self.actors])
+        self.sink.commit_epoch(self.epoch, {"per_partition": metrics})
+        return metrics
+
+    def result(self) -> pa.Table:
+        return self.sink.read_committed()

@@ -1,0 +1,265 @@
+"""Streaming-engine tests (SURVEY.md §5.2): windowed aggregation over
+micro-batches with watermarks, EMIT CHANGES/FINAL, late-data drops,
+session merges across batches, exactly-once sink, checkpoint/resume.
+
+The conformance anchor: with no late data and an end-of-stream flush, the
+streaming EMIT FINAL output must equal the bounded (pull-query) oracle
+over the concatenated input — same emitted rows per window for identical
+input stream + watermark (north_rule)."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from ksql_ray import (
+    Avg, CollectList, Count, F, LatestByOffset, MINUTES, Relation, Schema,
+    Select, Session, Sum, Tumbling, STREAM, TABLE, Catalog,
+)
+from ksql_ray.catalog import Ref
+from ksql_ray.fixtures import (
+    gen_conv_meta, gen_transcripts, materialize_fixture_dir, write_stream_files,
+)
+from ksql_ray.streaming.driver import StreamingJob
+
+from conftest import assert_tables_equal
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    base = tmp_path_factory.mktemp("transcripts")
+    paths = materialize_fixture_dir(str(base), n_turns=3000, seed=42, n_files=6)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def stream_catalog(fixture_dir):
+    cat = Catalog()
+    sample = pq.read_schema(sorted(glob.glob(fixture_dir["transcripts"] + "/*.parquet"))[0])
+    schema = pa.schema([pa.field(f.name, f.type) for f in sample])
+    cat.create(Relation(
+        "transcripts", Ref.STREAM, schema, path=fixture_dir["transcripts"],
+        timestamp_col="ts", order_cols=["ts", "turn_idx"],
+    ))
+    meta_schema = pq.read_schema(fixture_dir["conv_meta"])
+    cat.create(Relation(
+        "conv_meta", Ref.TABLE,
+        pa.schema([pa.field(f.name, f.type) for f in meta_schema]),
+        path=fixture_dir["conv_meta"], primary_key="conv_id",
+    ))
+    return cat
+
+
+def _stream_files(fixture_dir):
+    return sorted(glob.glob(fixture_dir["transcripts"] + "/*.parquet"))
+
+
+def _tumbling_query():
+    return (
+        Select(F("conv_id"), Count(F("turn_idx")).As("turns"),
+               LatestByOffset(F("role")).As("last_role"))
+        .From(Schema("transcripts"))
+        .GroupBy(F("conv_id"))
+        .Windowed(Tumbling(1, MINUTES))
+        .EmitFinal()
+    )
+
+
+def test_emit_final_equals_bounded_oracle(stream_catalog, fixture_dir, tmp_path):
+    """No-late-data conformance: streaming final rows == bounded result."""
+    from ksql_ray import Engine
+
+    files = _stream_files(fixture_dir)
+    job = StreamingJob(
+        _tumbling_query(), stream_catalog, str(tmp_path / "out"),
+        num_partitions=4, lateness_us=1 << 60,  # effectively no late drops
+    )
+    job.run(files)
+    job.finish()
+    streamed = job.result()
+
+    eng = Engine(stream_catalog, num_partitions=4)
+    expected = eng.table(_tumbling_query())
+    assert_tables_equal(streamed, expected)
+    total_late = sum(m["late_drops"] for m in job.metrics_log[-1]["partitions"])
+    assert total_late == 0
+
+
+def test_emit_final_emits_each_window_once(stream_catalog, fixture_dir, tmp_path):
+    files = _stream_files(fixture_dir)
+    job = StreamingJob(
+        _tumbling_query(), stream_catalog, str(tmp_path / "out"),
+        num_partitions=4, lateness_us=1 << 60,
+    )
+    job.run(files)
+    job.finish()
+    t = job.result()
+    keys = list(zip(t.column("conv_id").to_pylist(),
+                    t.column("window_start").to_pylist()))
+    assert len(keys) == len(set(keys)), "EMIT FINAL emitted a window twice"
+
+
+def test_late_rows_dropped_and_counted(stream_catalog, tmp_path):
+    """Hand-made batches: second batch carries a row for a window closed
+    by the first batch's watermark."""
+    base = 1_700_000_000_000_000
+    minute = 60_000_000
+    b1 = pa.table({
+        "conv_id": ["c1", "c1"],
+        "turn_idx": pa.array([0, 1], type=pa.int32()),
+        "role": ["user", "assistant"],
+        "text": ["c1:0 x", "c1:1 y"],
+        "tool": pa.array([None, None], type=pa.string()),
+        "ts": pa.array([base + 10 * minute, base + 10 * minute + 1], type=pa.timestamp("us")),
+    })
+    late = pa.table({
+        "conv_id": ["c1"],
+        "turn_idx": pa.array([2], type=pa.int32()),
+        "role": ["user"],
+        "text": ["c1:2 z"],
+        "tool": pa.array([None], type=pa.string()),
+        "ts": pa.array([base], type=pa.timestamp("us")),  # 10 min earlier
+    })
+    cat = Catalog()
+    cat.create(Relation("transcripts", Ref.STREAM, b1.schema, path="/nonexistent",
+                        timestamp_col="ts", order_cols=["ts", "turn_idx"]))
+    job = StreamingJob(_tumbling_query(), cat, str(tmp_path / "out"),
+                       num_partitions=2, lateness_us=0)
+    job.process_epoch([b1])
+    m = job.process_epoch([late])
+    assert sum(p["late_drops"] for p in m) == 1
+    job.finish()
+    t = job.result()
+    # the late row's window (base) must NOT appear
+    ws = pc.cast(t.column("window_start"), pa.int64()).to_pylist()
+    assert base not in [w - (w % minute) for w in ws] or all(
+        w >= base + 10 * minute for w in ws
+    )
+    # and the on-time window has both rows
+    assert sorted(t.column("turns").to_pylist()) == [2]
+
+
+def test_emit_changes_trace_deterministic(stream_catalog, fixture_dir, tmp_path):
+    q = (
+        Select(F("conv_id"), Count(F("turn_idx")).As("turns"))
+        .From(Schema("transcripts"))
+        .GroupBy(F("conv_id"))
+        .Windowed(Tumbling(1, MINUTES))
+        .EmitChanges()
+    )
+    files = _stream_files(fixture_dir)
+    outs = []
+    for run in range(2):
+        job = StreamingJob(q, stream_catalog, str(tmp_path / f"out{run}"),
+                           num_partitions=4, lateness_us=1 << 60)
+        job.run(files)
+        job.finish()
+        outs.append(job.result())
+    # identical emit trace (same rows, same per-epoch files)
+    a, e = outs
+    assert a.num_rows == e.num_rows
+    assert_tables_equal(a, e, sort_by=None)
+
+
+def test_session_windows_across_batches(stream_catalog, fixture_dir, tmp_path):
+    """Sessions that span micro-batch boundaries merge correctly: compare
+    against the bounded session path over the whole stream."""
+    from ksql_ray import Engine
+
+    q = (
+        Select(F("conv_id"), Count(F("turn_idx")).As("turns"),
+               Avg(F("turn_idx")).As("avg_idx"))
+        .From(Schema("transcripts"))
+        .GroupBy(F("conv_id"))
+        .Windowed(Session(2, MINUTES))
+        .EmitFinal()
+    )
+    files = _stream_files(fixture_dir)
+    job = StreamingJob(q, stream_catalog, str(tmp_path / "out"),
+                       num_partitions=4, lateness_us=1 << 60)
+    job.run(files)
+    job.finish()
+    streamed = job.result()
+
+    eng = Engine(stream_catalog, num_partitions=4)
+    expected = eng.table(q)
+    assert_tables_equal(streamed, expected)
+
+
+def test_stream_table_join(stream_catalog, fixture_dir, tmp_path):
+    """Stream-table broadcast join (conv_meta keyed by conv_id) feeding a
+    windowed aggregate."""
+    from ksql_ray import Engine
+
+    q = (
+        Select(F("conv_id"), F("user_tier"), Count(F("turn_idx")).As("turns"))
+        .From(Schema("transcripts"))
+        .Join(Schema("conv_meta"),
+              F("transcripts.conv_id").Equal(F("conv_meta.conv_id")))
+        .GroupBy(F("conv_id"), F("user_tier"))
+        .Windowed(Tumbling(5, MINUTES))
+        .EmitFinal()
+    )
+    files = _stream_files(fixture_dir)
+    job = StreamingJob(q, stream_catalog, str(tmp_path / "out"),
+                       num_partitions=4, lateness_us=1 << 60)
+    job.run(files)
+    job.finish()
+    streamed = job.result()
+    eng = Engine(stream_catalog, num_partitions=4)
+    expected = eng.table(q)
+    assert_tables_equal(streamed, expected)
+
+
+def test_checkpoint_resume_exactly_once(stream_catalog, fixture_dir, tmp_path):
+    """Kill-and-resume: process 3 epochs with checkpoints, start a fresh
+    job from the checkpoint, finish — committed output equals an
+    uninterrupted run (exactly-once across restart)."""
+    files = _stream_files(fixture_dir)
+    out1 = str(tmp_path / "out1")
+    ck = str(tmp_path / "ck")
+    job = StreamingJob(_tumbling_query(), stream_catalog, out1,
+                       num_partitions=4, lateness_us=1 << 60,
+                       checkpoint_dir=ck, checkpoint_every=1)
+    job.run(files[:3])
+    # job "dies" here; a new job resumes from the checkpoint
+    job2 = StreamingJob(_tumbling_query(), stream_catalog, out1,
+                        num_partitions=4, lateness_us=1 << 60,
+                        checkpoint_dir=ck, checkpoint_every=1, resume=True)
+    job2.run(files)  # replays all files; epochs <= cursor are skipped
+    job2.finish()
+    resumed = job2.result()
+
+    out2 = str(tmp_path / "out2")
+    ref = StreamingJob(_tumbling_query(), stream_catalog, out2,
+                       num_partitions=4, lateness_us=1 << 60)
+    ref.run(files)
+    ref.finish()
+    assert_tables_equal(resumed, ref.result())
+
+
+def test_collect_list_streaming(stream_catalog, fixture_dir, tmp_path):
+    """Order-sensitive aggregate across batches: per-turn text equality
+    under stable (conv_id, turn_idx) ordering (input_hint invariant)."""
+    from ksql_ray import Engine
+
+    q = (
+        Select(F("conv_id"), CollectList(F("text")).As("texts"))
+        .From(Schema("transcripts"))
+        .GroupBy(F("conv_id"))
+        .Windowed(Tumbling(10, MINUTES))
+        .EmitFinal()
+    )
+    files = _stream_files(fixture_dir)
+    job = StreamingJob(q, stream_catalog, str(tmp_path / "out"),
+                       num_partitions=4, lateness_us=1 << 60)
+    job.run(files)
+    job.finish()
+    streamed = job.result()
+    eng = Engine(stream_catalog, num_partitions=4)
+    expected = eng.table(q)
+    assert_tables_equal(streamed, expected)
