@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "streaming": {turns, sec, turns_per_sec, late_drops}}
+
+`--scaling` evidences the N->4N cluster-size criterion in-sandbox: the
+same headline job in two fresh subprocesses at num_cpus=8 and 32, with
+efficiency T(32)/(4*T(8)) (BASELINE.md measurement plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+BENCH_QUERIES = [
+    "agg_basic",            # TPC-H Q1 shape: wide scan + low-card groupby
+    "agg_having_orderby",
+    "join_then_aggregate",  # 3-way broadcast join + aggregate
+    "join_multi",
+    "window_tumbling",
+    "window_hopping",
+    "window_session",
+    "latest_earliest_by_offset",
+    "collect_list",
+    "topk",
+]
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from ksql_ray.pipelines.driver_queries import REGISTRY
+
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        REGISTRY[name].run(sf_dir)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_streaming_headline(sf_dir: str, num_cpus: int) -> dict:
+    """The BASELINE.json metric: windowed-aggregate + stream-table join
+    throughput (turns/sec) over a synthetic transcript Parquet stream."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ksql_ray import (
+        Avg, Catalog, Count, F, LatestByOffset, MINUTES, Relation, Schema,
+        Select, Tumbling,
+    )
+    from ksql_ray.catalog import Ref
+    from ksql_ray.fixtures import materialize_fixture_dir
+    from ksql_ray.streaming.driver import StreamingJob
+
+    # transcript volume scales with the sf dir (sf0.1 -> 200k turns)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_turns = {"0.001": 5_000, "0.01": 50_000, "0.1": 200_000}.get(sf, 200_000)
+    fdir = f"/tmp/ksql_ray_transcripts_{n_turns}"
+    paths = materialize_fixture_dir(fdir, n_turns=n_turns, seed=42, n_files=16)
+
+    cat = Catalog()
+    sch = pq.read_schema(sorted(glob.glob(paths["transcripts"] + "/*.parquet"))[0])
+    cat.create(Relation(
+        "transcripts", Ref.STREAM,
+        pa.schema([pa.field(f.name, f.type) for f in sch]),
+        path=paths["transcripts"], timestamp_col="ts",
+        order_cols=["ts", "turn_idx"],
+    ))
+    msch = pq.read_schema(paths["conv_meta"])
+    cat.create(Relation(
+        "conv_meta", Ref.TABLE,
+        pa.schema([pa.field(f.name, f.type) for f in msch]),
+        path=paths["conv_meta"], primary_key="conv_id",
+    ))
+
+    q = (
+        Select(F("conv_id"), F("user_tier"),
+               Count(F("turn_idx")).As("turns"),
+               Avg(F("turn_idx")).As("avg_idx"),
+               LatestByOffset(F("role")).As("last_role"))
+        .From(Schema("transcripts"))
+        .Join(Schema("conv_meta"),
+              F("transcripts.conv_id").Equal(F("conv_meta.conv_id")))
+        .GroupBy(F("conv_id"), F("user_tier"))
+        .Windowed(Tumbling(1, MINUTES))
+        .EmitFinal()
+    )
+    out_dir = f"/tmp/ksql_ray_bench_out_{os.getpid()}"
+    files = sorted(glob.glob(paths["transcripts"] + "/*.parquet"))
+    job = StreamingJob(q, cat, out_dir, num_partitions=max(4, num_cpus // 2),
+                       lateness_us=300_000_000)
+    t0 = time.perf_counter()
+    job.run(files, files_per_epoch=2)
+    job.finish()
+    sec = time.perf_counter() - t0
+    late = sum(p["late_drops"] for p in job.metrics_log[-1]["partitions"]) if job.metrics_log else 0
+    return {
+        "turns": n_turns,
+        "sec": round(sec, 3),
+        "turns_per_sec": round(n_turns / sec, 1),
+        "late_drops": late,
+    }
+
+
+def main() -> None:
+    sf_dir = _sf_dir()
+    num_cpus = _num_cpus()
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+            out = subprocess.run(
+                [sys.executable, __file__, "--single-streaming"],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        t8 = results[8]["streaming"]["turns_per_sec"]
+        t32 = results[32]["streaming"]["turns_per_sec"]
+        eff = t32 / (4 * t8)
+        print(json.dumps({
+            "metric": "scaling efficiency N->4N (turns/sec at 8 vs 32 cpus)",
+            "value": round(eff, 3), "unit": "efficiency",
+            "throughput_n": t8, "throughput_4n": t32,
+            "sf": sf_dir, "detail": results,
+        }))
+        return
+
+    import ray
+
+    import logging
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    streaming = run_streaming_headline(sf_dir, num_cpus)
+    if "--single-streaming" in sys.argv:
+        print(json.dumps({
+            "metric": "streaming turns/sec", "value": streaming["sec"],
+            "unit": "sec", "streaming": streaming, "num_cpus": num_cpus,
+        }))
+        ray.shutdown()
+        return
+
+    queries = run_queries(sf_dir)
+    total = round(sum(queries.values()) + streaming["sec"], 3)
+    print(json.dumps({
+        "metric": "end-to-end windowed-aggregate + join throughput "
+                  "(headline queries + transcript streaming)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "streaming": streaming,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -117,10 +117,15 @@ class Engine:
     def __init__(
         self,
         catalog: Catalog,
-        num_partitions: int = DEFAULT_NUM_PARTITIONS,
+        num_partitions: int | None = None,
         broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
     ):
         self.catalog = catalog
+        if num_partitions is None:
+            # phase-2 merge partitions: enough for parallel merge, few
+            # enough that the partial shuffle's per-block overhead stays low
+            ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            num_partitions = max(4, min(DEFAULT_NUM_PARTITIONS, ncpu))
         self.num_partitions = num_partitions
         self.broadcast_max_bytes = broadcast_max_bytes
 
@@ -204,7 +209,12 @@ class Engine:
         if rel.path is None:
             raise PlanError(f"relation {rel.name} has no backing path")
         cols = needed or None
-        return ray.data.read_parquet(rel.path, columns=cols)
+        # size read blocks to the CPU budget: tiny blocks mean per-task
+        # overhead dominates vectorized kernels (ds.stats() evidence)
+        ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        return ray.data.read_parquet(
+            rel.path, columns=cols, override_num_blocks=max(4, ncpu)
+        )
 
     # ------------------------------------------------------------------
     def _apply_joins(self, b: SelectBuilder, ds: ray.data.Dataset, rel: Relation):

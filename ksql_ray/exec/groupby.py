@@ -301,9 +301,8 @@ class SessionGroupByPlan(GroupByPlan):
         )
 
     def session_merge_fn(self, tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return tbl
-        tbl = tbl.drop_columns(["__part"])
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
         si = pc.sort_indices(
             tbl,
             sort_keys=[(k, "ascending") for k in self.key_names]

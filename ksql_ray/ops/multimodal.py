@@ -1,0 +1,147 @@
+"""Multimodal (image/audio/video) pipeline plumbing.
+
+Treats media as opaque ``binary`` columns with typed metadata (SURVEY
+mandate). The actual codecs are NOT available in this container, so the
+decode kernels are stubbed two ways:
+
+* ``decode="strict"`` raises NotImplementedError (the production slot
+  where pillow / torchaudio / pyav plug in), and
+* ``decode="fake"`` derives deterministic pseudo-features from the bytes
+  (seeded by content hash), so the Ray-side plumbing — schema, actor
+  pool, batch sizing, output layout — is fully real and tested.
+
+The stages follow the required shape for heavy media work: a callable
+CLASS passed to ``map_batches(..., concurrency=N, batch_size=B)`` —
+expensive setup once per actor in ``__init__``, per-batch work in
+``__call__`` — with SMALL batch sizes because rows are byte-heavy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),  # image | audio | video
+        pa.field("payload", pa.binary()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("sample_rate", pa.int32()),
+        pa.field("duration_ms", pa.int32()),
+    ]
+)
+
+
+def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows for plumbing tests (payload bytes are
+    seeded noise; no external data)."""
+    rng = np.random.default_rng(seed)
+    kinds = rng.choice(np.array(["image", "audio", "video"]), size=n)
+    payloads = [rng.integers(0, 256, int(rng.integers(256, 4096)), dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(rng.integers(16, 512, n), type=pa.int32()),
+            "height": pa.array(rng.integers(16, 512, n), type=pa.int32()),
+            "sample_rate": pa.array(np.where(kinds == "audio", 16_000, 0), type=pa.int32()),
+            "duration_ms": pa.array(np.where(kinds != "image", rng.integers(100, 60_000, n), 0), type=pa.int32()),
+        }
+    )
+
+
+class MediaFeatureExtractor:
+    """Actor-pool decode/feature stage.
+
+    __init__ is the once-per-actor model/codec load slot; __call__
+    processes one (small) batch. Output: fixed-dim feature vector +
+    normalized metadata per row.
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self, decode: str = "fake", target_size: tuple[int, int] = (64, 64)):
+        if decode not in ("fake", "strict"):
+            raise ValueError("decode must be 'fake' or 'strict'")
+        self.decode = decode
+        self.target_size = target_size
+        # production slot: load the real decoder/model here, once per actor
+        self._model_loaded = True
+
+    def _decode_real(self, payload: bytes, kind: str):
+        raise NotImplementedError(
+            "real media decoding requires pillow/torchaudio/pyav, which are "
+            "not in this container; use decode='fake' for plumbing"
+        )
+
+    def _decode_fake(self, payload: bytes, kind: str) -> np.ndarray:
+        # deterministic content-derived features: first FEATURE_DIM bytes of
+        # the sha256 digest, scaled to [0, 1)
+        d = hashlib.sha256(payload).digest()
+        return np.frombuffer(d[: self.FEATURE_DIM], dtype=np.uint8).astype(np.float64) / 256.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        feats = []
+        for p, k in zip(payloads, kinds):
+            if self.decode == "strict":
+                self._decode_real(p, k)
+            feats.append(list(self._decode_fake(p or b"", k)))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "n_bytes": pa.array([len(p or b"") for p in payloads], type=pa.int64()),
+                "features": pa.array(feats, type=pa.list_(pa.float64())),
+                "resized_w": pa.array([self.target_size[0]] * batch.num_rows, type=pa.int32()),
+                "resized_h": pa.array([self.target_size[1]] * batch.num_rows, type=pa.int32()),
+            }
+        )
+
+
+def extract_media_features(
+    ds: ray.data.Dataset,
+    decode: str = "fake",
+    batch_size: int = 16,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """The media pipeline stage: SMALL batches (byte-heavy rows), actor
+    pool sized to the node, zero-copy Arrow in/out."""
+    return ds.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"decode": decode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+
+
+def frame_sample_stub(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
+    """Video frame-sampling plumbing: expands each video row into frame
+    rows (deterministic count from duration; decode stubbed)."""
+    ids = batch.column("media_id").to_pylist()
+    kinds = batch.column("kind").to_pylist()
+    durs = batch.column("duration_ms").to_pylist()
+    out_id, out_frame, out_ts = [], [], []
+    for i, k, d in zip(ids, kinds, durs):
+        if k != "video":
+            continue
+        n_frames = max(1, (d or 0) // every_ms)
+        for f in range(n_frames):
+            out_id.append(i)
+            out_frame.append(f)
+            out_ts.append(f * every_ms)
+    return pa.table(
+        {
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_frame, type=pa.int64()),
+            "frame_ts_ms": pa.array(out_ts, type=pa.int64()),
+        }
+    )

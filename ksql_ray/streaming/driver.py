@@ -104,6 +104,8 @@ class StateActor:
         self.finalizer = finalizer
 
     def process(self, epoch: int, parts: list) -> dict:
+        if parts and isinstance(parts[0], ray.ObjectRef):
+            parts = ray.get(parts)
         emitted = []
         for t in parts:
             if t.num_rows:
@@ -229,6 +231,12 @@ class StreamingJob:
             for p in range(num_partitions)
         ]
 
+        # ship per-epoch-invariant objects to the object store ONCE; the
+        # prep tasks receive refs (auto-dereferenced), not fresh pickles
+        self._plan_ref = ray.put(self.plan)
+        self._wheres_ref = ray.put(list(builder.wheres))
+        self._join_specs_ref = ray.put(self.join_specs)
+
         self.epoch = -1
         self.metrics_log: list[dict] = []
         self._resume_cursor = -1
@@ -283,18 +291,23 @@ class StreamingJob:
         self.epoch += 1
         if self.epoch <= self._resume_cursor:
             return None  # already reflected in restored state
-        split_refs = [
-            _prep_file.remote(
-                x, self.columns, self.join_specs, list(self.builder.wheres),
-                self.plan, self.num_partitions,
+        # each prep task returns P slices as P separate ObjectRefs, so the
+        # routed partials flow worker -> actor through the object store and
+        # never through the driver
+        nret = self.num_partitions
+        per_file_refs = [
+            _prep_file.options(num_returns=nret).remote(
+                x, self.columns, self._join_specs_ref, self._wheres_ref,
+                self._plan_ref, self.num_partitions,
             )
             for x in files_or_tables
         ]
-        splits = ray.get(split_refs)  # list (per file) of lists (per part)
+        if nret == 1:
+            per_file_refs = [[r] for r in per_file_refs]
         acks = []
         for p, actor in enumerate(self.actors):
-            parts = [s[p] for s in splits]
-            acks.append(actor.process.remote(self.epoch, parts))
+            part_refs = [refs[p] for refs in per_file_refs]
+            acks.append(actor.process.remote(self.epoch, part_refs))
         metrics = ray.get(acks)
         self.sink.commit_epoch(self.epoch, {"per_partition": metrics})
         self.metrics_log.append({"epoch": self.epoch, "partitions": metrics})
