@@ -123,9 +123,13 @@ def ivf_topk(
         return (s << np.arange(n_planes, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
 
     qb = q_bucket(qm)
+    # multi-probe: each query also probes every bucket at Hamming distance 1
+    # from its own (recall boost at (n_planes+1)x probe cost)
     by_bucket: dict[int, list[int]] = {}
     for qi, b in enumerate(qb):
-        by_bucket.setdefault(int(b), []).append(qi)
+        probes = {int(b)} | {int(b) ^ (1 << j) for j in range(n_planes)}
+        for pb in probes:
+            by_bucket.setdefault(pb, []).append(qi)
     qref = ray.put({"ids": np.asarray(query_ids), "matrix": qm, "by_bucket": by_bucket})
 
     def probe(batch: pa.Table) -> pa.Table:

@@ -84,7 +84,7 @@ class LangId:
     (__init__), scoring vectorized per batch (__call__) — the 'stateful
     stages are actor pools' pattern."""
 
-    def __init__(self, text_col: str = "text", out: str = "lang"):
+    def __init__(self, text_col: str = "text", out: str = "lang_pred"):
         self.text_col = text_col
         self.out = out
         self.langs = sorted(_LANG_MARKERS)

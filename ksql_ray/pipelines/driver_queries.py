@@ -415,6 +415,185 @@ def _cte():
 REGISTRY["cte"].post = lambda t: _round_cols(t, {"spend": 2})
 
 
+# --------------------------------------------------------------- pipeline ops
+# (dedup / similarity / text analysis / multimodal — the 100 TB
+# training-data operations; SURVEY-mandated first-class components)
+
+
+class RawQ:
+    """Registry entry backed by a Ray Data pipeline function, not the
+    SQL builder."""
+
+    def __init__(self, fn: Callable[[str], pa.Table], sql: str | None = None):
+        self.fn = fn
+        self.sql = sql
+        self.post = None
+
+    def run(self, sf_dir: str) -> pa.Table:
+        t = self.fn(sf_dir)
+        if self.post:
+            t = self.post(t)
+        return t
+
+
+def _collect(ds) -> pa.Table:
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def _op_text_analysis(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from ..ops.text import analyze_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    t = _collect(analyze_documents(ds))
+    return t.select(["doc_id", "char_count", "token_count", "fingerprint"])
+
+
+REGISTRY["op_text_analysis"] = RawQ(
+    _op_text_analysis,
+    "SELECT doc_id, length(text) AS char_count, "
+    "length(regexp_split_to_array(trim(text), '\\s+')) AS token_count, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint "
+    "FROM documents",
+)
+
+
+def _op_lang_quality(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from ..ops.text import analyze_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    t = _collect(analyze_documents(ds))
+    return t.select(["doc_id", "lang_pred", "quality"])
+
+
+REGISTRY["op_lang_quality"] = RawQ(_op_lang_quality)  # heuristic: rows-only check
+
+
+def _op_exact_dedup(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from ..ops.dedup import exact_dedup_keys
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return _collect(exact_dedup_keys(ds))
+
+
+REGISTRY["op_exact_dedup"] = RawQ(
+    _op_exact_dedup,
+    "SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h, "
+    "min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY 1",
+)
+
+
+def _op_minhash_dedup(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from ..ops.dedup import minhash_dedup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return _collect(minhash_dedup_pairs(ds, threshold=0.5))
+
+
+REGISTRY["op_minhash_dedup"] = RawQ(_op_minhash_dedup)  # LSH: rows-only check
+
+
+def _op_simhash_dedup(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from ..ops.dedup import simhash_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return _collect(simhash_pairs(ds, max_hamming=3))
+
+
+REGISTRY["op_simhash_dedup"] = RawQ(_op_simhash_dedup)
+
+
+def _op_embedding_neardup(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from ..ops.dedup import embedding_neardup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _collect(embedding_neardup_pairs(ds, threshold=0.95))
+
+
+REGISTRY["op_embedding_neardup"] = RawQ(_op_embedding_neardup)
+
+
+def _ann_queries(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = pc.less(t.column("vec_id"), 5)
+    sub = t.filter(mask).sort_by("vec_id")
+    qids = sub.column("vec_id").to_pylist()
+    qm = np.array(sub.column("embedding").to_pylist(), dtype=np.float64)
+    return qids, qm
+
+
+def _op_ann_topk(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from ..ops.ann import brute_force_topk
+
+    qids, qm = _ann_queries(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _collect(brute_force_topk(ds, qids, qm, k=10))
+
+
+REGISTRY["op_ann_topk"] = RawQ(
+    _op_ann_topk,
+    """WITH qn AS (
+         SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5
+       )
+       SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+              row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_inner_product(q.embedding, e.embedding) /
+                         (sqrt(list_sum(list_transform(q.embedding, x -> x*x))) *
+                          sqrt(list_sum(list_transform(e.embedding, x -> x*x)))) DESC,
+                         e.vec_id) AS rank
+       FROM qn q CROSS JOIN embeddings e WHERE e.vec_id != q.vec_id
+       QUALIFY rank <= 10""",
+)
+
+
+def _op_ivf_ann(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from ..ops.ann import ivf_topk
+
+    qids, qm = _ann_queries(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _collect(ivf_topk(ds, qids, qm, k=10, n_planes=4))
+
+
+REGISTRY["op_ivf_ann"] = RawQ(_op_ivf_ann)  # approximate: rows-only check
+
+
+def _op_media_features(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from ..ops.multimodal import extract_media_features, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(128, seed=42))
+    t = _collect(extract_media_features(ds, decode="fake", batch_size=16))
+    return t.drop_columns(["features"]) if "features" in t.column_names else t
+
+
+REGISTRY["op_media_features"] = RawQ(_op_media_features)
+
+
 def queries() -> dict[str, Callable[[str], pa.Table]]:
     return {name: (lambda sf_dir, _q=qq: _q.run(sf_dir)) for name, qq in REGISTRY.items()}
 

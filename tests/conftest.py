@@ -97,3 +97,15 @@ def _norm(v):
     if hasattr(v, "tolist"):
         return _norm(v.tolist())
     return v
+
+
+def collect(ds):
+    """Materialize a Dataset into one Arrow table, dropping schema-less
+    empty blocks (mirrors Engine.table)."""
+    import pyarrow as pa
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="permissive")

@@ -1,0 +1,195 @@
+"""Pipeline-ops tests: text analysis, dedup (exact/minhash/simhash/
+embedding), ANN search, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data
+
+from conftest import SF_DIR, assert_tables_equal, collect
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    return ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    return ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------ text
+def test_text_analysis(docs_ds, duck):
+    from ksql_ray.ops.text import analyze_documents
+
+    tbl = collect(analyze_documents(docs_ds))
+    assert tbl.num_rows == 500
+    exp = duck.execute(
+        "SELECT doc_id, length(text) AS char_count, "
+        "length(regexp_split_to_array(trim(text), '\\s+')) AS token_count, "
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint "
+        "FROM documents"
+    ).arrow()
+    got = tbl.select(["doc_id", "char_count", "token_count", "fingerprint"])
+    assert_tables_equal(got, exp)
+    # lang / quality deterministic and in range
+    langs = set(tbl.column("lang_pred").to_pylist())
+    assert langs <= {"en", "de", "fr", "es", "ja", "und"}
+    q = tbl.column("quality").to_numpy()
+    assert ((q >= 0) & (q <= 1)).all()
+
+
+# ------------------------------------------------------------------ dedup
+def test_exact_dedup(docs_ds, duck):
+    from ksql_ray.ops.dedup import exact_dedup_keys
+
+    out = collect(exact_dedup_keys(docs_ds))
+    exp = duck.execute(
+        "SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h, "
+        "min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY 1"
+    ).arrow()
+    assert_tables_equal(out, exp)
+
+
+def _dup_docs_ds():
+    """Documents with planted near/exact duplicates."""
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away home",
+        "a completely different document about streaming engines and state",
+        "numbers one two three four five six seven eight nine ten eleven",
+    ]
+    texts, ids = [], []
+    i = 0
+    for b in base:
+        for variant in (b, b, b + " extra"):  # exact dup + near dup
+            texts.append(variant)
+            ids.append(i)
+            i += 1
+    return ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                                         "text": pa.array(texts)}))
+
+
+def test_minhash_pairs(ray_session):
+    from ksql_ray.ops.dedup import minhash_dedup_pairs
+
+    ds = _dup_docs_ds()
+    pairs = collect(minhash_dedup_pairs(ds, threshold=0.5))
+    got = set(zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()))
+    # exact duplicates within each trio must be found
+    for b in (0, 3, 6):
+        assert (b, b + 1) in got
+    # different base docs must NOT pair
+    for a, b in got:
+        assert a // 3 == b // 3
+
+
+def test_simhash_pairs(ray_session):
+    from ksql_ray.ops.dedup import simhash_pairs
+
+    ds = _dup_docs_ds()
+    pairs = collect(simhash_pairs(ds, max_hamming=3))
+    got = set(zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()))
+    for b in (0, 3, 6):
+        assert (b, b + 1) in got
+    hams = dict(zip(zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()),
+                    pairs.column("hamming").to_pylist()))
+    assert hams[(0, 1)] == 0  # identical text -> identical simhash
+
+
+def test_embedding_neardup(ray_session):
+    from ksql_ray.ops.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 32))
+    # plant near-dups: rows 20..24 are tiny perturbations of rows 0..4
+    near = base[:5] + rng.standard_normal((5, 32)) * 0.01
+    m = np.vstack([base, near])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(25), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m], type=pa.list_(pa.float32())),
+    }))
+    pairs = collect(embedding_neardup_pairs(ds, threshold=0.98))
+    got = set(zip(pairs.column("vec_a").to_pylist(), pairs.column("vec_b").to_pylist()))
+    assert {(i, 20 + i) for i in range(5)} <= got
+
+
+# ------------------------------------------------------------------ ANN
+def test_brute_force_topk_vs_oracle(emb_ds, duck):
+    from ksql_ray.ops.ann import brute_force_topk
+
+    qrows = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    qids = [r[0] for r in qrows]
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    got = collect(brute_force_topk(emb_ds, qids, qm, k=10))
+    exp = duck.execute("""
+        WITH qn AS (
+          SELECT vec_id, embedding, sqrt(list_sum(list_transform(embedding, x -> x*x))) AS n
+          FROM embeddings WHERE vec_id < 5
+        ), en AS (
+          SELECT vec_id, embedding, sqrt(list_sum(list_transform(embedding, x -> x*x))) AS n
+          FROM embeddings
+        )
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_inner_product(q.embedding, e.embedding)/(q.n*e.n) DESC,
+                          e.vec_id) AS rank
+        FROM qn q CROSS JOIN en e WHERE e.vec_id != q.vec_id
+        QUALIFY rank <= 10
+    """).arrow()
+    assert_tables_equal(got, exp)
+
+
+def test_ivf_topk_recall(emb_ds, ray_session):
+    from ksql_ray.ops.ann import brute_force_topk, ivf_topk
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' WHERE vec_id < 5"
+    ).fetchall()
+    con.close()
+    qids = [r[0] for r in rows]
+    qm = np.array([r[1] for r in rows], dtype=np.float64)
+    exact = collect(brute_force_topk(emb_ds, qids, qm, k=10))
+    approx = collect(ivf_topk(emb_ds, qids, qm, k=10, n_planes=4))
+    e = set(zip(exact.column("query_id").to_pylist(), exact.column("vec_id").to_pylist()))
+    a = set(zip(approx.column("query_id").to_pylist(), approx.column("vec_id").to_pylist()))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2, f"IVF recall too low: {recall}"  # approximate by design
+
+
+# ------------------------------------------------------------------ media
+def test_media_pipeline_fake_decode(ray_session):
+    from ksql_ray.ops.multimodal import (
+        MediaFeatureExtractor, extract_media_features, frame_sample_stub,
+        synth_media_table,
+    )
+
+    tbl = synth_media_table(48, seed=42)
+    ds = ray.data.from_arrow(tbl)
+    out = collect(extract_media_features(ds, decode="fake", batch_size=8, concurrency=2))
+    assert out.num_rows == 48
+    assert out.schema.field("features").type == pa.list_(pa.float64())
+    # deterministic: same payload -> same features
+    out2 = MediaFeatureExtractor(decode="fake")(tbl)
+    f1 = sorted(zip(out.column("media_id").to_pylist(), map(tuple, out.column("features").to_pylist())))
+    f2 = sorted(zip(out2.column("media_id").to_pylist(), map(tuple, out2.column("features").to_pylist())))
+    assert f1 == f2
+    # strict decode raises (the production plug-in slot)
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(decode="strict")(tbl.slice(0, 1))
+    # frame sampling expands videos deterministically
+    frames = frame_sample_stub(tbl)
+    durs = {i: d for i, k, d in zip(tbl.column("media_id").to_pylist(),
+                                    tbl.column("kind").to_pylist(),
+                                    tbl.column("duration_ms").to_pylist()) if k == "video"}
+    counts = {}
+    for mid in frames.column("media_id").to_pylist():
+        counts[mid] = counts.get(mid, 0) + 1
+    for mid, d in durs.items():
+        assert counts[mid] == max(1, d // 1000)
