@@ -38,6 +38,8 @@ from .expr import (
     Or,
     Sub,
 )
+from .ddl import Create, Describe, Drop, Insert, List, Metadata
+from .migrations import Migrator
 from .windows import (
     DAYS,
     HOURS,
@@ -58,4 +60,5 @@ __all__ = [
     "Add", "And", "Case", "CaseWhen", "Div", "F", "Field", "Literal",
     "Mod", "Mul", "Not", "Or", "Sub", "DAYS", "HOURS", "Hopping",
     "MILLISECONDS", "MINUTES", "SECONDS", "Session", "Tumbling",
+    "Create", "Describe", "Drop", "Insert", "List", "Metadata", "Migrator",
 ]
