@@ -144,6 +144,114 @@ class StateActor:
             self.state.restore(f.read())
 
 
+@ray.remote
+def _project_file(
+    path_or_tbl, columns, join_specs: list, wheres: list, fields: list,
+    sink_dir: str, partition: int, epoch: int,
+):
+    """Stateless push-query epoch: read -> joins -> WHERE -> projection ->
+    two-phase sink. One task per input file (no state, no shuffle)."""
+    if isinstance(path_or_tbl, pa.Table):
+        batch = path_or_tbl
+    else:
+        batch = pq.read_table(path_or_tbl, columns=columns)
+    for build_tbl, how, lk, rk, residual in join_specs:
+        if isinstance(build_tbl, ray.ObjectRef):
+            build_tbl = ray.get(build_tbl)
+        from ..exec.joins import join_batch
+
+        batch = join_batch(batch, build_tbl, how, lk, rk, residual)
+    if wheres:
+        mask = None
+        for c in wheres:
+            m = c.eval(batch)
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        batch = batch.filter(pc.fill_null(mask, False))
+    n = batch.num_rows
+    cols, names = [], []
+    for e in fields:
+        v = e.eval(batch)
+        if isinstance(v, pa.Scalar):
+            v = pa.nulls(n, type=v.type) if not v.is_valid else pa.array(
+                [v.as_py()] * n, type=v.type
+            )
+        cols.append(v)
+        names.append(e.output_name())
+    out = pa.table(dict(zip(names, cols)))
+    sink = TwoPhaseSink(sink_dir)
+    if out.num_rows:
+        sink.write(partition, epoch, out)
+    return out.num_rows
+
+
+class StreamingProjectJob:
+    """Stateless push query: SELECT + WHERE (+ broadcast joins) with
+    EMIT CHANGES over a micro-batch stream — the `SelectWithEmit`
+    filter/projection shape (streams/specification.go:626-655,
+    select_builder_test.go:615). No shuffle, no state: each input file
+    becomes one idempotent (partition=file-index, epoch) sink write."""
+
+    def __init__(self, builder: SelectBuilder, catalog: Catalog, out_dir: str):
+        builder.validate(catalog)
+        if builder.groupby or builder.window is not None:
+            raise PlanError("use StreamingJob for aggregating push queries")
+        rel = builder._source_relation(catalog)
+        self.builder = builder
+        self.sink = TwoPhaseSink(out_dir)
+        eng = Engine(catalog)
+        aggs: list = []
+        self.columns = eng._needed_columns(builder, rel, aggs) or None
+        self.join_specs = []
+        left_names = set(rel.schema.names)
+        for j in builder.joins:
+            jrel = catalog.get(j.source.name)
+            if j.how not in ("inner", "left", "cross"):
+                raise PlanError("push-query joins are broadcast INNER/LEFT/CROSS")
+            alias = j.source.alias or j.source.name
+            lk, rk, residual = extract_equi_keys(
+                j.conds, left_names, set(jrel.schema.names), alias
+            )
+            renames = plan_right_renames(left_names, jrel.schema, rk, lk, alias)
+            rk = [renames.get(k, k) for k in rk]
+            build = pq.read_table(jrel.path)
+            if renames:
+                build = build.rename_columns(
+                    [renames.get(n, n) for n in build.column_names]
+                )
+            self.join_specs.append((ray.put(build), j.how, lk, rk, residual))
+            left_names |= {renames.get(n, n) for n in jrel.schema.names}
+        self._join_ref = ray.put(self.join_specs)
+        self._wheres_ref = ray.put(list(builder.wheres))
+        self._fields_ref = ray.put(list(builder.fields))
+        self.epoch = -1
+
+    def process_epoch(self, files_or_tables: Sequence) -> int:
+        self.epoch += 1
+        refs = [
+            _project_file.remote(
+                x, self.columns, self._join_ref, self._wheres_ref,
+                self._fields_ref, self.sink.out_dir, i, self.epoch,
+            )
+            for i, x in enumerate(files_or_tables)
+        ]
+        n = sum(ray.get(refs))
+        self.sink.commit_epoch(self.epoch)
+        return n
+
+    def run(self, files: Sequence[str], files_per_epoch: int = 4) -> None:
+        batch: list[str] = []
+        for f in files:
+            batch.append(f)
+            if len(batch) >= files_per_epoch:
+                self.process_epoch(batch)
+                batch = []
+        if batch:
+            self.process_epoch(batch)
+
+    def result(self) -> pa.Table:
+        return self.sink.read_committed()
+
+
 class StreamingJob:
     """A continuous windowed-aggregate (+ broadcast-join) push query."""
 
