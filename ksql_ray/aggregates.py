@@ -124,15 +124,23 @@ class MergeCtx:
     def seg_max(self, name: str) -> pa.Array:
         return self._seg_extreme(name, False)
 
-    def seg_first_valid(self, name: str) -> pa.Array:
-        """First non-null value per segment, in current row order."""
-        src = self.col(name)
+    def seg_pick_pos(self, name: str, last: bool) -> tuple[np.ndarray, np.ndarray]:
+        """(row position of the first/last non-null value per segment,
+        missing mask). Positions let callers take OTHER columns at the
+        picked row (needed to carry the offset rank through re-partials)."""
         _, valid = self.scalar(name)
         n = len(valid)
         idx = np.arange(n, dtype=np.int64)
-        pos = np.minimum.reduceat(np.where(valid, idx, n), self.seg_starts)
-        missing = pos >= n
-        pos = np.where(missing, 0, pos)
+        if last:
+            pos = np.maximum.reduceat(np.where(valid, idx, -1), self.seg_starts) if n else np.array([], dtype=np.int64)
+            missing = pos < 0
+        else:
+            pos = np.minimum.reduceat(np.where(valid, idx, n), self.seg_starts) if n else np.array([], dtype=np.int64)
+            missing = pos >= n
+        return np.where(missing, 0, pos), missing
+
+    def _take_masked(self, name: str, pos: np.ndarray, missing: np.ndarray) -> pa.Array:
+        src = self.col(name)
         out = src.take(pa.array(pos))
         if missing.any():
             return pa.array(
@@ -141,21 +149,21 @@ class MergeCtx:
             )
         return out
 
+    def seg_first_valid(self, name: str) -> pa.Array:
+        pos, missing = self.seg_pick_pos(name, last=False)
+        return self._take_masked(name, pos, missing)
+
     def seg_last_valid(self, name: str) -> pa.Array:
-        src = self.col(name)
-        _, valid = self.scalar(name)
-        n = len(valid)
-        idx = np.arange(n, dtype=np.int64)
-        pos = np.maximum.reduceat(np.where(valid, idx, -1), self.seg_starts)
-        missing = pos < 0
-        pos = np.where(missing, 0, pos)
-        out = src.take(pa.array(pos))
-        if missing.any():
-            return pa.array(
-                [None if missing[i] else out[i].as_py() for i in range(self.n_groups)],
-                type=src.type,
-            )
-        return out
+        pos, missing = self.seg_pick_pos(name, last=True)
+        return self._take_masked(name, pos, missing)
+
+    def seg_concat_list(self, name: str) -> pa.Array:
+        """Concatenate list partials per segment (order = current row
+        order within the segment)."""
+        values, offsets = self.flat(name)
+        counts = np.diff(offsets)
+        from_arr = _rebuild_list(values, counts)
+        return from_arr
 
 
 def _segment_ids(offsets: np.ndarray) -> np.ndarray:
@@ -258,6 +266,9 @@ class Count(AggExpr):
     def finalize(self, ctx, a, ordcols):
         return ctx.seg_sum(f"{a}_count", pa.int64())
 
+    def repartial(self, ctx, a, ordcols):
+        return {f"{a}_count": ctx.seg_sum(f"{a}_count", pa.int64())}
+
 
 class Sum(AggExpr):
     """SUM (ksql/aggregate_fn.go:95-100)."""
@@ -280,6 +291,9 @@ class Sum(AggExpr):
         out = pa.float64() if pa.types.is_floating(t) else pa.int64()
         return ctx.seg_sum(f"{a}_sum", out)
 
+    def repartial(self, ctx, a, ordcols):
+        return {f"{a}_sum": self.finalize(ctx, a, ordcols)}
+
 
 class Avg(AggExpr):
     """AVG = algebraic (sum, count) pair (ksql/aggregate_fn.go:103-108)."""
@@ -300,6 +314,14 @@ class Avg(AggExpr):
         c = ctx.seg_sum(f"{a}_count", pa.float64())
         return pc.divide(s, c)
 
+    def repartial(self, ctx, a, ordcols):
+        t = ctx.col(f"{a}_sum").type
+        out = pa.float64() if pa.types.is_floating(t) else pa.int64()
+        return {
+            f"{a}_sum": ctx.seg_sum(f"{a}_sum", out),
+            f"{a}_count": ctx.seg_sum(f"{a}_count", pa.int64()),
+        }
+
 
 class Min(AggExpr):
     fn_name = "min"
@@ -313,6 +335,9 @@ class Min(AggExpr):
     def finalize(self, ctx, a, ordcols):
         return ctx.seg_min(f"{a}_min")
 
+    def repartial(self, ctx, a, ordcols):
+        return {f"{a}_min": ctx.seg_min(f"{a}_min")}
+
 
 class Max(AggExpr):
     fn_name = "max"
@@ -325,6 +350,9 @@ class Max(AggExpr):
 
     def finalize(self, ctx, a, ordcols):
         return ctx.seg_max(f"{a}_max")
+
+    def repartial(self, ctx, a, ordcols):
+        return {f"{a}_max": ctx.seg_max(f"{a}_max")}
 
 
 class CollectList(AggExpr):
@@ -354,6 +382,12 @@ class CollectList(AggExpr):
         values = values.take(pa.array(idx))
         counts = np.diff(offsets)
         return _rebuild_list(values, counts)
+
+    def repartial(self, ctx, a, ordcols):
+        # value lists concat per segment; the shared __o{j}_list order
+        # partials are concatenated by the plan-level remerge (identical
+        # segment offsets keep elements aligned)
+        return {f"{a}_list": ctx.seg_concat_list(f"{a}_list")}
 
 
 class CollectSet(AggExpr):
@@ -386,6 +420,10 @@ class CollectSet(AggExpr):
         counts = np.bincount(final_seg, minlength=self.n_groups_of(offsets))
         return _rebuild_list(values.take(pa.array(final_idx)), counts)
 
+    def repartial(self, ctx, a, ordcols):
+        # sorted distinct list is itself a valid "distinct" partial
+        return {f"{a}_distinct": self.finalize(ctx, a, ordcols)}
+
     @staticmethod
     def n_groups_of(offsets) -> int:
         return len(offsets) - 1
@@ -408,8 +446,21 @@ class LatestByOffset(AggExpr):
         return [(a, self._pick, FIRSTLAST_OPTS)]
 
     def finalize(self, ctx, a, ordcols):
-        # partition pre-sorted by (keys, {__o*}_{pick}); pick last valid
+        # partition pre-sorted by (keys, own masked ord partials)
         return ctx.seg_last_valid(f"{a}_{self._pick}")
+
+    def repartial(self, ctx, a, ordcols):
+        i = int(a[3:])
+        pos, missing = ctx.seg_pick_pos(
+            f"{a}_{self._pick}", last=(self._pick == "last")
+        )
+        out = {
+            f"{a}_{self._pick}": ctx._take_masked(f"{a}_{self._pick}", pos, missing)
+        }
+        for j in range(len(ordcols)):
+            col = f"__oa{i}_{j}_{self._pick}"
+            out[col] = ctx._take_masked(col, pos, missing)
+        return out
 
 
 class EarliestByOffset(LatestByOffset):
@@ -468,6 +519,11 @@ class TopK(AggExpr):
         final_idx, final_seg = idx_s[topmask], seg_s[topmask]
         counts = np.bincount(final_seg, minlength=n_groups)
         return _rebuild_list(values.take(pa.array(final_idx)), counts)
+
+    def repartial(self, ctx, a, ordcols):
+        # trimmed desc top-k list is itself a valid partial
+        src = "distinct" if self.distinct else "list"
+        return {f"{a}_{src}": self.finalize(ctx, a, ordcols)}
 
 
 class TopKDistinct(TopK):
@@ -536,6 +592,10 @@ class Histogram(AggExpr):
             pa.array(pair_val, type=pa.string()),
             pa.array(cnts, type=pa.int64()),
         )
+
+    def repartial(self, ctx, a, ordcols):
+        # raw value concat; bounded-bucket compression happens at finalize
+        return {f"{a}_list": ctx.seg_concat_list(f"{a}_list")}
 
 
 ALL_AGGREGATES: dict[str, type[AggExpr]] = {

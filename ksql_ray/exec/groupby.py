@@ -115,29 +115,34 @@ class GroupByPlan:
         self.all_keys = self.key_names + self.win_keys
 
     # ------------------------------------------------------------------ p1
-    def _shared_order_picks(self) -> set[str]:
-        picks = set()
-        for a in self.aggs:
+    def _pick_aggs(self) -> list[tuple[int, str]]:
+        """(agg index, pick) for LATEST/EARLIEST aggs — each carries its
+        OWN masked order partials (the offset of ITS picked non-null
+        value, not the batch max), `__oa{i}_{j}`."""
+        out = []
+        for i, a in enumerate(self.aggs):
             if isinstance(a, EarliestByOffset):
-                picks.add("first")
+                out.append((i, "first"))
             elif isinstance(a, LatestByOffset):
-                picks.add("last")
-            elif isinstance(a, CollectList):
-                picks.add("list")
-        return picks
+                out.append((i, "last"))
+        return out
+
+    def _has_collect_list(self) -> bool:
+        return any(isinstance(a, CollectList) for a in self.aggs)
 
     def _p1_entries(self) -> list[tuple]:
+        from ..aggregates import FIRSTLAST_OPTS
+
         entries: list[tuple] = []
         for a, name in zip(self.aggs, self.agg_names):
             entries.extend(a.p1_kernels(name))
-        # shared order partials (offset-rank columns for order-aware merges)
-        from ..aggregates import FIRSTLAST_OPTS
-
-        for p in sorted(self._shared_order_picks()):
-            if p in ("first", "last"):
-                entries.extend((o, p, FIRSTLAST_OPTS) for o in self.ord_names)
-            else:
-                entries.extend((o, p) for o in self.ord_names)
+        for i, pick in self._pick_aggs():
+            entries.extend(
+                (f"__oa{i}_{j}", pick, FIRSTLAST_OPTS)
+                for j in range(len(self.ord_names))
+            )
+        if self._has_collect_list():
+            entries.extend((o, "list") for o in self.ord_names)
         seen: set[tuple[str, str]] = set()
         uniq: list[tuple] = []
         for e in entries:
@@ -170,6 +175,13 @@ class GroupByPlan:
             cols[name] = v
         for name, oc in zip(self.ord_names, self.order_cols):
             cols[name] = batch.column(oc)
+        for i, _pick in self._pick_aggs():
+            valid = pc.is_valid(cols[self.agg_names[i]])
+            for j, oname in enumerate(self.ord_names):
+                oc = cols[oname]
+                cols[f"__oa{i}_{j}"] = pc.if_else(
+                    valid, oc, pa.nulls(n, type=oc.type if hasattr(oc, "type") else batch.column(self.order_cols[j]).type)
+                )
         if self.include_ts:
             cols["__ts"] = pc.cast(batch.column(self.ts_col), pa.int64())
         tmp = pa.table(cols)
@@ -207,16 +219,11 @@ class GroupByPlan:
 
         if "__part" in part_tbl.column_names:
             part_tbl = part_tbl.drop_columns(["__part"])
-        passes: dict[str, list[int]] = {}
-        for i, a in enumerate(self.aggs):
-            passes.setdefault(a.merge_pass, []).append(i)
-
         out_cols: dict[int, pa.Array | pa.ChunkedArray] = {}
         keys_out: pa.Table | None = None
-        for pick, idxs in sorted(passes.items()):
+        for pass_key, sort_extra, idxs in self._merge_passes():
             sort_keys = [(k, "ascending") for k in self.all_keys]
-            if pick:
-                sort_keys += [(f"{o}_{pick}", "ascending") for o in self.ord_names]
+            sort_keys += [(c, "ascending") for c in sort_extra]
             tbl = part_tbl.take(pc.sort_indices(part_tbl, sort_keys=sort_keys))
             seg_starts = _segment_starts(tbl, self.all_keys)
             ctx = MergeCtx(tbl, seg_starts)
@@ -233,6 +240,62 @@ class GroupByPlan:
                 col = col.combine_chunks()
             result = result.append_column(f"__agg{i}", col)
         return result
+
+    def remerge_fn(self, part_tbl: pa.Table) -> pa.Table:
+        """Merge a partial table into a SMALLER partial table (one row per
+        key) with the SAME schema — the streaming state transition: state
+        (old partials) + incoming (new partials) -> new state. Fully
+        vectorized; semantics match merge_fn followed by nothing (every
+        aggregate's repartial is associative)."""
+        from ..aggregates import MergeCtx
+
+        if "__part" in part_tbl.column_names:
+            part_tbl = part_tbl.drop_columns(["__part"])
+        out_cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+        keys_out: pa.Table | None = None
+        first_pass = True
+        for pass_key, sort_extra, idxs in self._merge_passes():
+            sort_keys = [(k, "ascending") for k in self.all_keys]
+            sort_keys += [(c, "ascending") for c in sort_extra]
+            tbl = part_tbl.take(pc.sort_indices(part_tbl, sort_keys=sort_keys))
+            seg_starts = _segment_starts(tbl, self.all_keys)
+            ctx = MergeCtx(tbl, seg_starts)
+            if keys_out is None:
+                keys_out = tbl.select(self.all_keys).take(pa.array(seg_starts))
+            if first_pass:
+                first_pass = False
+                if self.include_ts and "__ts_max" in tbl.column_names:
+                    out_cols["__ts_max"] = ctx.seg_max("__ts_max")
+                    out_cols["__ts_count"] = ctx.seg_sum("__ts_count", pa.int64())
+                if self._has_collect_list():
+                    for o in self.ord_names:
+                        out_cols[f"{o}_list"] = ctx.seg_concat_list(f"{o}_list")
+            for i in idxs:
+                out_cols.update(
+                    self.aggs[i].repartial(ctx, self.agg_names[i], self.ord_names)
+                )
+
+        assert keys_out is not None
+        result = keys_out
+        for name, col in out_cols.items():
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            result = result.append_column(name, col)
+        return result
+
+    def _merge_passes(self):
+        """One pass per LATEST/EARLIEST agg (each sorted by ITS masked
+        order partials) + one shared pass for everything else. All passes
+        sort by the group keys first, so segment key-order matches."""
+        pick_map = dict((i, p) for i, p in self._pick_aggs())
+        shared = [i for i in range(len(self.aggs)) if i not in pick_map]
+        passes = []
+        if shared or not pick_map:
+            passes.append(("", [], shared))
+        for i, pick in sorted(pick_map.items()):
+            extra = [f"__oa{i}_{j}_{pick}" for j in range(len(self.ord_names))]
+            passes.append((f"{pick}:{i}", extra, [i]))
+        return passes
 
 
 class SessionGroupByPlan(GroupByPlan):

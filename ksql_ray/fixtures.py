@@ -56,12 +56,18 @@ def gen_transcripts(
     tools = rng.choice(np.array(["search", "code", "browse", "calc"]), size=n_turns)
     tool = np.where(is_tool, tools, None)
 
-    # text: "conv_id:turn_idx " prefix + deterministic token soup
-    lens = np.clip(rng.lognormal(3.0, 0.6, n_turns), 3, 60).astype(int)
-    texts = []
-    for i in range(n_turns):
-        soup = " ".join(TOKENS[rng.integers(0, len(TOKENS), lens[i])])
-        texts.append(f"{conv_col[i]}:{turn_idx[i]} {soup}")
+    # text: "conv_id:turn_idx " prefix + deterministic token soup. The
+    # soup pool is pre-generated (1024 distinct strings, lognormal length)
+    # so construction is vectorized even at millions of turns.
+    pool_lens = np.clip(rng.lognormal(3.0, 0.6, 1024), 3, 60).astype(int)
+    pool = np.array(
+        [" ".join(TOKENS[rng.integers(0, len(TOKENS), L)]) for L in pool_lens]
+    )
+    soup = pool[rng.integers(0, len(pool), n_turns)]
+    prefix = np.char.add(
+        np.char.add(conv_col.astype(str), ":"), turn_idx.astype(str)
+    )
+    texts = np.char.add(np.char.add(prefix, " "), soup)
 
     # event time: conv-specific start + ~5s/turn jitter
     conv_start = BASE_TS_US + (
@@ -166,7 +172,7 @@ def materialize_fixture_dir(
     """Write transcripts stream dir + conv_meta/turn_scores tables; returns
     paths. Idempotent for a given (dir, params)."""
     os.makedirs(base_dir, exist_ok=True)
-    marker = os.path.join(base_dir, f".done-{n_turns}-{seed}-{n_files}")
+    marker = os.path.join(base_dir, f".done-v2-{n_turns}-{seed}-{n_files}")
     stream_dir = os.path.join(base_dir, "transcripts")
     meta_path = os.path.join(base_dir, "conv_meta.parquet")
     scores_path = os.path.join(base_dir, "turn_scores.parquet")

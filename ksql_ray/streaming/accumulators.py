@@ -156,7 +156,10 @@ class _LatestAcc(StreamingAcc):
         v = row[f"{a}_{pick}"]
         if v is None:
             return
-        o = tuple(row[f"{oc}_{pick}"] for oc in ords)
+        # per-agg masked order partials: __oa{i}_{j}_{pick} where i is this
+        # agg's index (agg partial columns are named __a{i}_*)
+        i = int(a[3:])
+        o = tuple(row[f"__oa{i}_{j}_{pick}"] for j in range(len(ords)))
         if self.ord is None or (o > self.ord if self.latest else o < self.ord):
             self.ord, self.v = o, v
 

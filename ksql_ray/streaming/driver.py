@@ -95,11 +95,20 @@ def _prep_file(
 
 @ray.remote
 class StateActor:
-    """One hash partition of keyed window state + its own sink writer."""
+    """One hash partition of keyed window state + its own sink writer.
+    Tumbling/hopping use the vectorized Arrow state (VectorPartitionState);
+    session windows use the interval-merging PartitionState."""
 
-    def __init__(self, part_id: int, state_kwargs: dict, sink_dir: str, finalizer):
+    def __init__(self, part_id: int, spec: dict, sink_dir: str, finalizer):
+        from .state import VectorPartitionState
+
         self.part_id = part_id
-        self.state = PartitionState(part_id=part_id, **state_kwargs)
+        if spec.get("session"):
+            self.state = PartitionState(part_id=part_id, **spec["kwargs"])
+        else:
+            self.state = VectorPartitionState(
+                part_id, spec["plan"], spec["lateness_us"], spec["emit"]
+            )
         self.sink = TwoPhaseSink(sink_dir)
         self.finalizer = finalizer
 
@@ -324,18 +333,29 @@ class StreamingJob:
 
         key_types = [e.out_type(schema) for e in builder.groupby]
         agg_types = [a.out_type(schema) for a in aggs]
-        state_kwargs = dict(
-            aggs=aggs,
-            key_names=plan.key_names,
-            ord_names=plan.ord_names,
-            window=builder.window,
-            lateness_us=lateness_us,
-            emit=self.emit,
-            key_types=key_types,
-            agg_types=agg_types,
-        )
+        if isinstance(builder.window, Session):
+            spec = {
+                "session": True,
+                "kwargs": dict(
+                    aggs=aggs,
+                    key_names=plan.key_names,
+                    ord_names=plan.ord_names,
+                    window=builder.window,
+                    lateness_us=lateness_us,
+                    emit=self.emit,
+                    key_types=key_types,
+                    agg_types=agg_types,
+                ),
+            }
+        else:
+            spec = {
+                "session": False,
+                "plan": plan,
+                "lateness_us": lateness_us,
+                "emit": self.emit,
+            }
         self.actors = [
-            StateActor.remote(p, state_kwargs, out_dir, self.finalizer)
+            StateActor.remote(p, spec, out_dir, self.finalizer)
             for p in range(num_partitions)
         ]
 
@@ -393,15 +413,15 @@ class StreamingJob:
         os.replace(tmp, self.ckpt_manifest)
 
     # ------------------------------------------------------------------
-    def process_epoch(self, files_or_tables: Sequence) -> list[dict] | None:
-        """One micro-batch epoch: any number of files/tables processed in
-        parallel prep tasks, then routed to the state actors."""
+    def _submit_epoch(self, files_or_tables: Sequence):
+        """Submit one epoch without waiting: prep tasks fan out per file,
+        each returning P slices as P separate ObjectRefs (routed partials
+        flow worker -> actor through the object store, never the driver).
+        Actor call order per actor preserves epoch order, so multiple
+        epochs can be in flight while state updates stay sequential."""
         self.epoch += 1
         if self.epoch <= self._resume_cursor:
             return None  # already reflected in restored state
-        # each prep task returns P slices as P separate ObjectRefs, so the
-        # routed partials flow worker -> actor through the object store and
-        # never through the driver
         nret = self.num_partitions
         per_file_refs = [
             _prep_file.options(num_returns=nret).remote(
@@ -416,21 +436,70 @@ class StreamingJob:
         for p, actor in enumerate(self.actors):
             part_refs = [refs[p] for refs in per_file_refs]
             acks.append(actor.process.remote(self.epoch, part_refs))
+        ckpt_refs = None
+        if (
+            self.checkpoint_dir
+            and self.checkpoint_every
+            and (self.epoch + 1) % self.checkpoint_every == 0
+        ):
+            # enqueue right behind process: actor queue order guarantees the
+            # snapshot reflects exactly this epoch
+            ckpt_refs = [
+                a.checkpoint.remote(self.epoch, self.checkpoint_dir)
+                for a in self.actors
+            ]
+        return (self.epoch, acks, ckpt_refs)
+
+    def _drain_epoch(self, pending) -> list[dict]:
+        epoch, acks, ckpt_refs = pending
         metrics = ray.get(acks)
-        self.sink.commit_epoch(self.epoch, {"per_partition": metrics})
-        self.metrics_log.append({"epoch": self.epoch, "partitions": metrics})
-        self._maybe_checkpoint()
+        self.sink.commit_epoch(epoch, {"per_partition": metrics})
+        self.metrics_log.append({"epoch": epoch, "partitions": metrics})
+        if ckpt_refs is not None:
+            ray.get(ckpt_refs)
+            tmp = self.ckpt_manifest + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"epoch": epoch}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.ckpt_manifest)
         return metrics
 
-    def run(self, files: Sequence[str], files_per_epoch: int = 1) -> None:
+    def process_epoch(self, files_or_tables: Sequence) -> list[dict] | None:
+        pending = self._submit_epoch(files_or_tables)
+        if pending is None:
+            return None
+        return self._drain_epoch(pending)
+
+    def run(
+        self,
+        files: Sequence[str],
+        files_per_epoch: int = 1,
+        max_inflight: int = 4,
+    ) -> None:
+        """Process the stream with up to ``max_inflight`` epochs pipelined
+        (commits still happen strictly in epoch order)."""
+        from collections import deque
+
+        inflight: deque = deque()
         batch: list[str] = []
+
+        def flush_batch(b):
+            pending = self._submit_epoch(b)
+            if pending is not None:
+                inflight.append(pending)
+            while len(inflight) >= max_inflight:
+                self._drain_epoch(inflight.popleft())
+
         for f in files:
             batch.append(f)
             if len(batch) >= files_per_epoch:
-                self.process_epoch(batch)
+                flush_batch(batch)
                 batch = []
         if batch:
-            self.process_epoch(batch)
+            flush_batch(batch)
+        while inflight:
+            self._drain_epoch(inflight.popleft())
 
     def finish(self) -> list[dict]:
         """Flush all open windows (end-of-stream) and commit."""

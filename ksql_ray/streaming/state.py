@@ -36,6 +36,135 @@ from ..windows import Hopping, Session, Tumbling, Window
 from .accumulators import StreamingAcc, make_acc
 
 
+class VectorPartitionState:
+    """Vectorized keyed window state for TUMBLING/HOPPING (the scale
+    path): state IS a merged-partial Arrow table (one row per open
+    (key, window)); each epoch's transition is
+
+        state' = plan.remerge_fn(concat(state, incoming_partials))
+
+    — the same deterministic segment kernels as the bounded merge, zero
+    Python per-key work. Late partials (window closed by the watermark)
+    are dropped and counted; EMIT CHANGES finalizes the state rows whose
+    keys appear in the epoch's input (vectorized left-semi join); EMIT
+    FINAL finalizes and evicts rows whose window the watermark closed.
+    Session windows use the interval-merging ``PartitionState`` below."""
+
+    def __init__(self, part_id: int, plan, lateness_us: int, emit: str):
+        self.part_id = part_id
+        self.plan = plan
+        self.lateness_us = lateness_us
+        self.emit = emit
+        self.state: pa.Table | None = None
+        self.watermark: int = -(1 << 62)
+        self.rows_in = 0
+        self.rows_out = 0
+        self.late_drops = 0
+
+    def _counts(self, tbl: pa.Table) -> int:
+        import pyarrow.compute as pc
+
+        s = pc.sum(tbl.column("__ts_count"))
+        return int(s.as_py() or 0)
+
+    def process(self, partial: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        size = self.plan.window.size_us
+        total = self._counts(partial)
+        self.rows_in += total
+        # late drop: windows already closed by the current watermark
+        closed = pc.less_equal(
+            pc.add(partial.column("__ws"), size), pa.scalar(self.watermark)
+        )
+        n_late = self._counts(partial.filter(closed))
+        if n_late:
+            self.late_drops += n_late
+            partial = partial.filter(pc.invert(closed))
+        # watermark from this epoch's max event time (monotone)
+        if partial.num_rows:
+            mx = pc.max(partial.column("__ts_max")).as_py()
+            if mx is not None:
+                self.watermark = max(self.watermark, int(mx) - self.lateness_us)
+        # state transition (associative re-merge)
+        if self.state is None or self.state.num_rows == 0:
+            merged_in = self.plan.remerge_fn(partial) if partial.num_rows else None
+            self.state = merged_in if merged_in is not None else self.state
+        elif partial.num_rows:
+            combined = pa.concat_tables(
+                [self.state, partial], promote_options="permissive"
+            )
+            self.state = self.plan.remerge_fn(combined)
+        return self._emit(partial)
+
+    def _emit(self, incoming: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        size = self.plan.window.size_us
+        keys = self.plan.all_keys
+        if self.state is None or self.state.num_rows == 0:
+            return pa.table({})
+        if self.emit == "changes":
+            if incoming.num_rows == 0:
+                return pa.table({})
+            touched = self.state.join(
+                incoming.select(keys), keys=keys, join_type="left semi",
+                use_threads=False,
+            )
+            out = self.plan.merge_fn(touched) if touched.num_rows else pa.table({})
+            # purge closed windows (future rows for them are late-dropped)
+            open_mask = pc.greater(
+                pc.add(self.state.column("__ws"), size), pa.scalar(self.watermark)
+            )
+            self.state = self.state.filter(open_mask)
+        else:  # final
+            closed_mask = pc.less_equal(
+                pc.add(self.state.column("__ws"), size), pa.scalar(self.watermark)
+            )
+            closed = self.state.filter(closed_mask)
+            self.state = self.state.filter(pc.invert(closed_mask))
+            out = self.plan.merge_fn(closed) if closed.num_rows else pa.table({})
+        self.rows_out += out.num_rows
+        return out
+
+    def flush(self) -> pa.Table:
+        if self.state is None or self.state.num_rows == 0:
+            return pa.table({})
+        out = self.plan.merge_fn(self.state)
+        self.state = None
+        self.rows_out += out.num_rows
+        return out
+
+    def metrics(self) -> dict:
+        return {
+            "partition": self.part_id,
+            "rows_in": self.rows_in,
+            "rows_out": self.rows_out,
+            "late_drops": self.late_drops,
+            "watermark": self.watermark,
+            "open_windows": 0 if self.state is None else self.state.num_rows,
+        }
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps(
+            {
+                "vec_state": self.state,
+                "watermark": self.watermark,
+                "rows_in": self.rows_in,
+                "rows_out": self.rows_out,
+                "late_drops": self.late_drops,
+            }
+        )
+
+    def restore(self, blob: bytes) -> None:
+        d = pickle.loads(blob)
+        self.state = d["vec_state"]
+        self.watermark = d["watermark"]
+        self.rows_in = d["rows_in"]
+        self.rows_out = d["rows_out"]
+        self.late_drops = d["late_drops"]
+
+
 class PartitionState:
     def __init__(
         self,
