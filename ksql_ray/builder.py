@@ -249,6 +249,32 @@ class SelectBuilder:
                     names.add(f.name)
         return pa.schema(fields)
 
+    def relation_report(self, catalog: Catalog) -> dict[str, dict[str, str]]:
+        """All referenced fields per relation, aliases resolved — the
+        RelationReport() analog (ksql/select_builder.go:708-740): maps
+        relation -> {column -> arrow type} for every column this query
+        touches, letting callers lint a query against the catalog before
+        execution (SURVEY.md §2.9)."""
+        self.validate(catalog)
+        rels: list[tuple[str, Relation]] = []
+        src = self._source_relation(catalog)
+        rels.append((self.source.alias or self.source.name, src))
+        for j in self.joins:
+            rels.append((j.source.alias or j.source.name, catalog.get(j.source.name)))
+        exprs: list[Expr] = list(self.fields) + list(self.wheres) + list(self.groupby) + list(self.havings)
+        exprs += [o.expr for o in self.orderbys]
+        for j in self.joins:
+            exprs += list(j.conds)
+        used: set[str] = set()
+        for e in exprs:
+            used |= e.columns()
+        report: dict[str, dict[str, str]] = {}
+        for alias, rel in rels:
+            cols = {n: str(rel.schema.field(n).type) for n in rel.schema.names if n in used}
+            if cols:
+                report[alias] = cols
+        return report
+
     def returns(self, catalog: Catalog) -> pa.Schema:
         self.validate(catalog)
         schema = self.input_schema(catalog)

@@ -41,12 +41,25 @@ import ray
 from ..builder import SelectBuilder
 from ..catalog import Catalog, Ref
 from ..errors import PlanError
+from ..expr import Field
 from ..exec.bounded import Engine, _auto_name, make_finalizer
 from ..exec.groupby import GroupByPlan, SessionGroupByPlan
 from ..exec.joins import extract_equi_keys, join_batch, plan_right_renames
 from ..windows import Session
 from .sink import TwoPhaseSink
 from .state import PartitionState
+
+
+def limit_worker_threads() -> None:
+    """Pin Arrow's per-process thread pool inside Ray workers: with many
+    concurrent tasks, per-task multithreaded kernels oversubscribe the
+    node (measured 4x slowdown at 32 CPUs); 1 kernel thread per worker is
+    the right shape when Ray provides the parallelism."""
+    try:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+    except Exception:
+        pass
 
 
 def _split_by_part(tbl: pa.Table, num_partitions: int) -> list[pa.Table]:
@@ -69,13 +82,18 @@ def _prep_file(
     wheres: list,
     plan,
     num_partitions: int,
+    pre_transform=None,
 ):
-    """Stateless per-epoch prep: read -> broadcast joins -> filter ->
-    phase-1 partials -> split by partition. Returns a list of P tables."""
+    """Stateless per-epoch prep: read -> pre-transform -> broadcast joins
+    -> filter -> phase-1 partials -> split by partition. Returns a list
+    of P tables."""
+    limit_worker_threads()
     if isinstance(path_or_tbl, pa.Table):
         batch = path_or_tbl
     else:
         batch = pq.read_table(path_or_tbl, columns=columns)
+    if pre_transform is not None:
+        batch = pre_transform(batch)
     for build_tbl, how, lk, rk, residual in join_specs:
         if isinstance(build_tbl, ray.ObjectRef):
             build_tbl = ray.get(build_tbl)  # plasma-cached per node, zero-copy
@@ -102,6 +120,7 @@ class StateActor:
     def __init__(self, part_id: int, spec: dict, sink_dir: str, finalizer):
         from .state import VectorPartitionState
 
+        limit_worker_threads()
         self.part_id = part_id
         if spec.get("session"):
             self.state = PartitionState(part_id=part_id, **spec["kwargs"])
@@ -274,7 +293,11 @@ class StreamingJob:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 0,
         resume: bool = False,
+        pre_transform=None,
     ):
+        """``pre_transform``: optional vectorized batch fn (e.g. token
+        counting / quality scoring from ops.text) applied in the prep
+        task before joins — user UDF stages, SURVEY.md §2.10."""
         builder.validate(catalog)
         if builder.window is None or not builder.groupby:
             raise PlanError("streaming jobs require a windowed GROUP BY query")
@@ -291,24 +314,27 @@ class StreamingJob:
         aggs = builder._agg_exprs()
         self.aggs = aggs
         schema = builder.input_schema(catalog)
-        if isinstance(builder.window, Session):
-            plan = SessionGroupByPlan(
-                builder.groupby, aggs, rel.order_cols, builder.window,
-                rel.timestamp_col, num_partitions,
-            )
-        else:
-            plan = GroupByPlan(
-                builder.groupby, aggs, rel.order_cols, builder.window,
-                rel.timestamp_col, num_partitions, include_ts=True,
-            )
-        self.plan = plan
-        self.finalizer = make_finalizer(builder, plan, [_auto_name(a) for a in aggs])
 
-        # column pruning at the read (same rule as the bounded engine)
-        self.columns = eng._needed_columns(builder, rel, aggs) or None
-
-        # stream-table joins: broadcast build sides once (ray.put)
-        self.join_specs = []
+        # ---- stream-table joins -------------------------------------------
+        # PK-join deferral (the classic streaming planner rewrite): when an
+        # INNER join's build side is a TABLE keyed by its join key, the
+        # stream-side key is a GROUP BY key, and the build side's columns
+        # only feed the projection / group keys (never WHERE or aggregate
+        # args), the join moves AFTER aggregation — the per-batch build-side
+        # hash probe (the prep hot spot, measured) happens only on emitted
+        # rows. Build-side group keys are dropped from the physical grouping
+        # (functionally dependent on the PK) and re-attached at finalize.
+        prep_joins = []
+        deferred = []  # (build_ref, stream_key_name, jrel column names)
+        where_cols: set[str] = set()
+        for c in builder.wheres:
+            where_cols |= c.columns()
+        agg_cols: set[str] = set()
+        for a in aggs:
+            agg_cols |= a.columns()
+        gb_bare = {
+            e.name for e in builder.groupby if isinstance(e, Field)
+        }
         left_names = set(rel.schema.names)
         for j in builder.joins:
             jrel = catalog.get(j.source.name)
@@ -321,6 +347,22 @@ class StreamingJob:
             lk, rk, residual = extract_equi_keys(
                 j.conds, left_names, set(jrel.schema.names), alias
             )
+            jcols = set(jrel.schema.names)
+            can_defer = (
+                j.how == "inner"
+                and not residual
+                and jrel.kind is Ref.TABLE
+                and jrel.primary_key is not None
+                and rk == [jrel.primary_key]
+                and len(lk) == 1
+                and lk[0] in gb_bare
+                and not (jcols - {jrel.primary_key}) & where_cols
+                and not (jcols - {jrel.primary_key}) & agg_cols
+            )
+            if can_defer:
+                build = pq.read_table(jrel.path)
+                deferred.append((ray.put(build), lk[0], jrel.primary_key, jcols))
+                continue
             renames = plan_right_renames(left_names, jrel.schema, rk, lk, alias)
             rk = [renames.get(k, k) for k in rk]
             build = pq.read_table(jrel.path)
@@ -328,8 +370,63 @@ class StreamingJob:
                 build = build.rename_columns(
                     [renames.get(n, n) for n in build.column_names]
                 )
-            self.join_specs.append((ray.put(build), j.how, lk, rk, residual))
+            prep_joins.append((ray.put(build), j.how, lk, rk, residual))
             left_names |= {renames.get(n, n) for n in jrel.schema.names}
+        self.join_specs = prep_joins
+
+        deferred_cols: set[str] = set()
+        for _, sk, _pk, jcols in deferred:
+            deferred_cols |= jcols - {sk}
+        physical_groupby = [
+            e for e in builder.groupby
+            if not (isinstance(e, Field) and e.name in deferred_cols)
+        ]
+
+        if isinstance(builder.window, Session):
+            plan = SessionGroupByPlan(
+                physical_groupby, aggs, rel.order_cols, builder.window,
+                rel.timestamp_col, num_partitions,
+            )
+        else:
+            plan = GroupByPlan(
+                physical_groupby, aggs, rel.order_cols, builder.window,
+                rel.timestamp_col, num_partitions, include_ts=True,
+            )
+        self.plan = plan
+
+        import copy as _copy
+
+        fin_builder = builder
+        if deferred:
+            fin_builder = _copy.copy(builder)
+            fin_builder.groupby = physical_groupby
+        base_finalizer = make_finalizer(fin_builder, plan, [_auto_name(a) for a in aggs])
+        if deferred:
+            key_pos = {
+                e.name: f"__k{jdx}"
+                for jdx, e in enumerate(physical_groupby)
+                if isinstance(e, Field)
+            }
+            join_plan = [
+                (ref, key_pos[sk], pk) for ref, sk, pk, _ in deferred
+            ]
+
+            def finalizer(batch: pa.Table, _base=base_finalizer, _jp=join_plan):
+                for ref, kcol, pkname in _jp:
+                    build = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+                    batch = batch.join(
+                        build, keys=[kcol], right_keys=[pkname],
+                        join_type="inner", use_threads=False,
+                    )
+                return _base(batch)
+
+            self.finalizer = finalizer
+        else:
+            self.finalizer = base_finalizer
+
+        # column pruning at the read (same rule as the bounded engine);
+        # a pre_transform may need any column, so pruning is disabled then
+        self.columns = None if pre_transform else (eng._needed_columns(builder, rel, aggs) or None)
 
         key_types = [e.out_type(schema) for e in builder.groupby]
         agg_types = [a.out_type(schema) for a in aggs]
@@ -359,6 +456,7 @@ class StreamingJob:
             for p in range(num_partitions)
         ]
 
+        self.pre_transform = pre_transform
         # ship per-epoch-invariant objects to the object store ONCE; the
         # prep tasks receive refs (auto-dereferenced), not fresh pickles
         self._plan_ref = ray.put(self.plan)
@@ -426,7 +524,7 @@ class StreamingJob:
         per_file_refs = [
             _prep_file.options(num_returns=nret).remote(
                 x, self.columns, self._join_specs_ref, self._wheres_ref,
-                self._plan_ref, self.num_partitions,
+                self._plan_ref, self.num_partitions, self.pre_transform,
             )
             for x in files_or_tables
         ]

@@ -42,6 +42,9 @@ _NEG_INF = -(1 << 62)
 
 def _route_side(path_or_tbl, columns, ts_col: str, key_cols: list[str],
                 renames: dict, num_partitions: int) -> list[pa.Table]:
+    from .driver import limit_worker_threads
+
+    limit_worker_threads()
     if isinstance(path_or_tbl, pa.Table):
         batch = path_or_tbl
         if columns:
@@ -135,6 +138,9 @@ class JoinStateActor:
         sink_dir: str,
         project_fn,
     ):
+        from .driver import limit_worker_threads
+
+        limit_worker_threads()
         self.part_id = part_id
         self.how = how
         self.lk = left_keys

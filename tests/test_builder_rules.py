@@ -157,3 +157,12 @@ def test_windowed_requires_event_time():
     )
     with pytest.raises(PlanError, match="event-time"):
         q.validate(c)
+
+
+def test_relation_report(cat):
+    q = (
+        Select(F("k"), Sum(F("v")).As("total"))
+        .From(Schema("s1")).GroupBy(F("k")).EmitChanges()
+    )
+    rep = q.relation_report(cat)
+    assert rep == {"s1": {"k": "string", "v": "int64"}}
