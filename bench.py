@@ -143,7 +143,7 @@ def run_streaming_headline(sf_dir: str, num_cpus: int) -> dict:
                        lateness_us=300_000_000, pre_transform=pre_transform)
     fpe = max(2, len(files) // 4)  # 4 big epochs, prep fan-out >= cpus
     t0 = time.perf_counter()
-    job.run(files, files_per_epoch=fpe, max_inflight=1)
+    job.run(files, files_per_epoch=fpe, max_inflight=2)
     job.finish()
     sec = time.perf_counter() - t0
     late = sum(p["late_drops"] for p in job.metrics_log[-1]["partitions"]) if job.metrics_log else 0
@@ -160,12 +160,19 @@ def main() -> None:
     num_cpus = _num_cpus()
 
     if "--scaling" in sys.argv:
+        import shutil as _sh
+
         results = {}
+        have_taskset = _sh.which("taskset") is not None
         for cpus in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+            cmd = [sys.executable, __file__, "--single-streaming"]
+            if have_taskset:
+                # pin the whole process tree so the small "cluster" cannot
+                # borrow unaccounted physical cores (honest N-node analog)
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, __file__, "--single-streaming"],
-                env=env, capture_output=True, text=True, timeout=3600,
+                cmd, env=env, capture_output=True, text=True, timeout=3600,
             )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             results[cpus] = json.loads(line)

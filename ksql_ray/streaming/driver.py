@@ -76,7 +76,7 @@ def _split_by_part(tbl: pa.Table, num_partitions: int) -> list[pa.Table]:
 
 @ray.remote
 def _prep_file(
-    path_or_tbl,
+    inputs,
     columns,
     join_specs: list,
     wheres: list,
@@ -84,31 +84,44 @@ def _prep_file(
     num_partitions: int,
     pre_transform=None,
 ):
-    """Stateless per-epoch prep: read -> pre-transform -> broadcast joins
-    -> filter -> phase-1 partials -> split by partition. Returns a list
-    of P tables."""
+    """Stateless per-epoch prep over one or more micro-batch files:
+    read -> pre-transform -> broadcast joins -> filter -> phase-1
+    partials. Returns ONE partial table carrying the routing column
+    ``__part``; state actors slice their partition zero-copy from the
+    shared object store (a per-partition multi-return split only pays off
+    across nodes — the multi-node dispatch point, see StreamingJob)."""
     limit_worker_threads()
-    if isinstance(path_or_tbl, pa.Table):
-        batch = path_or_tbl
-    else:
-        batch = pq.read_table(path_or_tbl, columns=columns)
-    if pre_transform is not None:
-        batch = pre_transform(batch)
-    for build_tbl, how, lk, rk, residual in join_specs:
-        if isinstance(build_tbl, ray.ObjectRef):
-            build_tbl = ray.get(build_tbl)  # plasma-cached per node, zero-copy
-        batch = join_batch(batch, build_tbl, how, lk, rk, residual)
-    if wheres:
-        mask = None
-        for c in wheres:
-            m = c.eval(batch)
-            mask = m if mask is None else pc.and_kleene(mask, m)
-        batch = batch.filter(pc.fill_null(mask, False))
-    if isinstance(plan, SessionGroupByPlan):
-        partial = plan.sessionize_partial_fn(batch)
-    else:
-        partial = plan.partial_fn(batch)
-    return _split_by_part(partial, num_partitions)
+    if isinstance(inputs, (str, pa.Table)):
+        inputs = [inputs]
+    partials = []
+    for path_or_tbl in inputs:
+        if isinstance(path_or_tbl, pa.Table):
+            batch = path_or_tbl
+        else:
+            batch = pq.read_table(path_or_tbl, columns=columns)
+        if pre_transform is not None:
+            batch = pre_transform(batch)
+        for build_tbl, how, lk, rk, residual in join_specs:
+            if isinstance(build_tbl, ray.ObjectRef):
+                build_tbl = ray.get(build_tbl)  # plasma-cached, zero-copy
+            batch = join_batch(batch, build_tbl, how, lk, rk, residual)
+        if wheres:
+            mask = None
+            for c in wheres:
+                m = c.eval(batch)
+                mask = m if mask is None else pc.and_kleene(mask, m)
+            batch = batch.filter(pc.fill_null(mask, False))
+        if isinstance(plan, SessionGroupByPlan):
+            partials.append(plan.sessionize_partial_fn(batch))
+        else:
+            partials.append(plan.partial_fn(batch))
+    out = (
+        partials[0]
+        if len(partials) == 1
+        else pa.concat_tables(partials, promote_options="permissive")
+    )
+    # pre-sort by __part so actor-side slicing is a zero-copy view
+    return out.take(pc.sort_indices(out, sort_keys=[("__part", "ascending")]))
 
 
 @ray.remote
@@ -131,13 +144,22 @@ class StateActor:
         self.sink = TwoPhaseSink(sink_dir)
         self.finalizer = finalizer
 
-    def process(self, epoch: int, parts: list) -> dict:
-        if parts and isinstance(parts[0], ray.ObjectRef):
-            parts = ray.get(parts)
+    def process(self, epoch: int, *parts) -> dict:
+        # parts arrive as top-level args so Ray resolves them BEFORE
+        # scheduling this call — a blocking ray.get inside the actor makes
+        # the raylet spawn extra workers (observed thrash at 32 cpus).
+        # Each part is the FULL partial table (sorted by __part): slice
+        # this partition's contiguous segment zero-copy.
         emitted = []
         for t in parts:
-            if t.num_rows:
-                emitted.append(self.state.process(t.drop_columns(["__part"])))
+            if not t.num_rows:
+                continue
+            pcol = t.column("__part").to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(pcol, self.part_id, side="left")
+            hi = np.searchsorted(pcol, self.part_id, side="right")
+            if hi > lo:
+                mine = t.slice(lo, hi - lo)
+                emitted.append(self.state.process(mine.drop_columns(["__part"])))
         out = None
         nonempty = [t for t in emitted if t.num_rows]
         if nonempty:
@@ -294,6 +316,7 @@ class StreamingJob:
         checkpoint_every: int = 0,
         resume: bool = False,
         pre_transform=None,
+        files_per_task: int = 1,
     ):
         """``pre_transform``: optional vectorized batch fn (e.g. token
         counting / quality scoring from ops.text) applied in the prep
@@ -457,6 +480,7 @@ class StreamingJob:
         ]
 
         self.pre_transform = pre_transform
+        self.files_per_task = files_per_task
         # ship per-epoch-invariant objects to the object store ONCE; the
         # prep tasks receive refs (auto-dereferenced), not fresh pickles
         self._plan_ref = ray.put(self.plan)
@@ -520,20 +544,19 @@ class StreamingJob:
         self.epoch += 1
         if self.epoch <= self._resume_cursor:
             return None  # already reflected in restored state
-        nret = self.num_partitions
-        per_file_refs = [
-            _prep_file.options(num_returns=nret).remote(
-                x, self.columns, self._join_specs_ref, self._wheres_ref,
+        inputs = list(files_or_tables)
+        fpt = max(1, self.files_per_task)
+        chunks = [inputs[i : i + fpt] for i in range(0, len(inputs), fpt)]
+        prep_refs = [
+            _prep_file.remote(
+                chunk, self.columns, self._join_specs_ref, self._wheres_ref,
                 self._plan_ref, self.num_partitions, self.pre_transform,
             )
-            for x in files_or_tables
+            for chunk in chunks
         ]
-        if nret == 1:
-            per_file_refs = [[r] for r in per_file_refs]
         acks = []
         for p, actor in enumerate(self.actors):
-            part_refs = [refs[p] for refs in per_file_refs]
-            acks.append(actor.process.remote(self.epoch, part_refs))
+            acks.append(actor.process.remote(self.epoch, *prep_refs))
         ckpt_refs = None
         if (
             self.checkpoint_dir

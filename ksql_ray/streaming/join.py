@@ -184,11 +184,9 @@ class JoinStateActor:
         b_ids_into.mark(b_ids)
         return out.drop_columns(["__aid", "__bid", "__ats", "__jts"])
 
-    def process(self, epoch: int, left_parts: list, right_parts: list) -> dict:
-        if left_parts and isinstance(left_parts[0], ray.ObjectRef):
-            left_parts = ray.get(left_parts)
-        if right_parts and isinstance(right_parts[0], ray.ObjectRef):
-            right_parts = ray.get(right_parts)
+    def process(self, epoch: int, n_left: int, *parts) -> dict:
+        left_parts = list(parts[:n_left])
+        right_parts = list(parts[n_left:])
         newL = (
             pa.concat_tables([t for t in left_parts if t.num_rows], promote_options="permissive")
             if any(t.num_rows for t in left_parts) else self.left_schema.empty_table()
@@ -371,11 +369,9 @@ class StreamJoinJob:
             rrefs = [[r] for r in rrefs]
         acks = []
         for p, actor in enumerate(self.actors):
-            acks.append(
-                actor.process.remote(
-                    self.epoch, [r[p] for r in lrefs], [r[p] for r in rrefs]
-                )
-            )
+            lp = [r[p] for r in lrefs]
+            rp = [r[p] for r in rrefs]
+            acks.append(actor.process.remote(self.epoch, len(lp), *lp, *rp))
         metrics = ray.get(acks)
         self.sink.commit_epoch(self.epoch, {"per_partition": metrics})
         self.metrics_log.append({"epoch": self.epoch, "partitions": metrics})
