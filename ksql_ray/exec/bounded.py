@@ -43,6 +43,31 @@ from .joins import (
 )
 
 
+def _pin_once():
+    """Pin Arrow's thread pool inside Ray Data worker processes (see
+    streaming.driver.limit_worker_threads — measured oversubscription);
+    no-op after the first call per process."""
+    if not getattr(_pin_once, "_done", False):
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+        except Exception:
+            pass
+        _pin_once._done = True
+
+
+def _pinned(fn):
+    """Wrap a batch fn so the worker process pins kernel threads first."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(batch):
+        _pin_once()
+        return fn(batch)
+
+    return wrapped
+
+
 def _to_array(v, n: int):
     if isinstance(v, pa.Scalar):
         if not v.is_valid:
@@ -149,7 +174,7 @@ class Engine:
                     mask = m if mask is None else pc.and_kleene(mask, m)
                 return batch.filter(pc.fill_null(mask, False))
 
-            ds = ds.map_batches(filter_fn, batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(_pinned(filter_fn), batch_format="pyarrow", zero_copy_batch=True)
 
         if aggs or b.groupby:
             ds = self._aggregate(b, ds, rel, aggs)
@@ -164,7 +189,7 @@ class Engine:
                     names.append(e.output_name())
                 return pa.table(dict(zip(names, cols))) if cols else batch
 
-            ds = ds.map_batches(project_fn, batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(_pinned(project_fn), batch_format="pyarrow", zero_copy_batch=True)
 
         if b.orderbys:
             keys, desc = [], []
@@ -241,7 +266,7 @@ class Engine:
                 def bjoin(batch: pa.Table, _r=ref, _h=how, _lk=lkk, _rk=rkk, _res=res):
                     return join_batch(batch, ray.get(_r), _h, _lk, _rk, _res)
 
-                ds = ds.map_batches(bjoin, batch_format="pyarrow", zero_copy_batch=True)
+                ds = ds.map_batches(_pinned(bjoin), batch_format="pyarrow", zero_copy_batch=True)
             else:
                 if j.how == "cross":
                     raise PlanError("CROSS JOIN build side too large to broadcast")
@@ -270,7 +295,7 @@ class Engine:
                             mask = m if mask is None else pc.and_kleene(mask, m)
                         return batch.filter(pc.fill_null(mask, False))
 
-                    ds = ds.map_batches(resfilter, batch_format="pyarrow", zero_copy_batch=True)
+                    ds = ds.map_batches(_pinned(resfilter), batch_format="pyarrow", zero_copy_batch=True)
             left_names |= {renames.get(n, n) for n in right_names}
         return ds, left_names
 
@@ -307,19 +332,19 @@ class Engine:
                 b.groupby, aggs, rel.order_cols, b.window, rel.timestamp_col,
                 self.num_partitions,
             )
-            routed = ds.map_batches(plan.route_fn, batch_format="pyarrow", zero_copy_batch=True)
+            routed = ds.map_batches(_pinned(plan.route_fn), batch_format="pyarrow", zero_copy_batch=True)
             merged = routed.groupby("__part").map_groups(
-                plan.session_merge_fn, batch_format="pyarrow"
+                _pinned(plan.session_merge_fn), batch_format="pyarrow"
             )
         else:
             plan = GroupByPlan(
                 b.groupby, aggs, rel.order_cols, b.window, rel.timestamp_col,
                 self.num_partitions,
             )
-            partials = ds.map_batches(plan.partial_fn, batch_format="pyarrow", zero_copy_batch=True)
+            partials = ds.map_batches(_pinned(plan.partial_fn), batch_format="pyarrow", zero_copy_batch=True)
             merged = partials.groupby("__part").map_groups(
-                plan.merge_fn, batch_format="pyarrow"
+                _pinned(plan.merge_fn), batch_format="pyarrow"
             )
 
         finalize_fn = make_finalizer(b, plan, agg_names)
-        return merged.map_batches(finalize_fn, batch_format="pyarrow", zero_copy_batch=True)
+        return merged.map_batches(_pinned(finalize_fn), batch_format="pyarrow", zero_copy_batch=True)
