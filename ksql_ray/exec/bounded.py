@@ -201,12 +201,12 @@ class Engine:
         return ds
 
     def table(self, b: SelectBuilder) -> pa.Table:
-        """Materialize a bounded query result (small outputs only)."""
+        """Materialize a bounded query result (small outputs only).
+        Zero-row results keep the query's declared schema (Returns())."""
         ds = self.dataset(b)
-        tables = ray.get(ds.to_arrow_refs())
-        tables = [t for t in tables if t.num_rows >= 0]
-        if not tables:
-            return pa.table({})
+        tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+        if not tables or sum(t.num_rows for t in tables) == 0:
+            return b.returns(self.catalog).empty_table()
         return pa.concat_tables(tables, promote_options="permissive")
 
     # ------------------------------------------------------------------

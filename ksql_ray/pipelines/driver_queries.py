@@ -594,6 +594,85 @@ def _op_media_features(sf_dir: str) -> pa.Table:
 REGISTRY["op_media_features"] = RawQ(_op_media_features)
 
 
+# --------------------------------------------------------------- streaming
+# The streaming engine itself under the driver's oracle gate: the events
+# table replayed as ts-ordered micro-batches through StreamingJob; with no
+# late data and an end-of-stream flush, EMIT FINAL output must equal the
+# bounded SQL result (the north_rule conformance invariant).
+
+
+def _stream_events(sf_dir: str, builder_fn, out_tag: str) -> pa.Table:
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.driver import StreamingJob
+
+    cat = testdata_catalog(sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    n = tbl.num_rows
+    batches = [tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8) for i in range(8)]
+    out = tempfile.mkdtemp(prefix=f"ksql_ray_stream_{out_tag}_")
+    try:
+        job = StreamingJob(builder_fn(), cat, out, num_partitions=4,
+                           lateness_us=1 << 60)
+        for b in batches:
+            job.process_epoch([b])
+        job.finish()
+        return job.result()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _streaming_tumbling(sf_dir: str) -> pa.Table:
+    def b():
+        return (Select(F("user_id"), Count(F("event_id")).As("cnt"),
+                       Sum(F("value")).As("sv"))
+                .From(Schema("events")).GroupBy(F("user_id"))
+                .Windowed(Tumbling(1, HOURS)).EmitFinal())
+
+    return _round_cols(_stream_events(sf_dir, b, "tumb"), {"sv": 4})
+
+
+REGISTRY["streaming_window_tumbling"] = RawQ(
+    _streaming_tumbling,
+    f"SELECT make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US}) AS window_start, "
+    f"make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US} + {HOUR_US}) AS window_end, "
+    "user_id, count(event_id) AS cnt, ROUND(sum(value), 4) AS sv "
+    "FROM events GROUP BY 1, 2, 3",
+)
+
+
+def _streaming_session(sf_dir: str) -> pa.Table:
+    def b():
+        return (Select(F("user_id"), Count(F("event_id")).As("cnt"))
+                .From(Schema("events")).GroupBy(F("user_id"))
+                .Windowed(Session(30, MINUTES)).EmitFinal())
+
+    return _stream_events(sf_dir, b, "sess")
+
+
+REGISTRY["streaming_window_session"] = RawQ(
+    _streaming_session,
+    f"""WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged)
+    SELECT min(ts) AS window_start, max(ts) AS window_end, user_id,
+           count(event_id) AS cnt
+    FROM sessions GROUP BY user_id, sess_id""",
+)
+
+
 def queries() -> dict[str, Callable[[str], pa.Table]]:
     return {name: (lambda sf_dir, _q=qq: _q.run(sf_dir)) for name, qq in REGISTRY.items()}
 
