@@ -87,6 +87,7 @@ class GroupByPlan:
         ts_col: str | None = None,
         num_partitions: int = DEFAULT_NUM_PARTITIONS,
         include_ts: bool = False,
+        salt_by_window: bool = False,
     ):
         self.key_exprs = list(key_exprs)
         self.aggs = list(aggs)
@@ -94,6 +95,11 @@ class GroupByPlan:
         self.ts_col = ts_col
         self.num_partitions = num_partitions
         self.include_ts = include_ts  # streaming: carry per-key max ts + row count
+        # hot-key salting (north_rule): include the window id in the routing
+        # hash so a hot conversation's windows spread across state actors;
+        # each partition's watermark stays monotone over ITS routed rows,
+        # and a (key, window) still lives on exactly one actor
+        self.salt_by_window = salt_by_window
 
         self.needs_order = any(a.needs_order for a in self.aggs)
         self.order_cols = list(order_cols) if self.needs_order else []
@@ -198,11 +204,13 @@ class GroupByPlan:
         if self.include_ts:
             entries = entries + [("__ts", "max"), ("__ts", "count")]
         partial = pa.TableGroupBy(tmp, self.all_keys, use_threads=False).aggregate(entries)
-        # streaming (include_ts): partition by the group key ONLY, so every
-        # window of a key lands on the same state actor and the per-partition
-        # watermark is coherent; bounded: include the window for balance.
+        # streaming (include_ts): partition by the group key ONLY (coherent
+        # per-key watermark) unless salting is on; bounded: include the
+        # window for balance.
         part_cols = (
-            self.key_names if (self.include_ts and self.key_names) else self.all_keys
+            self.key_names
+            if (self.include_ts and self.key_names and not self.salt_by_window)
+            else self.all_keys
         )
         part = hash_partition_ids(partial, part_cols, self.num_partitions)
         return partial.append_column("__part", pa.array(part, type=pa.int64()))

@@ -317,6 +317,7 @@ class StreamingJob:
         resume: bool = False,
         pre_transform=None,
         files_per_task: int = 1,
+        salt_by_window: bool = False,
     ):
         """``pre_transform``: optional vectorized batch fn (e.g. token
         counting / quality scoring from ops.text) applied in the prep
@@ -414,6 +415,7 @@ class StreamingJob:
             plan = GroupByPlan(
                 physical_groupby, aggs, rel.order_cols, builder.window,
                 rel.timestamp_col, num_partitions, include_ts=True,
+                salt_by_window=salt_by_window,
             )
         self.plan = plan
 

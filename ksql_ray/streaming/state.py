@@ -142,6 +142,7 @@ class VectorPartitionState:
             "rows_out": self.rows_out,
             "late_drops": self.late_drops,
             "watermark": self.watermark,
+            "watermark_lag_us": self.lateness_us if self.watermark > -(1 << 61) else None,
             "open_windows": 0 if self.state is None else self.state.num_rows,
         }
 

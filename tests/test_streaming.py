@@ -263,3 +263,33 @@ def test_collect_list_streaming(stream_catalog, fixture_dir, tmp_path):
     eng = Engine(stream_catalog, num_partitions=4)
     expected = eng.table(q)
     assert_tables_equal(streamed, expected)
+
+
+def test_hot_key_salting(stream_catalog, fixture_dir, tmp_path):
+    """north_rule: explicit salting for hot conversations — with
+    salt_by_window, a hot key's windows spread across partitions, and the
+    final result still equals the bounded oracle."""
+    from ksql_ray import Engine
+
+    files = _stream_files(fixture_dir)
+    job = StreamingJob(
+        _tumbling_query(), stream_catalog, str(tmp_path / "out"),
+        num_partitions=4, lateness_us=1 << 60, salt_by_window=True,
+    )
+    job.run(files)
+    job.finish()
+    streamed = job.result()
+    eng = Engine(stream_catalog, num_partitions=4)
+    expected = eng.table(_tumbling_query())
+    assert_tables_equal(streamed, expected)
+    # the hottest conversation (Zipf head: conv-00000000) must appear in
+    # the output of more than one partition file
+    import pyarrow.parquet as pq_
+    import glob as glob_
+
+    parts_with_hot = set()
+    for f in glob_.glob(str(tmp_path / "out" / "part-*.parquet")):
+        t = pq_.read_table(f, columns=["conv_id"])
+        if "conv-00000000" in set(t.column("conv_id").to_pylist()):
+            parts_with_hot.add(f.split("part-")[1][:4])
+    assert len(parts_with_hot) > 1, "hot key not spread across partitions"
