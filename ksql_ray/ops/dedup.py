@@ -183,6 +183,66 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     return pairs.groupby("doc_a").map_groups(dedupe_pairs, batch_format="pyarrow")
 
 
+def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.5,
+                        ngram: int = 3, num_hashes: int = 64, bands: int = 16,
+                        seed: int = 42) -> ray.data.Dataset:
+    """EXACT word-n-gram Jaccard similarity, computed only for LSH-bucket
+    candidate pairs (the scale path: MinHash bands prune the O(n²) space,
+    the exact set intersection verifies). -> (doc_a, doc_b, jaccard)."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        out = minhash_stage(batch, id_col, text_col, num_hashes, bands, ngram, seed)
+        # carry each doc's exact shingle-hash set for the verify step
+        texts = batch.column(text_col).to_pylist()
+        flat, offsets = _word_ngram_hashes(texts, ngram)
+        sets = [
+            sorted(set(flat[offsets[i]:offsets[i + 1]].tolist()))
+            for i in range(len(texts))
+        ]
+        n_docs = len(texts)
+        doc_idx = np.tile(np.arange(n_docs), bands)
+        shingles = pa.array([sets[i] for i in doc_idx], type=pa.list_(pa.uint64()))
+        return out.append_column("shingles", shingles)
+
+    staged = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        ids = group.column(id_col).to_pylist()
+        sh = [set(s) for s in group.column("shingles").to_pylist()]
+        a_out, b_out, jac = [], [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if ids[i] == ids[j]:
+                    continue
+                inter = len(sh[i] & sh[j])
+                union = len(sh[i] | sh[j])
+                jv = inter / union if union else 0.0
+                if jv >= threshold:
+                    lo, hi = sorted((ids[i], ids[j]))
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    jac.append(jv)
+        return pa.table({
+            "doc_a": pa.array(a_out, type=pa.int64()),
+            "doc_b": pa.array(b_out, type=pa.int64()),
+            "jaccard": pa.array(jac, type=pa.float64()),
+        })
+
+    pairs = staged.groupby(["band", "bucket"]).map_groups(verify, batch_format="pyarrow")
+
+    def dedupe(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        gb = pa.TableGroupBy(batch, ["doc_a", "doc_b"], use_threads=False)
+        return gb.aggregate([("jaccard", "max")]).rename_columns(
+            ["doc_a", "doc_b", "jaccard"]
+        )
+
+    return pairs.groupby("doc_a").map_groups(dedupe, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- simhash
 def simhash_stage(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """64-bit simhash per doc, vectorized bit-count accumulation."""

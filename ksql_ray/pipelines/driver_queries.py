@@ -505,6 +505,18 @@ def _op_minhash_dedup(sf_dir: str) -> pa.Table:
 REGISTRY["op_minhash_dedup"] = RawQ(_op_minhash_dedup)  # LSH: rows-only check
 
 
+def _op_ngram_jaccard(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return _collect(ngram_jaccard_pairs(ds, threshold=0.5))
+
+
+REGISTRY["op_ngram_jaccard"] = RawQ(_op_ngram_jaccard)
+
+
 def _op_simhash_dedup(sf_dir: str) -> pa.Table:
     import ray.data
 

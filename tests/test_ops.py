@@ -193,3 +193,24 @@ def test_media_pipeline_fake_decode(ray_session):
         counts[mid] = counts.get(mid, 0) + 1
     for mid, d in durs.items():
         assert counts[mid] == max(1, d // 1000)
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    from ksql_ray.ops.dedup import ngram_jaccard_pairs
+
+    ds = _dup_docs_ds()
+    pairs = collect(ngram_jaccard_pairs(ds, threshold=0.5))
+    got = {(a, b): j for a, b, j in zip(pairs.column("doc_a").to_pylist(),
+                                        pairs.column("doc_b").to_pylist(),
+                                        pairs.column("jaccard").to_pylist())}
+    # exact duplicates have jaccard exactly 1.0
+    for base in (0, 3, 6):
+        assert got.get((base, base + 1)) == 1.0
+    # near-dup (extra token) has 0.5 <= j < 1
+    for base in (0, 3, 6):
+        key = (base, base + 2)
+        if key in got:
+            assert 0.5 <= got[key] < 1.0
+    # no cross-base pairs
+    for a, b in got:
+        assert a // 3 == b // 3
