@@ -191,7 +191,23 @@ class CreateBuilder:
             partitions=self.meta.partitions,
             properties={"value_format": self.meta.value_format},
         )
-        return catalog.create(rel)
+        created = catalog.create(rel)
+        if self.ref is Ref.TABLE and self.select is None:
+            # the ORM auto-creates a QUERYABLE_<name> materialization so pull
+            # queries have a queryable view (tables/specification.go:323,
+            # consts/consts.go:17-19); ours shares the same dataset path
+            catalog.create(
+                Relation(
+                    name=f"QUERYABLE_{self.name}",
+                    kind=Ref.TABLE,
+                    schema=schema,
+                    path=path,
+                    primary_key=self.primary_key,
+                    properties={"shadow_of": self.name},
+                ),
+                if_not_exists=True,
+            )
+        return created
 
 
 def Create(ref: Ref, name: str) -> CreateBuilder:
@@ -300,7 +316,9 @@ def Insert(ref: Ref, name: str) -> InsertBuilder:
 
 
 def Drop(catalog: Catalog, ref: Ref, name: str, delete_data: bool = False) -> None:
-    """DROP STREAM/TABLE/TOPIC (ksql/drop_builder.go:21-49)."""
+    """DROP STREAM/TABLE/TOPIC (ksql/drop_builder.go:21-49). Dropping a
+    TABLE also drops its QUERYABLE_ shadow — the ORM's two-step drop
+    (tables/specification.go:127-206)."""
     rel = catalog.get(name)
     if rel.kind is not ref:
         raise CatalogError(f"{name} is a {rel.kind.value}, not a {ref.value}")
@@ -309,6 +327,8 @@ def Drop(catalog: Catalog, ref: Ref, name: str, delete_data: bool = False) -> No
 
         shutil.rmtree(rel.path, ignore_errors=True)
     catalog.drop(name)
+    if ref is Ref.TABLE:
+        catalog.drop(f"QUERYABLE_{name}", if_exists=True)
 
 
 def List(catalog: Catalog, ref: Ref | None = None) -> list[dict]:

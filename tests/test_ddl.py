@@ -226,3 +226,16 @@ def test_bad_migration_filename(cat, tmp_path):
     mig = Migrator(cat, str(tmp_path / "state"))
     with pytest.raises(MigrationError, match="filename"):
         mig.up(p)
+
+
+def test_queryable_shadow_table(cat, tmp_path):
+    """CREATE TABLE auto-creates QUERYABLE_<name> for pull queries
+    (tables/specification.go:323, consts/consts.go:17-19); DROP removes
+    both (two-step drop, tables/specification.go:127-206)."""
+    Create(Ref.TABLE, "users2").SchemaFields(
+        ("id", Ktype.BIGINT, "primary"), ("name", Ktype.STRING)
+    ).execute(cat, base_dir=str(tmp_path))
+    assert cat.has("QUERYABLE_users2")
+    assert cat.get("QUERYABLE_users2").properties["shadow_of"] == "users2"
+    Drop(cat, Ref.TABLE, "users2")
+    assert not cat.has("users2") and not cat.has("QUERYABLE_users2")
