@@ -149,6 +149,33 @@ def _nulls():
             .Where(F("o_orderstatus").IsNotNull(), F("o_custkey").IsNotNull()))
 
 
+@q("where_not_in",
+   "SELECT o_orderkey, o_orderpriority FROM orders "
+   "WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')")
+def _where_not_in():
+    return (Select(F("o_orderkey"), F("o_orderpriority")).From(Schema("orders"))
+            .Where(F("o_orderpriority").NotIn("1-URGENT", "2-HIGH")))
+
+
+@q("orderby_multi_desc",
+   "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer "
+   "ORDER BY c_mktsegment ASC, c_acctbal DESC")
+def _orderby_multi():
+    return (Select(F("c_custkey"), F("c_mktsegment"), F("c_acctbal"))
+            .From(Schema("customer"))
+            .OrderBy(F("c_mktsegment").Asc(), F("c_acctbal").Desc()))
+
+
+@q("min_max_strings",
+   "SELECT o_orderstatus, min(o_orderpriority) AS min_pri, "
+   "max(o_orderpriority) AS max_pri FROM orders GROUP BY o_orderstatus")
+def _min_max_strings():
+    return (Select(F("o_orderstatus"),
+                   Min(F("o_orderpriority")).As("min_pri"),
+                   Max(F("o_orderpriority")).As("max_pri"))
+            .From(Schema("orders")).GroupBy(F("o_orderstatus")))
+
+
 # --------------------------------------------------------------- §2.3 aggregates
 @q("agg_basic",
    "SELECT l_returnflag, l_linestatus, ROUND(sum(l_quantity), 4) AS sum_qty, "
