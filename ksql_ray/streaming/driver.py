@@ -323,8 +323,13 @@ class StreamingJob:
         counting / quality scoring from ops.text) applied in the prep
         task before joins — user UDF stages, SURVEY.md §2.10."""
         builder.validate(catalog)
-        if builder.window is None or not builder.groupby:
-            raise PlanError("streaming jobs require a windowed GROUP BY query")
+        if not builder.groupby:
+            raise PlanError("streaming jobs require a GROUP BY query")
+        if builder.window is None and builder.emit != "changes":
+            raise PlanError(
+                "unwindowed stream aggregation requires EMIT CHANGES "
+                "(ksql/select_builder.go:131-137)"
+            )
         rel = builder._source_relation(catalog)
         self.builder = builder
         self.catalog = catalog

@@ -67,20 +67,25 @@ class VectorPartitionState:
         s = pc.sum(tbl.column("__ts_count"))
         return int(s.as_py() or 0)
 
+    @property
+    def _windowed(self) -> bool:
+        return self.plan.window is not None
+
     def process(self, partial: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        size = self.plan.window.size_us
         total = self._counts(partial)
         self.rows_in += total
-        # late drop: windows already closed by the current watermark
-        closed = pc.less_equal(
-            pc.add(partial.column("__ws"), size), pa.scalar(self.watermark)
-        )
-        n_late = self._counts(partial.filter(closed))
-        if n_late:
-            self.late_drops += n_late
-            partial = partial.filter(pc.invert(closed))
+        if self._windowed:
+            # late drop: windows already closed by the current watermark
+            size = self.plan.window.size_us
+            closed = pc.less_equal(
+                pc.add(partial.column("__ws"), size), pa.scalar(self.watermark)
+            )
+            n_late = self._counts(partial.filter(closed))
+            if n_late:
+                self.late_drops += n_late
+                partial = partial.filter(pc.invert(closed))
         # watermark from this epoch's max event time (monotone)
         if partial.num_rows:
             mx = pc.max(partial.column("__ts_max")).as_py()
@@ -100,7 +105,6 @@ class VectorPartitionState:
     def _emit(self, incoming: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        size = self.plan.window.size_us
         keys = self.plan.all_keys
         if self.state is None or self.state.num_rows == 0:
             return pa.table({})
@@ -112,12 +116,15 @@ class VectorPartitionState:
                 use_threads=False,
             )
             out = self.plan.merge_fn(touched) if touched.num_rows else pa.table({})
-            # purge closed windows (future rows for them are late-dropped)
-            open_mask = pc.greater(
-                pc.add(self.state.column("__ws"), size), pa.scalar(self.watermark)
-            )
-            self.state = self.state.filter(open_mask)
-        else:  # final
+            if self._windowed:
+                # purge closed windows (future rows for them are late-dropped)
+                size = self.plan.window.size_us
+                open_mask = pc.greater(
+                    pc.add(self.state.column("__ws"), size), pa.scalar(self.watermark)
+                )
+                self.state = self.state.filter(open_mask)
+        else:  # final (windowed only: an unwindowed table never closes)
+            size = self.plan.window.size_us
             closed_mask = pc.less_equal(
                 pc.add(self.state.column("__ws"), size), pa.scalar(self.watermark)
             )

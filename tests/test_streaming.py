@@ -293,3 +293,30 @@ def test_hot_key_salting(stream_catalog, fixture_dir, tmp_path):
         if "conv-00000000" in set(t.column("conv_id").to_pylist()):
             parts_with_hot.add(f.split("part-")[1][:4])
     assert len(parts_with_hot) > 1, "hot key not spread across partitions"
+
+
+def test_unwindowed_emit_changes(stream_catalog, fixture_dir, tmp_path):
+    """Running aggregate (GROUP BY + EMIT CHANGES, no window): the last
+    emitted value per key equals the bounded result over the whole
+    stream — the ksqlDB changelog-table semantic."""
+    from ksql_ray import Engine
+
+    q = (
+        Select(F("conv_id"), Count(F("turn_idx")).As("turns"),
+               LatestByOffset(F("role")).As("last_role"))
+        .From(Schema("transcripts"))
+        .GroupBy(F("conv_id"))
+        .EmitChanges()
+    )
+    files = _stream_files(fixture_dir)
+    job = StreamingJob(q, stream_catalog, str(tmp_path / "out"),
+                       num_partitions=4, lateness_us=1 << 60)
+    job.run(files)
+    m = job.finish()
+    emitted = job.result().to_pandas()
+    # changelog compaction: keep the LAST emitted row per conv_id
+    # (files are part-{p}-epoch-{e}; reading committed returns epoch order)
+    last = emitted.groupby("conv_id").tail(1).reset_index(drop=True)
+    eng = Engine(stream_catalog, num_partitions=4)
+    expected = eng.table(q).to_pandas()
+    assert_tables_equal(last, expected)
