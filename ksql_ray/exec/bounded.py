@@ -200,6 +200,52 @@ class Engine:
             ds = ds.sort(keys, descending=desc)
         return ds
 
+    def explain(self, b: SelectBuilder) -> str:
+        """Human-readable physical plan (the DESCRIBE-the-query analog):
+        which columns are read, which join strategy each JOIN uses, where
+        the shuffles are. Purely plan-time — no tasks launch."""
+        b.validate(self.catalog)
+        rel = b._source_relation(self.catalog)
+        aggs = self._unique_aggs(b)
+        needed = self._needed_columns(b, rel, aggs)
+        lines = [
+            f"ReadParquet[{rel.name}] columns={needed or 'ALL'}",
+        ]
+        left_names = set(rel.schema.names)
+        for j in b.joins:
+            jrel = self.catalog.get(j.source.name)
+            alias = j.source.alias or j.source.name
+            lk, rk, residual = extract_equi_keys(
+                j.conds, left_names, set(jrel.schema.names), alias
+            )
+            small = self._rel_bytes(jrel) <= self.broadcast_max_bytes
+            strat = (
+                "BroadcastHashJoin(build side ray.put once)"
+                if j.how in ("inner", "left", "cross") and small
+                else f"ShuffleHashJoin(num_partitions<=CPU budget)"
+            )
+            res = f" residual={len(residual)}" if residual else ""
+            lines.append(f"{j.how.upper()} {strat} {jrel.name} ON {lk}={rk}{res}")
+            left_names |= set(jrel.schema.names)
+        if b.wheres:
+            lines.append(f"Filter[{len(b.wheres)} conds] (fused map_batches)")
+        if aggs or b.groupby:
+            win = f" window={b.window!r}" if b.window else ""
+            lines.append(
+                f"PartialAggregate[per-batch pa.TableGroupBy, {len(aggs)} aggs]{win}"
+            )
+            lines.append(
+                f"HashExchange[__part={self.num_partitions}] -> SegmentMerge"
+            )
+            if b.havings:
+                lines.append(f"Having[{len(b.havings)} conds]")
+            lines.append("Finalize[rename keys, window bounds, project]")
+        else:
+            lines.append("Project (fused map_batches)")
+        if b.orderbys:
+            lines.append(f"Sort[{[o.expr.output_name() for o in b.orderbys]}]")
+        return "\n".join(lines)
+
     def table(self, b: SelectBuilder) -> pa.Table:
         """Materialize a bounded query result (small outputs only).
         Zero-row results keep the query's declared schema (Returns())."""
@@ -276,9 +322,14 @@ class Engine:
                             "non-equi residual ON conditions only supported for "
                             "INNER joins in the shuffle path"
                         )
-                right_ds = ray.data.read_parquet(jrel.path)
+                right_cols = self._right_needed(b, jrel, [k for k in rk], renames)
+                right_ds = ray.data.read_parquet(jrel.path, columns=right_cols or None)
                 if renames:
-                    right_ds = right_ds.rename_columns(renames)
+                    renames_present = {
+                        k: v for k, v in renames.items() if not right_cols or k in right_cols
+                    }
+                    if renames_present:
+                        right_ds = right_ds.rename_columns(renames_present)
                 # Ray's hash-shuffle join spawns one aggregator actor per
                 # partition; cap at the CPU budget so small clusters don't
                 # starve (raise num_partitions for real multi-node runs)

@@ -221,3 +221,19 @@ def test_groupby_derived_key(engine, duck):
           "FROM orders GROUP BY o_orderkey % 7")
 
 
+
+
+def test_explain(engine):
+    from ksql_ray import Count, Schema, Select, Sum, F
+
+    q = (Select(F("n_name"), Sum(F("o_totalprice")).As("total"))
+         .From(Schema("orders"))
+         .Join(Schema("customer"), F("orders.o_custkey").Equal(F("customer.c_custkey")))
+         .Join(Schema("nation"), F("customer.c_nationkey").Equal(F("nation.n_nationkey")))
+         .GroupBy(F("n_name"))
+         .OrderBy(F("n_name").Asc()))
+    plan = engine.explain(q)
+    assert "ReadParquet[orders]" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PartialAggregate" in plan and "HashExchange" in plan
+    assert "Sort" in plan
