@@ -320,3 +320,19 @@ def test_unwindowed_emit_changes(stream_catalog, fixture_dir, tmp_path):
     eng = Engine(stream_catalog, num_partitions=4)
     expected = eng.table(q).to_pandas()
     assert_tables_equal(last, expected)
+
+
+def test_state_bounded_under_watermark(stream_catalog, fixture_dir, tmp_path):
+    """With finite lateness, EMIT FINAL closes windows as the watermark
+    advances: open state must SHRINK over the run, not grow with input
+    (the 100 TB memory-boundedness invariant)."""
+    files = _stream_files(fixture_dir)
+    job = StreamingJob(_tumbling_query(), stream_catalog, str(tmp_path / "out"),
+                       num_partitions=4, lateness_us=60_000_000)
+    open_counts = []
+    for f in files:
+        m = job.process_epoch([f])
+        open_counts.append(sum(p["open_windows"] for p in m))
+    job.finish()
+    # late in the stream, open state must be far below its peak
+    assert open_counts[-1] < max(open_counts), f"state never shrank: {open_counts}"
