@@ -42,9 +42,10 @@ def gen_transcripts(
     w /= w.sum()
     conv_of_turn = rng.choice(n_convs, size=n_turns, p=w)
     conv_of_turn.sort()  # contiguous per conversation
-    # per-conversation turn index
+    # per-conversation turn index (vectorized: position minus segment start)
     _, counts = np.unique(conv_of_turn, return_counts=True)
-    turn_idx = np.concatenate([np.arange(c) for c in counts]).astype(np.int32)
+    seg_first = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    turn_idx = (np.arange(n_turns) - np.repeat(seg_first, counts)).astype(np.int32)
 
     conv_ids = np.array([f"conv-{i:08d}" for i in range(n_convs)])
     conv_col = conv_ids[conv_of_turn]
@@ -58,29 +59,34 @@ def gen_transcripts(
 
     # text: "conv_id:turn_idx " prefix + deterministic token soup. The
     # soup pool is pre-generated (1024 distinct strings, lognormal length)
-    # so construction is vectorized even at millions of turns.
+    # and assembly uses Arrow varlen strings — numpy's np.char would
+    # materialize fixed-width UCS4 arrays (~25 GB at 16M rows).
+    import pyarrow.compute as _pc
+
     pool_lens = np.clip(rng.lognormal(3.0, 0.6, 1024), 3, 60).astype(int)
     pool = np.array(
         [" ".join(TOKENS[rng.integers(0, len(TOKENS), L)]) for L in pool_lens]
     )
-    soup = pool[rng.integers(0, len(pool), n_turns)]
-    prefix = np.char.add(
-        np.char.add(conv_col.astype(str), ":"), turn_idx.astype(str)
-    )
-    texts = np.char.add(np.char.add(prefix, " "), soup)
+    soup = pa.array(pool[rng.integers(0, len(pool), n_turns)], type=pa.string())
+    conv_arr = pa.array(conv_col, type=pa.string())
+    turn_str = _pc.cast(pa.array(turn_idx, type=pa.int32()), pa.string())
+    prefix = _pc.binary_join_element_wise(conv_arr, turn_str, ":")
+    texts = _pc.binary_join_element_wise(prefix, soup, " ")
 
-    # event time: conv-specific start + ~5s/turn jitter
+    # event time: conv-specific start + ~5s/turn jitter (vectorized
+    # segmented cumsum — no per-conversation Python loop)
     conv_start = BASE_TS_US + (
         rng.integers(0, 3_600_000_000, n_convs)  # conversations start within 1h
     )
     step = rng.integers(1_000_000, 10_000_000, n_turns)  # 1-10 s per turn
-    ts = np.empty(n_turns, dtype=np.int64)
-    pos = 0
-    ci = 0
-    for c in counts:
-        ts[pos : pos + c] = conv_start[ci] + np.cumsum(step[pos : pos + c])
-        pos += c
-        ci += 1
+    cs = np.cumsum(step)
+    first_idx = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    seg_base = cs[first_idx] - step[first_idx]  # cumsum up to each conv's start
+    ts = (
+        np.repeat(conv_start[: len(counts)], counts)
+        + cs
+        - np.repeat(seg_base, counts)
+    ).astype(np.int64)
 
     # arrival order = ts order, with ~2% rows displaced late by 1-3 windows
     arrival = ts.copy()
@@ -92,7 +98,7 @@ def gen_transcripts(
             "conv_id": pa.array(conv_col, type=pa.string()),
             "turn_idx": pa.array(turn_idx, type=pa.int32()),
             "role": pa.array(role, type=pa.string()),
-            "text": pa.array(texts, type=pa.string()),
+            "text": texts,
             "tool": pa.array(tool.tolist(), type=pa.string()),
             "ts": pa.array(ts, type=pa.timestamp("us")),
         }
@@ -110,20 +116,20 @@ def gen_conv_meta(transcripts: pa.Table, seed: int = 42) -> pa.Table:
     rng = np.random.default_rng(seed + 1)
     tier = rng.choice(np.array(["free", "pro", "enterprise"]), size=n)
     lang = rng.choice(np.array(["en", "de", "ja", "fr"]), size=n)
-    # created_ts = first turn ts - 1min (exact per conversation)
-    first_ts = {}
-    cid = transcripts.column("conv_id").to_pylist()
-    tsv = pc.cast(transcripts.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
-    for c, t in zip(cid, tsv):
-        if c not in first_ts or t < first_ts[c]:
-            first_ts[c] = t
-    created = np.array([first_ts[c.as_py()] - 60_000_000 for c in convs], dtype=np.int64)
+    # created_ts = first turn ts - 1min (vectorized grouped min)
+    mins = pa.TableGroupBy(
+        transcripts.select(["conv_id", "ts"]), "conv_id", use_threads=False
+    ).aggregate([("ts", "min")])
+    mins = mins.take(pc.sort_indices(mins, sort_keys=[("conv_id", "ascending")]))
+    created = pc.subtract(
+        pc.cast(mins.column("ts_min"), pa.int64()), pa.scalar(60_000_000)
+    )
     return pa.table(
         {
             "conv_id": convs,
             "user_tier": pa.array(tier, type=pa.string()),
             "lang": pa.array(lang, type=pa.string()),
-            "created_ts": pa.array(created, type=pa.timestamp("us")),
+            "created_ts": pc.cast(created, pa.timestamp("us")),
         }
     )
 
