@@ -71,7 +71,9 @@ def gen_transcripts(
     conv_arr = pa.array(conv_col, type=pa.string())
     turn_str = _pc.cast(pa.array(turn_idx, type=pa.int32()), pa.string())
     prefix = _pc.binary_join_element_wise(conv_arr, turn_str, ":")
-    texts = _pc.binary_join_element_wise(prefix, soup, " ")
+    # large_string: 16M+ turns exceed 2 GiB of text, overflowing 32-bit
+    # string offsets on take/concat (SURVEY.md §1.2)
+    texts = _pc.cast(_pc.binary_join_element_wise(prefix, soup, " "), pa.large_string())
 
     # event time: conv-specific start + ~5s/turn jitter (vectorized
     # segmented cumsum — no per-conversation Python loop)
