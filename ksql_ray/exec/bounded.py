@@ -283,8 +283,18 @@ class Engine:
         # size read blocks to the CPU budget: tiny blocks mean per-task
         # overhead dominates vectorized kernels (ds.stats() evidence)
         ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        nblocks = max(4, ncpu)
+        fmt = (rel.properties or {}).get("value_format", "PARQUET").upper()
+        # WITH (VALUE_FORMAT=...) analog (ksql/metadata.go:10-56; the
+        # reference's wire format is JSON, kinds/fmt.go:7-9)
+        if fmt == "JSON":
+            ds = ray.data.read_json(rel.path, override_num_blocks=nblocks)
+            return ds.select_columns(cols) if cols else ds
+        if fmt == "CSV":
+            ds = ray.data.read_csv(rel.path, override_num_blocks=nblocks)
+            return ds.select_columns(cols) if cols else ds
         return ray.data.read_parquet(
-            rel.path, columns=cols, override_num_blocks=max(4, ncpu)
+            rel.path, columns=cols, override_num_blocks=nblocks
         )
 
     # ------------------------------------------------------------------

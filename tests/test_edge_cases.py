@@ -141,3 +141,31 @@ def test_single_row_groups(edge_cat):
          .From(Schema("t")).GroupBy(F("k")).EmitChanges())
     t = eng.table(q)
     assert t.num_rows == 4  # a, b, c, NULL
+
+
+def test_json_and_csv_sources(tmp_path, ray_session):
+    """VALUE_FORMAT=JSON/CSV sources (ksql/metadata.go WITH analog; the
+    reference's wire format is JSON, kinds/fmt.go:7-9)."""
+    import json
+
+    rows = [{"k": "a", "v": 1}, {"k": "b", "v": 2}, {"k": "a", "v": 3}]
+    jp = str(tmp_path / "d.json")
+    with open(jp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cp = str(tmp_path / "d.csv")
+    with open(cp, "w") as f:
+        f.write("k,v\n" + "\n".join(f"{r['k']},{r['v']}" for r in rows))
+
+    schema = pa.schema([("k", pa.string()), ("v", pa.int64())])
+    cat = Catalog()
+    cat.create(Relation("j", Ref.TABLE, schema, path=jp,
+                        properties={"value_format": "JSON"}))
+    cat.create(Relation("c", Ref.TABLE, schema, path=cp,
+                        properties={"value_format": "CSV"}))
+    eng = Engine(cat, num_partitions=2)
+    for name in ("j", "c"):
+        q = (Select(F("k"), Sum(F("v")).As("s"))
+             .From(Schema(name)).GroupBy(F("k")))
+        got = {r["k"]: r["s"] for r in eng.table(q).to_pylist()}
+        assert got == {"a": 4, "b": 2}
