@@ -226,6 +226,27 @@ class SelectBuilder:
                 f"windowed query requires a designated event-time column on "
                 f"{rel.name} (WITH TIMESTAMP, ksql/metadata.go:40-45)"
             )
+        # plan-time type check: every referenced column must exist and every
+        # expression must type-check BEFORE any task launches (the linter
+        # behavior of §2.9 — reference ReflectionReportRemote,
+        # internal/schema/report/reflection.go:11-72)
+        schema = self.input_schema(catalog)
+        win_cols = {"window_start", "window_end"} if self.window is not None else set()
+        out_names: set[str] = set()
+        for e in self.fields:
+            out_names.add(e.output_name())
+        for e in list(self.fields) + list(self.wheres) + list(self.groupby):
+            if isinstance(e, Field) and e.name in win_cols:
+                continue
+            e.out_type(schema)
+        for j in self.joins:
+            for c in j.conds:
+                c.out_type(schema)
+        for o in self.orderbys:
+            e = o.expr
+            if isinstance(e, Field) and (e.name in out_names or e.name in win_cols):
+                continue
+            e.out_type(schema)
 
     # --- output schema (Returns(), select_builder.go:663-704) ---------------
     def input_schema(self, catalog: Catalog) -> pa.Schema:
