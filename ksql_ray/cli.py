@@ -46,19 +46,24 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from .catalog import Catalog
+    from .errors import KsqlRayError
     from .migrations import Migrator
 
     cat = Catalog()
     mig = Migrator(cat, args.state_dir)
-    if args.cmd == "up":
-        mig.up(args.file)
-        print(f"applied {args.file}; version={mig.latest_version()}")
-    elif args.cmd == "down":
-        mig.down(args.file)
-        print(f"reverted {args.file}; version={mig.latest_version()}")
-    elif args.cmd == "auto":
-        applied = mig.auto_migrate(args.dir)
-        print(f"applied versions: {applied}")
+    try:
+        if args.cmd == "up":
+            mig.up(args.file)
+            print(f"applied {args.file}; version={mig.latest_version()}")
+        elif args.cmd == "down":
+            mig.down(args.file)
+            print(f"reverted {args.file}; version={mig.latest_version()}")
+        elif args.cmd == "auto":
+            applied = mig.auto_migrate(args.dir)
+            print(f"applied versions: {applied}")
+    except KsqlRayError as ex:
+        print(f"error: {ex}", file=sys.stderr)
+        return 1
     return 0
 
 
