@@ -271,6 +271,41 @@ class JoinStateActor:
             "buffered_right": self.right.tbl.num_rows,
         }
 
+    # per-partition lineage: buffers + matched bitmaps + watermark snapshot
+    def checkpoint(self, epoch: int, ckpt_dir: str) -> str:
+        import pickle
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+        final = os.path.join(ckpt_dir, f"join-{self.part_id:04d}-epoch-{epoch:06d}.pkl")
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(
+                {
+                    "left_tbl": self.left.tbl, "left_m": self.left.matched,
+                    "left_max": self.left.max_ts,
+                    "right_tbl": self.right.tbl, "right_m": self.right.matched,
+                    "right_max": self.right.max_ts,
+                    "watermark": self.watermark, "rows_out": self.rows_out,
+                },
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+        return final
+
+    def restore(self, path: str) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        self.left.tbl, self.left.matched = d["left_tbl"], d["left_m"]
+        self.left.max_ts = d["left_max"]
+        self.right.tbl, self.right.matched = d["right_tbl"], d["right_m"]
+        self.right.max_ts = d["right_max"]
+        self.watermark = d["watermark"]
+        self.rows_out = d["rows_out"]
+
 
 class StreamJoinJob:
     """Continuous stream-stream join of two Parquet micro-batch streams."""
@@ -283,6 +318,9 @@ class StreamJoinJob:
         within_us: int,
         num_partitions: int = 4,
         lateness_us: int = 0,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 0,
+        resume: bool = False,
     ):
         if len(builder.joins) != 1:
             raise PlanError("StreamJoinJob takes exactly one stream-stream join")
@@ -348,9 +386,27 @@ class StreamJoinJob:
         ]
         self.epoch = -1
         self.metrics_log: list[dict] = []
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self._resume_cursor = -1
+        if resume and checkpoint_dir:
+            import json as _json
 
-    def process_epoch(self, left_inputs: Sequence, right_inputs: Sequence) -> list[dict]:
+            manifest = os.path.join(checkpoint_dir, "join_checkpoint.json")
+            if os.path.exists(manifest):
+                with open(manifest) as f:
+                    epoch = _json.load(f)["epoch"]
+                ray.get([
+                    a.restore.remote(os.path.join(
+                        checkpoint_dir, f"join-{p:04d}-epoch-{epoch:06d}.pkl"))
+                    for p, a in enumerate(self.actors)
+                ])
+                self._resume_cursor = epoch
+
+    def process_epoch(self, left_inputs: Sequence, right_inputs: Sequence) -> list[dict] | None:
         self.epoch += 1
+        if self.epoch <= self._resume_cursor:
+            return None  # effect already in restored state; sink idempotent
         nret = self.num_partitions
         lrefs = [
             route_side.options(num_returns=nret).remote(
@@ -375,6 +431,21 @@ class StreamJoinJob:
         metrics = ray.get(acks)
         self.sink.commit_epoch(self.epoch, {"per_partition": metrics})
         self.metrics_log.append({"epoch": self.epoch, "partitions": metrics})
+        if (
+            self.checkpoint_dir and self.checkpoint_every
+            and (self.epoch + 1) % self.checkpoint_every == 0
+        ):
+            import json as _json
+
+            ray.get([a.checkpoint.remote(self.epoch, self.checkpoint_dir)
+                     for a in self.actors])
+            manifest = os.path.join(self.checkpoint_dir, "join_checkpoint.json")
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"epoch": self.epoch}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, manifest)
         return metrics
 
     def finish(self) -> list[dict]:

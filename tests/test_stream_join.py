@@ -104,3 +104,39 @@ def test_outer_stream_join(join_fixture, tmp_path, ray_session):
            AND abs(epoch_us(t.ts) - epoch_us(s.ts)) <= {WITHIN_US}
     """).arrow()
     assert_tables_equal(got, exp)
+
+
+def test_stream_join_checkpoint_resume(join_fixture, tmp_path, ray_session):
+    """Kill-and-resume for the join state: resumed run's committed output
+    equals an uninterrupted run (exactly-once across restart)."""
+    import glob as glob_
+
+    lf = sorted(glob_.glob(join_fixture["t_dir"] + "/*.parquet"))
+    rf = sorted(glob_.glob(join_fixture["s_dir"] + "/*.parquet"))
+    out = str(tmp_path / "ck_out")
+    ck = str(tmp_path / "ck")
+
+    def mk(resume):
+        return StreamJoinJob(
+            _builder("inner"), join_fixture["cat"], out, within_us=WITHIN_US,
+            num_partitions=3, lateness_us=1 << 60,
+            checkpoint_dir=ck, checkpoint_every=1, resume=resume,
+        )
+
+    j1 = mk(False)
+    for i in range(2):
+        j1.process_epoch(lf[i:i + 1], rf[i:i + 1])
+    # j1 dies; resume replays the full stream
+    j2 = mk(True)
+    for i in range(len(lf)):
+        j2.process_epoch(lf[i:i + 1], rf[i:i + 1])
+    j2.finish()
+    resumed = j2.result()
+
+    ref_out = str(tmp_path / "ref_out")
+    jr = StreamJoinJob(_builder("inner"), join_fixture["cat"], ref_out,
+                       within_us=WITHIN_US, num_partitions=3, lateness_us=1 << 60)
+    for i in range(len(lf)):
+        jr.process_epoch(lf[i:i + 1], rf[i:i + 1])
+    jr.finish()
+    assert_tables_equal(resumed, jr.result())
