@@ -19,7 +19,7 @@ from .aggregates import (
     TopK,
     TopKDistinct,
 )
-from .builder import Schema, Select, SelectBuilder
+from .builder import Schema, Select, SelectAsStruct, SelectBuilder
 from .catalog import Catalog, Ref, Relation, STREAM, TABLE, TOPIC, testdata_catalog
 from .errors import CatalogError, KsqlRayError, PlanError, SchemaError
 from .exec.bounded import Engine
@@ -54,7 +54,7 @@ from .windows import (
 __all__ = [
     "Avg", "CollectList", "CollectSet", "Count", "EarliestByOffset",
     "Histogram", "LatestByOffset", "Max", "Min", "Sum", "TopK",
-    "TopKDistinct", "Schema", "Select", "SelectBuilder", "Catalog", "Ref",
+    "TopKDistinct", "Schema", "Select", "SelectAsStruct", "SelectBuilder", "Catalog", "Ref",
     "Relation", "STREAM", "TABLE", "TOPIC", "testdata_catalog",
     "CatalogError", "KsqlRayError", "PlanError", "SchemaError", "Engine",
     "Add", "And", "Case", "CaseWhen", "Div", "F", "Field", "Literal",

@@ -68,6 +68,7 @@ class SelectBuilder:
         self.emit: str | None = None  # None (pull) | "changes" | "final"
         self.cte: tuple[str, "SelectBuilder"] | None = None
         self._cte_alias: str | None = None
+        self.as_struct = False  # SelectAsStruct: fold output into one struct col
 
     # --- fluent verbs ------------------------------------------------------
     def From(self, source: Schema_ | str) -> "SelectBuilder":
@@ -328,3 +329,13 @@ def _children(e: Expr):
 def Select(*fields: Expr | str) -> SelectBuilder:
     """Entry point, mirrors ksql.Select (ksql/select_builder.go:217-228)."""
     return SelectBuilder(*fields)
+
+
+def SelectAsStruct(*fields: Expr | str) -> SelectBuilder:
+    """SELECT returning one struct column per row — the
+    ``SelectAsStruct`` verb (ksql/select_builder.go:217-228). The engine
+    marks the plan; executors fold the projection into a single
+    ``row: struct<...>`` column."""
+    b = SelectBuilder(*fields)
+    b.as_struct = True
+    return b

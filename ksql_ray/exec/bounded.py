@@ -198,6 +198,17 @@ class Engine:
                 keys.append(name)
                 desc.append(not o.ascending)
             ds = ds.sort(keys, descending=desc)
+
+        if getattr(b, "as_struct", False):
+            def fold_struct(batch: pa.Table) -> pa.Table:
+                arr = pa.StructArray.from_arrays(
+                    [batch.column(n).combine_chunks() if isinstance(batch.column(n), pa.ChunkedArray) else batch.column(n)
+                     for n in batch.column_names],
+                    names=list(batch.column_names),
+                )
+                return pa.table({"row": arr})
+
+            ds = ds.map_batches(_pinned(fold_struct), batch_format="pyarrow", zero_copy_batch=True)
         return ds
 
     def explain(self, b: SelectBuilder) -> str:

@@ -237,3 +237,14 @@ def test_explain(engine):
     assert "BroadcastHashJoin" in plan
     assert "PartialAggregate" in plan and "HashExchange" in plan
     assert "Sort" in plan
+
+
+def test_select_as_struct(engine):
+    from ksql_ray import SelectAsStruct
+
+    q = (SelectAsStruct(F("r_regionkey"), F("r_name"))
+         .From(Schema("region")))
+    t = engine.table(q)
+    assert t.column_names == ["row"]
+    rows = sorted(t.column("row").to_pylist(), key=lambda r: r["r_regionkey"])
+    assert rows[0]["r_name"] is not None and len(rows) == 5
