@@ -276,6 +276,45 @@ def _histogram():
             .From(Schema("events")).GroupBy(F("user_id")).EmitChanges())
 
 
+@q("case_over_aggregate",
+   "SELECT l_returnflag, CASE WHEN sum(l_quantity) > 250000.0 THEN 'heavy' "
+   "WHEN sum(l_quantity) > 100000.0 THEN 'medium' ELSE 'light' END AS weight "
+   "FROM lineitem GROUP BY l_returnflag")
+def _case_over_agg():
+    return (Select(
+        F("l_returnflag"),
+        Case("weight",
+             CaseWhen(Sum(F("l_quantity")).Greater(250000.0), "heavy"),
+             CaseWhen(Sum(F("l_quantity")).Greater(100000.0), "medium"),
+             ).Else("light"),
+    ).From(Schema("lineitem")).GroupBy(F("l_returnflag")))
+
+
+@q("sum_over_expression",
+   "SELECT l_returnflag, ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) "
+   "AS revenue FROM lineitem GROUP BY l_returnflag")
+def _sum_over_expr():
+    return (Select(
+        F("l_returnflag"),
+        Sum(Mul(F("l_extendedprice"), Sub(Literal(1.0), F("l_discount")))).As("revenue"),
+    ).From(Schema("lineitem")).GroupBy(F("l_returnflag")))
+
+
+REGISTRY["sum_over_expression"].post = lambda t: _round_cols(t, {"revenue": 2})
+
+
+@q("windowed_having",
+   f"SELECT make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US}) AS window_start, "
+   f"make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US} + {HOUR_US}) AS window_end, "
+   "user_id, count(event_id) AS cnt FROM events GROUP BY 1, 2, 3 "
+   "HAVING count(event_id) >= 3")
+def _windowed_having():
+    return (Select(F("user_id"), Count(F("event_id")).As("cnt"))
+            .From(Schema("events")).GroupBy(F("user_id"))
+            .Windowed(Tumbling(1, HOURS))
+            .Having(Count(F("event_id")).GreaterEq(3)))
+
+
 # --------------------------------------------------------------- §2.5 joins
 @q("join_inner",
    "SELECT o_orderkey, c_name, o_totalprice FROM orders "
