@@ -158,6 +158,63 @@ def run_streaming_headline(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
+    """Training-data ops at volume: text analysis + MinHash-LSH dedup +
+    SimHash over a 200k-document corpus (transcript turns as documents),
+    brute-force ANN over the embeddings table."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ksql_ray.fixtures import materialize_fixture_dir
+    from ksql_ray.ops.ann import brute_force_topk
+    from ksql_ray.ops.dedup import minhash_dedup_pairs, simhash_pairs
+    from ksql_ray.ops.text import analyze_documents
+
+    n_docs = 200_000
+    paths = materialize_fixture_dir(
+        f"/tmp/ksql_ray_transcripts_{n_docs}", n_turns=n_docs, seed=42, n_files=16
+    )
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(np.arange(batch.num_rows), type=pa.int64()),
+            "text": batch.column("text"),
+        })
+
+    out: dict[str, float] = {}
+    ds = ray.data.read_parquet(paths["transcripts"]).map_batches(
+        to_docs, batch_format="pyarrow", zero_copy_batch=True)
+    t0 = time.perf_counter()
+    analyze_documents(ds).count()
+    out["text_analysis_200k"] = round(time.perf_counter() - t0, 2)
+
+    ds = ray.data.read_parquet(paths["transcripts"]).map_batches(
+        to_docs, batch_format="pyarrow", zero_copy_batch=True)
+    t0 = time.perf_counter()
+    minhash_dedup_pairs(ds, threshold=0.8).count()
+    out["minhash_dedup_200k"] = round(time.perf_counter() - t0, 2)
+
+    ds = ray.data.read_parquet(paths["transcripts"]).map_batches(
+        to_docs, batch_format="pyarrow", zero_copy_batch=True)
+    t0 = time.perf_counter()
+    simhash_pairs(ds, max_hamming=2).count()
+    out["simhash_dedup_200k"] = round(time.perf_counter() - t0, 2)
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    sub = qtbl.slice(0, 16)
+    qids = sub.column("vec_id").to_pylist()
+    qm = np.array(sub.column("embedding").to_pylist(), dtype=np.float64)
+    t0 = time.perf_counter()
+    brute_force_topk(emb, qids, qm, k=10).count()
+    out["ann_topk_16q"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
 def main() -> None:
     sf_dir = _sf_dir()
     num_cpus = _num_cpus()
@@ -214,6 +271,7 @@ def main() -> None:
         return
 
     queries = run_queries(sf_dir)
+    ops = run_ops_bench(sf_dir, num_cpus)
     total = round(sum(queries.values()) + streaming["sec"], 3)
     print(json.dumps({
         "metric": "end-to-end windowed-aggregate + join throughput "
@@ -222,6 +280,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "streaming": streaming,
+        "ops": ops,
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }))

@@ -90,7 +90,10 @@ class LangId:
         self.langs = sorted(_LANG_MARKERS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        t = pc.utf8_lower(batch.column(self.text_col))
+        col = batch.column(self.text_col)
+        if pa.types.is_large_string(col.type):
+            col = pc.cast(col, pa.string())  # per-batch, well under 2 GiB
+        t = pc.utf8_lower(col)
         padded = pc.binary_join_element_wise(
             pa.scalar(" "), pc.binary_join_element_wise(t, pa.scalar(" "), ""), ""
         )
