@@ -513,16 +513,22 @@ def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
                 s0, sz = starts[m], sizes[m]
                 ids = ids_np[s0 : s0 + sz]
                 sims = sims_np[s0 : s0 + sz]
-                for i in range(sz):
-                    x = (sims[i] ^ sims[i + 1 :]).astype(np.uint64)
-                    # vectorized popcount via uint8 view + bit_count table
-                    hd = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1) if len(x) else np.array([], dtype=np.int64)
-                    for j, d in enumerate(hd, start=i + 1):
-                        if d <= max_hamming and ids[i] != ids[j]:
-                            lo, hi = sorted((int(ids[i]), int(ids[j])))
-                            a_out.append(lo)
-                            b_out.append(hi)
-                            dist.append(int(d))
+                # jumbo buckets (boilerplate clusters): star pairs against
+                # the min-id representative, linear cost (see minhash)
+                anchor_rows = range(sz) if sz <= 64 else [int(np.argmin(ids))]
+                for i in anchor_rows:
+                    x = (sims[i] ^ sims).astype(np.uint64)
+                    hd = np.unpackbits(
+                        x.view(np.uint8).reshape(len(x), 8), axis=1
+                    ).sum(axis=1)
+                    close = np.nonzero((hd <= max_hamming) & (ids != ids[i]))[0]
+                    for j in close:
+                        if sz <= 64 and j <= i:
+                            continue  # each unordered pair once
+                        lo, hi = sorted((int(ids[i]), int(ids[j])))
+                        a_out.append(lo)
+                        b_out.append(hi)
+                        dist.append(int(hd[j]))
         return pa.table({
             "doc_a": pa.array(a_out, type=pa.int64()),
             "doc_b": pa.array(b_out, type=pa.int64()),
