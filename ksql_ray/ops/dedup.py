@@ -504,7 +504,7 @@ def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
         if "__part" in group.column_names:
             group = group.drop_columns(["__part"])
         tbl, starts, sizes = _bucket_segments(group, ["chunk", "bucket"])
-        a_out, b_out, dist = [], [], []
+        outs_a, outs_b, outs_d = [], [], []
         multi = np.nonzero(sizes >= 2)[0]
         if len(multi):
             ids_np = tbl.column(id_col).to_numpy(zero_copy_only=False)
@@ -521,18 +521,21 @@ def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
                     hd = np.unpackbits(
                         x.view(np.uint8).reshape(len(x), 8), axis=1
                     ).sum(axis=1)
-                    close = np.nonzero((hd <= max_hamming) & (ids != ids[i]))[0]
-                    for j in close:
-                        if sz <= 64 and j <= i:
-                            continue  # each unordered pair once
-                        lo, hi = sorted((int(ids[i]), int(ids[j])))
-                        a_out.append(lo)
-                        b_out.append(hi)
-                        dist.append(int(hd[j]))
+                    close = (hd <= max_hamming) & (ids != ids[i])
+                    if sz <= 64:
+                        close &= np.arange(sz) > i  # each unordered pair once
+                    sel = np.nonzero(close)[0]
+                    if len(sel):
+                        outs_a.append(np.minimum(ids[i], ids[sel]))
+                        outs_b.append(np.maximum(ids[i], ids[sel]))
+                        outs_d.append(hd[sel].astype(np.int64))
+        a = np.concatenate(outs_a) if outs_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(outs_b) if outs_b else np.empty(0, dtype=np.int64)
+        d = np.concatenate(outs_d) if outs_d else np.empty(0, dtype=np.int64)
         return pa.table({
-            "doc_a": pa.array(a_out, type=pa.int64()),
-            "doc_b": pa.array(b_out, type=pa.int64()),
-            "hamming": pa.array(dist, type=pa.int64()),
+            "doc_a": pa.array(a.astype(np.int64)),
+            "doc_b": pa.array(b.astype(np.int64)),
+            "hamming": pa.array(d),
         })
 
     pairs = _partition_by(exploded, ["chunk", "bucket"]).map_groups(
