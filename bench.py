@@ -110,6 +110,11 @@ def run_streaming_headline(sf_dir: str, num_cpus: int) -> dict:
         batch = add_token_count(batch, "text", "token_count")
         return add_quality_score(batch, "text", "quality")
 
+    # declared column contract -> the driver prunes the Parquet read to
+    # (query-needed - produced) | consumed instead of reading every column
+    pre_transform.input_columns = ["text"]
+    pre_transform.output_columns = ["token_count", "quality"]
+
     def make_query():
         return (
             Select(F("conv_id"), F("user_tier"),

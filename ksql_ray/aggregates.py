@@ -95,21 +95,40 @@ class MergeCtx:
     def _seg_extreme(self, name: str, is_min: bool) -> pa.Array:
         """Per-segment min/max: sort rows by (segment, direction-adjusted
         value key, invalids last), take each segment's first row — exact
-        values recovered by position take, no float roundtrip."""
+        values recovered by position take. Integer/timestamp keys use an
+        order-preserving uint64 bias-shift, NEVER a float64 cast (which
+        silently reorders BIGINTs beyond 2^53)."""
         src = self.col(name)
-        v, valid = self.scalar(name)
+        valid = pc.is_valid(src).to_numpy(zero_copy_only=False)
         seg_ids = np.repeat(np.arange(self.n_groups), np.diff(self._bounds))
-        if v.dtype.kind in "iufM":
-            x = v.astype(np.float64)
-            key = np.where(valid, x if is_min else -x, np.inf)
+        t = src.type
+        if (
+            pa.types.is_integer(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_date(t)
+            or pa.types.is_boolean(t)
+        ):
+            c = src if pa.types.is_integer(t) else pc.cast(src, pa.int64())
+            v = pc.fill_null(c, 0).to_numpy(zero_copy_only=False)
+            key = _uint_orderkey(v)
+            if not is_min:
+                key = ~key
+            order = np.lexsort((key, ~valid, seg_ids))
+        elif pa.types.is_floating(t):
+            v = src.to_numpy(zero_copy_only=False).astype(np.float64)
+            key = np.where(valid, v if is_min else -v, np.inf)
+            key = np.where(np.isnan(key), np.inf, key)
+            order = np.lexsort((key, seg_ids))
         else:  # strings/objects: rank-encode the valid values
+            v = src.to_numpy(zero_copy_only=False)
             uniq, inv = np.unique(v[valid].astype(str), return_inverse=True)
             key = np.full(len(v), np.inf)
             key[valid] = inv if is_min else -inv
-        order = np.lexsort((key, seg_ids))
+            order = np.lexsort((key, seg_ids))
+        order = order.astype(np.int64)
         sel = order[self._bounds[:-1]]
         out = src.take(pa.array(sel))
-        nvalid = np.add.reduceat(valid.astype(np.int64), self.seg_starts) if len(v) else np.array([], dtype=np.int64)
+        nvalid = np.add.reduceat(valid.astype(np.int64), self.seg_starts) if len(valid) else np.array([], dtype=np.int64)
         if (nvalid == 0).any():
             m = nvalid == 0
             return pa.array(
@@ -175,6 +194,20 @@ def _np(values: pa.Array) -> np.ndarray:
     return values.to_numpy(zero_copy_only=False)
 
 
+def _np_valid(values: pa.Array) -> np.ndarray:
+    """to_numpy preserving native integer dtype: nulls are filled with 0
+    (callers mask them out) instead of letting numpy promote the whole
+    column to NaN-filled float64, which corrupts BIGINTs beyond 2^53."""
+    t = values.type
+    if pa.types.is_integer(t):
+        return pc.fill_null(values, 0).to_numpy(zero_copy_only=False)
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return pc.fill_null(pc.cast(values, pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        )
+    return values.to_numpy(zero_copy_only=False)
+
+
 def _rebuild_list(values: pa.Array, counts: np.ndarray) -> pa.Array:
     offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
     return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
@@ -189,11 +222,21 @@ def _sort_within_segments(
     return np.lexsort(tuple(reversed(ks)) + (seg,))
 
 
+def _uint_orderkey(v: np.ndarray) -> np.ndarray:
+    """Order-preserving uint64 key for integer/datetime arrays — exact for
+    the full int64 range (no float64 roundtrip)."""
+    if v.dtype.kind == "u":
+        return v.astype(np.uint64)
+    if v.dtype.kind == "M":
+        v = v.astype(np.int64)
+    return v.astype(np.int64).astype(np.uint64) ^ np.uint64(1 << 63)
+
+
 def _negate_for_sort(k: np.ndarray) -> np.ndarray:
-    if k.dtype.kind in "iuf":
-        return -k.astype(np.float64) if k.dtype.kind == "u" else -k
-    if k.dtype.kind == "M":
-        return -k.astype(np.int64)
+    if k.dtype.kind in "iuM":
+        return ~_uint_orderkey(k)  # complement reverses unsigned order
+    if k.dtype.kind == "f":
+        return -k
     uniq, inv = np.unique(k, return_inverse=True)
     return -inv
 
@@ -245,6 +288,12 @@ class AggExpr(Expr):
         """(source column, pa grouped kernel[, options]) entries for the
         per-batch partial. ``a`` is this aggregate's private arg copy."""
         raise NotImplementedError
+
+    def p1_post(self, tbl: pa.Table, a: str) -> pa.Table:
+        """Optional vectorized post-processing of the phase-1 partial table
+        (e.g. compressing a raw value list into a bounded sketch). Must be
+        idempotent w.r.t. schema: repartial() emits the same columns."""
+        return tbl
 
     def finalize(self, ctx: MergeCtx, a: str, ordcols: list[str]):
         """Merged partials (per-segment) -> final column, one row/group."""
@@ -407,7 +456,7 @@ class CollectSet(AggExpr):
         values, offsets = ctx.flat(f"{a}_distinct")
         seg = _segment_ids(offsets)
         mask = pc.is_valid(values).to_numpy(zero_copy_only=False)
-        v_np = _np(values)
+        v_np = _np_valid(values)
         seg_k, v_keep = seg[mask], v_np[mask]
         keep_idx = np.nonzero(mask)[0]
         order = np.lexsort((v_keep, seg_k))
@@ -502,7 +551,7 @@ class TopK(AggExpr):
         seg = _segment_ids(offsets)
         mask = pc.is_valid(values).to_numpy(zero_copy_only=False)
         seg_k = seg[mask]
-        v_k = _np(values)[mask]
+        v_k = _np_valid(values)[mask]
         keep_idx = np.nonzero(mask)[0]
         order = _sort_within_segments(seg_k, [v_k], descending=True)
         seg_s, v_s, idx_s = seg_k[order], v_k[order], keep_idx[order]
@@ -533,10 +582,57 @@ class TopKDistinct(TopK):
     distinct = True
 
 
+def _hist_compress(
+    v_str: np.ndarray, w: np.ndarray, seg: np.ndarray, n_groups: int, buckets: int
+) -> tuple[pa.ListArray, pa.ListArray]:
+    """Merge (value, weight) pairs per segment into ascending distinct
+    values with summed counts, capped at ``buckets`` per segment. Keeping
+    each partial's ``buckets`` smallest distinct values is a correct
+    semilattice: a value dropped from a partial is dominated by >= buckets
+    smaller distinct values there, so it cannot enter the merged top-
+    buckets either. Returns aligned (values list<string>, counts
+    list<int64>) arrays, one list row per segment."""
+    n = len(seg)
+    if n == 0:
+        zero = pa.array(np.zeros(n_groups + 1, dtype=np.int32), type=pa.int32())
+        return (
+            pa.ListArray.from_arrays(zero, pa.array([], type=pa.string())),
+            pa.ListArray.from_arrays(zero, pa.array([], type=pa.int64())),
+        )
+    order = np.lexsort((v_str, seg))
+    seg_s, v_s, w_s = seg[order], v_str[order], w[order]
+    newpair = np.ones(n, dtype=bool)
+    newpair[1:] = (seg_s[1:] != seg_s[:-1]) | (v_s[1:] != v_s[:-1])
+    starts = np.nonzero(newpair)[0]
+    bounds = np.concatenate((starts, [n]))
+    csum = np.concatenate(([0], np.cumsum(w_s)))
+    cnts = csum[bounds[1:]] - csum[bounds[:-1]]
+    pair_seg, pair_val = seg_s[starts], v_s[starts]
+    grp_counts = np.bincount(pair_seg, minlength=n_groups)
+    grp_starts = np.concatenate(([0], np.cumsum(grp_counts)))[:-1]
+    pos = np.arange(len(pair_seg)) - grp_starts[pair_seg]
+    keep = pos < buckets
+    pair_seg, pair_val, cnts = pair_seg[keep], pair_val[keep], cnts[keep]
+    kept = np.bincount(pair_seg, minlength=n_groups)
+    off = pa.array(
+        np.concatenate(([0], np.cumsum(kept))).astype(np.int32), type=pa.int32()
+    )
+    return (
+        pa.ListArray.from_arrays(off, pa.array(pair_val, type=pa.string())),
+        pa.ListArray.from_arrays(off, pa.array(cnts, type=pa.int64())),
+    )
+
+
 class Histogram(AggExpr):
     """HISTOGRAM(col, buckets): value -> count map, capped bucket count
     (ksql/aggregate_fn.go:237-275). Output is MAP<VARCHAR, BIGINT> with
-    keys in ascending order (deterministic)."""
+    keys in ascending order (deterministic).
+
+    Partial format (bounded state): ``{a}_list`` list<string> of ascending
+    distinct values capped at ``buckets`` + aligned ``{a}_hcnt`` list<int64>
+    counts — compressed at phase 1 (p1_post) and kept compressed through
+    every re-merge, so streaming state per (key, window) is O(buckets),
+    never O(rows)."""
 
     fn_name = "histogram"
 
@@ -556,46 +652,43 @@ class Histogram(AggExpr):
     def p1_kernels(self, a):
         return [(a, "list")]
 
-    def finalize(self, ctx, a, ordcols):
-        values, offsets = ctx.flat(f"{a}_list")
-        seg = _segment_ids(offsets)
+    def p1_post(self, tbl, a):
+        name = f"{a}_list"
+        col = tbl.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts.astype(np.float64), nan=0.0).astype(np.int64)
+        values = pc.list_flatten(col)
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        seg = np.repeat(np.arange(tbl.num_rows), counts)
         mask = pc.is_valid(values).to_numpy(zero_copy_only=False)
-        seg_k = seg[mask]
         v_str = _np(pc.cast(values, pa.string()))[mask]
-        n_groups = len(offsets) - 1
-        order = np.lexsort((v_str, seg_k))
-        seg_s, v_s = seg_k[order], v_str[order]
-        n = len(seg_s)
-        if n == 0:
-            mo = np.zeros(n_groups + 1, dtype=np.int32)
-            return pa.MapArray.from_arrays(
-                pa.array(mo, type=pa.int32()),
-                pa.array([], type=pa.string()),
-                pa.array([], type=pa.int64()),
-            )
-        newpair = np.ones(n, dtype=bool)
-        newpair[1:] = (seg_s[1:] != seg_s[:-1]) | (v_s[1:] != v_s[:-1])
-        starts = np.nonzero(newpair)[0]
-        bounds = np.concatenate((starts, [n]))
-        cnts = np.diff(bounds)
-        pair_seg = seg_s[starts]
-        pair_val = v_s[starts]
-        grp_counts = np.bincount(pair_seg, minlength=n_groups)
-        grp_starts = np.concatenate(([0], np.cumsum(grp_counts)))[:-1]
-        pos = np.arange(len(pair_seg)) - grp_starts[pair_seg]
-        keep = pos < self.buckets
-        pair_seg, pair_val, cnts = pair_seg[keep], pair_val[keep], cnts[keep]
-        kept_counts = np.bincount(pair_seg, minlength=n_groups)
-        map_offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+        seg = seg[mask]
+        w = np.ones(len(seg), dtype=np.int64)
+        vals_arr, cnts_arr = _hist_compress(v_str, w, seg, tbl.num_rows, self.buckets)
+        idx = tbl.column_names.index(name)
+        tbl = tbl.set_column(idx, name, vals_arr)
+        return tbl.append_column(f"{a}_hcnt", cnts_arr)
+
+    def _merged(self, ctx, a):
+        values, offsets = ctx.flat(f"{a}_list")
+        wvals, _ = ctx.flat(f"{a}_hcnt")
+        seg = _segment_ids(offsets)
+        v_str = _np(values)
+        w = _np(wvals).astype(np.int64)
+        return _hist_compress(v_str, w, seg, len(offsets) - 1, self.buckets)
+
+    def finalize(self, ctx, a, ordcols):
+        vals_arr, cnts_arr = self._merged(ctx, a)
         return pa.MapArray.from_arrays(
-            pa.array(map_offsets, type=pa.int32()),
-            pa.array(pair_val, type=pa.string()),
-            pa.array(cnts, type=pa.int64()),
+            vals_arr.offsets, vals_arr.values, cnts_arr.values
         )
 
     def repartial(self, ctx, a, ordcols):
-        # raw value concat; bounded-bucket compression happens at finalize
-        return {f"{a}_list": ctx.seg_concat_list(f"{a}_list")}
+        vals_arr, cnts_arr = self._merged(ctx, a)
+        return {f"{a}_list": vals_arr, f"{a}_hcnt": cnts_arr}
 
 
 ALL_AGGREGATES: dict[str, type[AggExpr]] = {

@@ -204,6 +204,7 @@ class GroupByPlan:
         if self.include_ts:
             entries = entries + [("__ts", "max"), ("__ts", "count")]
         partial = pa.TableGroupBy(tmp, self.all_keys, use_threads=False).aggregate(entries)
+        partial = self._apply_p1_post(partial)
         # streaming (include_ts): partition by the group key ONLY (coherent
         # per-key watermark) unless salting is on; bounded: include the
         # window for balance.
@@ -214,6 +215,13 @@ class GroupByPlan:
         )
         part = hash_partition_ids(partial, part_cols, self.num_partitions)
         return partial.append_column("__part", pa.array(part, type=pa.int64()))
+
+    def _apply_p1_post(self, partial: pa.Table) -> pa.Table:
+        """Per-aggregate partial post-processing (e.g. Histogram compresses
+        its raw value list into a bounded (value, count) sketch)."""
+        for a, name in zip(self.aggs, self.agg_names):
+            partial = a.p1_post(partial, name)
+        return partial
 
     # ------------------------------------------------------------------ p2
     def merge_fn(self, part_tbl: pa.Table) -> pa.Table:
@@ -366,6 +374,7 @@ class SessionGroupByPlan(GroupByPlan):
         entries = list(self._p1_entries())
         entries += [("__ts", "min"), ("__ts", "max"), ("__ts", "count")]
         partial = pa.TableGroupBy(tbl, keys, use_threads=False).aggregate(entries)
+        partial = self._apply_p1_post(partial)
         part = hash_partition_ids(partial, self.key_names, self.num_partitions)
         return partial.drop_columns(["__sess"]).append_column(
             "__part", pa.array(part, type=pa.int64())
@@ -397,6 +406,7 @@ class SessionGroupByPlan(GroupByPlan):
         entries = list(self._p1_entries())
         entries += [("__ts", "min"), ("__ts", "max")]
         partial = pa.TableGroupBy(tbl, keys, use_threads=False).aggregate(entries)
+        partial = self._apply_p1_post(partial)
         # feed partials (one per session already) through the standard merge
         inner = GroupByPlan(
             [],  # keys handled manually below

@@ -350,7 +350,12 @@ class InList(Expr):
     def eval(self, batch: Batch):
         v = self.inner.eval(batch)
         m = pc.is_in(v, value_set=pa.array(self.values))
-        return pc.invert(m) if self.negate else m
+        if not self.negate:
+            return m
+        # three-valued logic: NULL NOT IN (...) is NULL (row filtered),
+        # not TRUE — pc.is_in maps null inputs to false, so a plain
+        # invert would leak null rows through WHERE.
+        return pc.if_else(pc.is_valid(v), pc.invert(m), pa.scalar(None, pa.bool_()))
 
     def out_type(self, schema: pa.Schema) -> pa.DataType:
         self.inner.out_type(schema)

@@ -207,22 +207,33 @@ class _TopKAcc(StreamingAcc):
 
 
 class _HistogramAcc(StreamingAcc):
+    """Weighted-count merge of the compressed histogram partials
+    ({a}_list distinct values + {a}_hcnt counts). Pruning to the
+    ``buckets`` smallest keys matches the bounded path's cap and keeps
+    state O(buckets) — correct because every incoming partial is itself
+    capped to its smallest ``buckets`` distinct values (semilattice)."""
+
     def __init__(self, buckets: int):
         self.buckets = buckets
         self.counts: Counter = Counter()
 
+    def _prune(self):
+        if len(self.counts) > self.buckets:
+            keep = sorted(self.counts)[: self.buckets]
+            self.counts = Counter({k: self.counts[k] for k in keep})
+
     def update(self, row, a, ords):
-        for v in row[f"{a}_list"] or []:
+        vals = row.get(f"{a}_list") or []
+        cnts = row.get(f"{a}_hcnt")
+        for i, v in enumerate(vals):
             if v is None:
                 continue
-            s = str(v)
-            if s in self.counts or len(self.counts) < self.buckets:
-                self.counts[s] += 1
+            self.counts[str(v)] += cnts[i] if cnts is not None else 1
+        self._prune()
 
     def merge(self, o):
-        for s, c in o.counts.items():
-            if s in self.counts or len(self.counts) < self.buckets:
-                self.counts[s] += c
+        self.counts.update(o.counts)
+        self._prune()
 
     def result(self):
         return dict(sorted(self.counts.items()))

@@ -454,11 +454,29 @@ class StreamingJob:
         else:
             self.finalizer = base_finalizer
 
-        # column pruning at the read (same rule as the bounded engine);
-        # a pre_transform may need any column, so pruning is disabled then
-        self.columns = None if pre_transform else (eng._needed_columns(builder, rel, aggs) or None)
+        # column pruning at the read (same rule as the bounded engine).
+        # A pre_transform may consume columns the query never names and
+        # produce columns not in the file, so pruning needs its declared
+        # contract: read = (query-needed - produced) | consumed. Without
+        # declared `input_columns`/`output_columns` attributes, pruning is
+        # disabled (the UDF is a black box).
+        needed = eng._needed_columns(builder, rel, aggs)
+        if pre_transform is None:
+            self.columns = needed or None
+        else:
+            in_cols = getattr(pre_transform, "input_columns", None)
+            out_cols = getattr(pre_transform, "output_columns", None)
+            if needed and in_cols is not None and out_cols is not None:
+                want = (set(needed) - set(out_cols)) | set(in_cols)
+                self.columns = [n for n in rel.schema.names if n in want] or None
+            else:
+                self.columns = None
 
-        key_types = [e.out_type(schema) for e in builder.groupby]
+        # key_types must align with plan.key_names, which are derived from
+        # physical_groupby (deferred-PK group keys are dropped there); using
+        # builder.groupby here mis-zips types when a dropped key precedes a
+        # kept one.
+        key_types = [e.out_type(schema) for e in physical_groupby]
         agg_types = [a.out_type(schema) for a in aggs]
         if isinstance(builder.window, Session):
             spec = {

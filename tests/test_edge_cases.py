@@ -169,3 +169,60 @@ def test_json_and_csv_sources(tmp_path, ray_session):
              .From(Schema(name)).GroupBy(F("k")))
         got = {r["k"]: r["s"] for r in eng.table(q).to_pylist()}
         assert got == {"a": 4, "b": 2}
+
+
+def test_bigint_min_max_exact(tmp_path, ray_session):
+    # MIN/MAX over BIGINTs beyond 2^53 must be exact — a float64 sort key
+    # cannot distinguish 2^53 and 2^53+1 (ADVICE r1, aggregates._seg_extreme)
+    big = 1 << 53
+    tbl = pa.table({
+        "k": pa.array(["g"] * 4, type=pa.string()),
+        "v": pa.array([big + 1, big, -big - 1, -big], type=pa.int64()),
+        "ts": pa.array([1_000_000_000_000_000 + i for i in range(4)],
+                       type=pa.timestamp("us")),
+        "ord": pa.array(list(range(4)), type=pa.int64()),
+    })
+    p = str(tmp_path / "big.parquet")
+    pq.write_table(tbl, p)
+    cat = Catalog()
+    cat.create(Relation("big", Ref.STREAM, tbl.schema, path=p,
+                        timestamp_col="ts", order_cols=["ord"]))
+    eng = Engine(cat, num_partitions=2)
+    q = (Select(F("k"), Min(F("v")).As("mn"), Max(F("v")).As("mx"),
+                TopK(F("v"), 2).As("tk"))
+         .From(Schema("big")).GroupBy(F("k")).EmitChanges())
+    rows = eng.table(q).to_pylist()
+    assert rows == [{"k": "g", "mn": -big - 1, "mx": big + 1,
+                     "tk": [big + 1, big]}]
+
+
+def test_histogram_partial_is_bounded(ray_session):
+    # streaming state for HISTOGRAM must be O(buckets) per key, not O(rows):
+    # the phase-1 partial is compressed to (value, count) pairs and every
+    # re-merge keeps it compressed (ADVICE r1, Histogram.repartial)
+    from ksql_ray.aggregates import Histogram
+    from ksql_ray.exec.groupby import GroupByPlan
+
+    h = Histogram(F("v"), 3)
+    plan = GroupByPlan([F("k")], [h], [], None, "ts",
+                       num_partitions=2, include_ts=True)
+    n = 10_000
+    batch = pa.table({
+        "k": pa.array(["a"] * n, type=pa.string()),
+        "v": pa.array([f"w{i % 50:02d}" for i in range(n)], type=pa.string()),
+        "ts": pa.array([1_000_000_000_000_000 + i for i in range(n)],
+                       type=pa.timestamp("us")),
+    })
+    partial = plan.partial_fn(batch)
+    # one partial row for the single key; its value list holds at most
+    # `buckets` compressed pairs, never the 10k raw values
+    lst = partial.column("__a0_list").to_pylist()[0]
+    cnts = partial.column("__a0_hcnt").to_pylist()[0]
+    assert len(lst) == 3 and lst == ["w00", "w01", "w02"]
+    assert cnts == [200, 200, 200]
+    # re-merge keeps it compressed and counts exact
+    merged = plan.remerge_fn(pa.concat_tables([partial, partial]))
+    assert merged.column("__a0_hcnt").to_pylist()[0] == [400, 400, 400]
+    final = plan.merge_fn(pa.concat_tables([partial, partial]))
+    hist = final.column("__agg0").to_pylist()[0]
+    assert dict(hist) == {"w00": 400, "w01": 400, "w02": 400}

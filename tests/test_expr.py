@@ -53,7 +53,9 @@ def test_bool_tests():
 
 def test_in_notin():
     assert F("s").In("a", "d").eval(BATCH).to_pylist() == [True, False, False, True]
-    assert F("s").NotIn("a", "d").eval(BATCH).to_pylist() == [False, True, True, False]
+    # three-valued logic: NULL NOT IN (...) is NULL, never TRUE — the row
+    # must be filtered by WHERE (SQL/ksqlDB semantics)
+    assert F("s").NotIn("a", "d").eval(BATCH).to_pylist() == [False, True, None, False]
     with pytest.raises(TypeError_):
         F("s").In()
 
