@@ -184,9 +184,20 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         f"/tmp/ksql_ray_transcripts_{n_docs}", n_turns=n_docs, seed=42, n_files=16
     )
 
+    import pandas as pd
+    import pyarrow.compute as pc
+
     def to_docs(batch: pa.Table) -> pa.Table:
+        # globally-unique content-derived doc ids (a per-batch arange
+        # repeats across files and breaks id-keyed dedup joins)
+        key = pc.binary_join_element_wise(
+            batch.column("conv_id"), pc.cast(batch.column("turn_idx"), pa.string()), ":"
+        )
+        ids = pd.util.hash_array(
+            key.combine_chunks().to_numpy(zero_copy_only=False)
+        ).view(np.int64)
         return pa.table({
-            "doc_id": pa.array(np.arange(batch.num_rows), type=pa.int64()),
+            "doc_id": pa.array(ids),
             "text": batch.column("text"),
         })
 
@@ -200,8 +211,14 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     ds = ray.data.read_parquet(paths["transcripts"]).map_batches(
         to_docs, batch_format="pyarrow", zero_copy_batch=True)
     t0 = time.perf_counter()
-    minhash_dedup_pairs(ds, threshold=0.8).count()
+    minhash_dedup_pairs(ds, threshold=0.8, verify="est").count()
     out["minhash_dedup_200k"] = round(time.perf_counter() - t0, 2)
+
+    ds = ray.data.read_parquet(paths["transcripts"]).map_batches(
+        to_docs, batch_format="pyarrow", zero_copy_batch=True)
+    t0 = time.perf_counter()
+    minhash_dedup_pairs(ds, threshold=0.8, verify="exact").count()
+    out["minhash_exact_dedup_200k"] = round(time.perf_counter() - t0, 2)
 
     ds = ray.data.read_parquet(paths["transcripts"]).map_batches(
         to_docs, batch_format="pyarrow", zero_copy_batch=True)

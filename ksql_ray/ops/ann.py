@@ -8,9 +8,19 @@ Two paths (SURVEY-mandated additions for training-data pipelines):
   final small merge keeps the global top-k per query. At 100 TB the
   shuffle carries only (query, candidate, score) partials capped at
   k rows per (query, batch).
-* **IVF (LSH-bucketed) variant** (the scale path): vectors are bucketed
-  by seeded sign-LSH; queries probe only their own bucket(s), so each
-  batch compares against a fraction of the corpus.
+* **IVF (multi-table sign-LSH) variant** (the scale path): corpus vectors
+  are bucketed by ``n_tables`` independent tables of seeded hyperplanes;
+  each query probes its own bucket per table (plus optional Hamming-ball
+  neighbors), so each batch compares against a corpus fraction. Recall is
+  tunable via (n_planes, n_tables, probe_radius); with generous probing
+  it converges to the exact answer (pytest + the driver gate pin that
+  regime on the fixture).
+
+Embedding columns are decoded zero-copy (FixedSizeList/List flatten ->
+reshape, ops.vectors.vecs_np) — never ``to_pylist()`` (a per-row Python
+loop, the round-1 bench's weak spot). Both stages are callable CLASSES:
+the query broadcast is resolved once per actor in ``__init__``, never
+``ray.get`` inside the per-batch path (recorded perf lesson #2).
 """
 
 from __future__ import annotations
@@ -20,10 +30,30 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .vectors import normalize_rows, vecs_np
 
-def _normalize(m: np.ndarray) -> np.ndarray:
-    n = np.linalg.norm(m, axis=1, keepdims=True)
-    return m / np.where(n == 0, 1, n)
+
+def _topk_partial_table(qids: np.ndarray, ids: np.ndarray, sims: np.ndarray, k: int) -> pa.Table:
+    """Vectorized per-batch partial: top-k columns per query row ->
+    (query_id, vec_id, cosine) rows, -inf (masked) entries dropped."""
+    n_q, n_b = sims.shape
+    k = min(k, n_b)
+    if k == 0:
+        return pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        })
+    top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+    rows = np.repeat(np.arange(n_q), k)
+    cols = top.reshape(-1)
+    vals = sims[rows, cols]
+    keep = np.isfinite(vals)
+    return pa.table({
+        "query_id": pa.array(np.asarray(qids)[rows[keep]].astype(np.int64)),
+        "vec_id": pa.array(ids[cols[keep]].astype(np.int64)),
+        "cosine": pa.array(vals[keep], type=pa.float64()),
+    })
 
 
 class BruteForceTopK:
@@ -32,40 +62,42 @@ class BruteForceTopK:
 
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self.qids = q["ids"]
+        self.qids = np.asarray(q["ids"])
         self.qm = q["matrix"]  # already normalized, (n_q, dim)
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float64)
+        emb = vecs_np(batch.column(self.vec_col))
         if emb.size == 0:
             return pa.table({
                 "query_id": pa.array([], type=pa.int64()),
                 "vec_id": pa.array([], type=pa.int64()),
                 "cosine": pa.array([], type=pa.float64()),
             })
-        emb = _normalize(emb)
+        emb = normalize_rows(emb)
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         sims = self.qm @ emb.T  # (n_q, n_batch)
-        # mask self-matches
-        for qi, qid in enumerate(self.qids):
-            sims[qi, ids == qid] = -np.inf
-        k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        q_out, v_out, c_out = [], [], []
-        for qi in range(sims.shape[0]):
-            for j in top[qi]:
-                if np.isfinite(sims[qi, j]):
-                    q_out.append(int(self.qids[qi]))
-                    v_out.append(int(ids[j]))
-                    c_out.append(float(sims[qi, j]))
+        # mask self-matches, vectorized
+        self_mask = self.qids[:, None] == ids[None, :]
+        sims[self_mask] = -np.inf
+        return _topk_partial_table(self.qids, ids, sims, self.k)
+
+
+def _merge_topk_fn(k: int):
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        cos = group.column("cosine").to_numpy(zero_copy_only=False)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -cos))[:k]
         return pa.table({
-            "query_id": pa.array(q_out, type=pa.int64()),
-            "vec_id": pa.array(v_out, type=pa.int64()),
-            "cosine": pa.array(c_out, type=pa.float64()),
+            "query_id": pa.array([qid] * len(order), type=pa.int64()),
+            "vec_id": pa.array(vid[order], type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
         })
+
+    return merge
 
 
 def brute_force_topk(
@@ -78,27 +110,105 @@ def brute_force_topk(
 ) -> ray.data.Dataset:
     """-> (query_id, vec_id, rank) global top-k per query (rank 1 = best,
     cosine desc, vec_id asc tiebreak)."""
-    qref = ray.put({"ids": np.asarray(query_ids), "matrix": _normalize(np.asarray(query_matrix, dtype=np.float64))})
-
+    qref = ray.put({
+        "ids": np.asarray(query_ids),
+        "matrix": normalize_rows(np.asarray(query_matrix, dtype=np.float64)),
+    })
     partials = ds.map_batches(
         BruteForceTopK,
         fn_constructor_kwargs={"queries_ref": qref, "k": k, "id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+    return partials.groupby("query_id").map_groups(
+        _merge_topk_fn(k), batch_format="pyarrow"
+    )
 
-    def merge(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        cos = group.column("cosine").to_numpy(zero_copy_only=False)
-        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((vid, -cos))[:k]
-        return pa.table({
-            "query_id": pa.array([qid] * len(order), type=pa.int64()),
-            "vec_id": pa.array(vid[order], type=pa.int64()),
-            "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
-        })
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+class IVFTopK:
+    """Actor-pool probe stage. __init__ resolves the broadcast query
+    bundle and precomputes, per LSH table, the bucket -> query-indices
+    probe map (each query probes its own bucket plus the Hamming ball of
+    ``probe_radius``). __call__ buckets the batch per table and matmuls
+    each probed subset."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str,
+                 n_planes: int, n_tables: int, probe_radius: int, seed: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = np.asarray(q["ids"])
+        self.qm = q["matrix"]
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        dim = self.qm.shape[1]
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_tables * n_planes))
+        shifts = np.arange(n_planes, dtype=np.uint64)
+        qsigns = (self.qm @ self.planes > 0).astype(np.uint64).reshape(
+            len(self.qids), n_tables, n_planes
+        )
+        qb = (qsigns << shifts).sum(axis=2, dtype=np.uint64)  # (n_q, n_tables)
+        # Hamming-ball probe masks per table
+        balls = [np.uint64(0)]
+        if probe_radius >= 1:
+            balls += [np.uint64(1) << np.uint64(j) for j in range(n_planes)]
+        if probe_radius >= 2:
+            balls += [
+                (np.uint64(1) << np.uint64(i)) | (np.uint64(1) << np.uint64(j))
+                for i in range(n_planes) for j in range(i + 1, n_planes)
+            ]
+        self.by_table: list[dict[int, np.ndarray]] = []
+        for t in range(n_tables):
+            m: dict[int, list[int]] = {}
+            for qi in range(len(self.qids)):
+                for d in balls:
+                    m.setdefault(int(qb[qi, t] ^ d), []).append(qi)
+            self.by_table.append({b: np.array(v) for b, v in m.items()})
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = vecs_np(batch.column(self.vec_col))
+        outs = []
+        if emb.size:
+            emb = normalize_rows(emb)
+            ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+            n = len(ids)
+            signs = (emb @ self.planes > 0).astype(np.uint64).reshape(
+                n, self.n_tables, self.n_planes
+            )
+            shifts = np.arange(self.n_planes, dtype=np.uint64)
+            vb = (signs << shifts).sum(axis=2, dtype=np.uint64)  # (n, n_tables)
+            # a (query, vector) pair may collide in several tables; compare once
+            seen = np.zeros((len(self.qids), n), dtype=bool)
+            for t in range(self.n_tables):
+                probe_map = self.by_table[t]
+                col = vb[:, t]
+                order = np.argsort(col, kind="stable")
+                sorted_b = col[order]
+                uniq, starts = np.unique(sorted_b, return_index=True)
+                bounds = np.concatenate((starts, [n]))
+                for u_idx, b in enumerate(uniq):
+                    qidx = probe_map.get(int(b))
+                    if qidx is None:
+                        continue
+                    rows = order[bounds[u_idx] : bounds[u_idx + 1]]
+                    fresh = ~seen[np.ix_(qidx, rows)]
+                    if not fresh.any():
+                        continue
+                    seen[np.ix_(qidx, rows)] = True
+                    sims = self.qm[qidx] @ emb[rows].T
+                    sims[~fresh] = -np.inf
+                    sims[self.qids[qidx][:, None] == ids[rows][None, :]] = -np.inf
+                    outs.append(_topk_partial_table(self.qids[qidx], ids[rows], sims, self.k))
+        nonempty = [t for t in outs if t.num_rows]
+        if not nonempty:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            })
+        return pa.concat_tables(nonempty)
 
 
 def ivf_topk(
@@ -107,68 +217,29 @@ def ivf_topk(
     query_matrix: np.ndarray,
     k: int = 10,
     n_planes: int = 6,
+    n_tables: int = 1,
+    probe_radius: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> ray.data.Dataset:
-    """Scale path: sign-LSH bucket both corpus and queries; compare only
-    within matching buckets (approximate — recall < 1)."""
-    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
-    rng = np.random.default_rng(seed)
-    dim = qm.shape[1]
-    planes = rng.standard_normal((dim, n_planes))
-
-    def q_bucket(m):
-        s = (m @ planes > 0).astype(np.uint64)
-        return (s << np.arange(n_planes, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
-
-    qb = q_bucket(qm)
-    # multi-probe: each query also probes every bucket at Hamming distance 1
-    # from its own (recall boost at (n_planes+1)x probe cost)
-    by_bucket: dict[int, list[int]] = {}
-    for qi, b in enumerate(qb):
-        probes = {int(b)} | {int(b) ^ (1 << j) for j in range(n_planes)}
-        for pb in probes:
-            by_bucket.setdefault(pb, []).append(qi)
-    qref = ray.put({"ids": np.asarray(query_ids), "matrix": qm, "by_bucket": by_bucket})
-
-    def probe(batch: pa.Table) -> pa.Table:
-        q = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
-        emb = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        out_q, out_v, out_c = [], [], []
-        if emb.size:
-            emb = _normalize(emb)
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            buckets = q_bucket(emb)
-            for b, qidx in q["by_bucket"].items():
-                mask = buckets == b
-                if not mask.any():
-                    continue
-                sub, sub_ids = emb[mask], ids[mask]
-                sims = q["matrix"][qidx] @ sub.T
-                for row, qi in enumerate(qidx):
-                    for j in np.argsort(-sims[row])[:k]:
-                        if sub_ids[j] != q["ids"][qi]:
-                            out_q.append(int(q["ids"][qi]))
-                            out_v.append(int(sub_ids[j]))
-                            out_c.append(float(sims[row, j]))
-        return pa.table({
-            "query_id": pa.array(out_q, type=pa.int64()),
-            "vec_id": pa.array(out_v, type=pa.int64()),
-            "cosine": pa.array(out_c, type=pa.float64()),
-        })
-
-    partials = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
-
-    def merge(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        cos = group.column("cosine").to_numpy(zero_copy_only=False)
-        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((vid, -cos))[:k]
-        return pa.table({
-            "query_id": pa.array([qid] * len(order), type=pa.int64()),
-            "vec_id": pa.array(vid[order], type=pa.int64()),
-            "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
-        })
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    """Scale path: multi-table sign-LSH bucket both corpus and queries;
+    compare only within probed buckets (approximate — recall tunable via
+    n_planes / n_tables / probe_radius, see IVFTopK)."""
+    qref = ray.put({
+        "ids": np.asarray(query_ids),
+        "matrix": normalize_rows(np.asarray(query_matrix, dtype=np.float64)),
+    })
+    partials = ds.map_batches(
+        IVFTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref, "k": k, "id_col": id_col, "vec_col": vec_col,
+            "n_planes": n_planes, "n_tables": n_tables,
+            "probe_radius": probe_radius, "seed": seed,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return partials.groupby("query_id").map_groups(
+        _merge_topk_fn(k), batch_format="pyarrow"
+    )

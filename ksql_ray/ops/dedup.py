@@ -32,16 +32,23 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 # ---------------------------------------------------------------- exact
 def exact_dedup_keys(ds: ray.data.Dataset, id_col: str = "doc_id",
-                     text_col: str = "text") -> ray.data.Dataset:
+                     text_col: str = "text",
+                     fingerprint: str = "md5") -> ray.data.Dataset:
     """-> (fingerprint h, doc_id keeper, dup_count) one row per distinct
     document text. Distributed: digest in map_batches, then a two-phase
-    min/count groupby on the digest."""
+    min/count groupby on the digest. ``fingerprint="fast"`` swaps the
+    per-row md5 loop for the vectorized 64-bit hash (the scale path —
+    exact dedup only needs equality); "md5" keeps the hex digest the
+    DuckDB oracle reproduces."""
     from ..aggregates import Count, Min
     from ..exec.groupby import GroupByPlan
     from ..expr import F
+    from .text import add_fast_fingerprint
+
+    fp = add_fast_fingerprint if fingerprint == "fast" else add_fingerprint
 
     def digest(batch: pa.Table) -> pa.Table:
-        b = add_fingerprint(batch.select([id_col, text_col]), text_col, "h")
+        b = fp(batch.select([id_col, text_col]), text_col, "h")
         return b.drop_columns([text_col])
 
     hashed = ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
@@ -188,139 +195,20 @@ def _minhash_signatures(flat: np.ndarray, offsets: np.ndarray, num_hashes: int =
     return sig
 
 
-def minhash_stage(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text",
-                  num_hashes: int = 64, bands: int = 16, ngram: int = 3,
-                  seed: int = 42) -> pa.Table:
-    """map_batches stage: doc -> `bands` rows of (band, bucket_hash, doc_id,
-    signature). Bucket co-location happens in the downstream groupby."""
-    texts = batch.column(text_col)
-    ids = batch.column(id_col)
-    flat, offsets = _word_ngram_hashes(texts, ngram)
-    sig = _minhash_signatures(flat, offsets, num_hashes, seed)
-    n_docs, rows_per_band = len(texts), num_hashes // bands
-    band_ids = np.repeat(np.arange(bands), n_docs)
-    doc_idx = np.tile(np.arange(n_docs), bands)
-    band_sig = sig.reshape(n_docs, bands, rows_per_band)
-    # bucket hash per (doc, band): FNV-combine the band's rows
-    bucket = np.zeros((n_docs, bands), dtype=np.uint64)
-    for r in range(rows_per_band):
-        bucket = (bucket * np.uint64(31) + band_sig[:, :, r]) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    out = pa.table({
-        "band": pa.array(band_ids, type=pa.int32()),
-        "bucket": pa.array(bucket.T.reshape(-1).view(np.int64)),
-        id_col: ids.take(pa.array(doc_idx)),
-        "sig": pa.FixedSizeListArray.from_arrays(
-            pa.array(sig[doc_idx].reshape(-1).view(np.int64)), num_hashes
-        ),
-    })
-    return out
+def _candidate_pairs_fn(key_cols: list[str], id_col: str,
+                        max_full_pairwise: int = 64):
+    """map_groups closure over one PARTITION of bucket rows: vectorized
+    pair generation inside multi-member buckets. Jumbo buckets
+    (> max_full_pairwise members — spam/boilerplate clusters) emit STAR
+    pairs (min id vs each member, linear) instead of the quadratic
+    all-pairs set: the cluster stays dedupable through its representative,
+    and cost stays linear in bucket size (the production LSH-dedup
+    pattern)."""
 
-
-def minhash_candidate_pairs(group: pa.Table, id_col: str = "doc_id",
-                            threshold: float = 0.7) -> pa.Table:
-    """One PARTITION of (band, bucket) rows: pairs are generated only
-    inside multi-member buckets (rare), scored by signature agreement."""
-    if "__part" in group.column_names:
-        group = group.drop_columns(["__part"])
-    tbl, starts, sizes = _bucket_segments(group, ["band", "bucket"])
-    a_out, b_out, est = [], [], []
-    multi = np.nonzero(sizes >= 2)[0]
-    if len(multi):
-        ids_np = tbl.column(id_col).to_numpy(zero_copy_only=False)
-        sig_col = tbl.column("sig")
-        if isinstance(sig_col, pa.ChunkedArray):
-            sig_col = sig_col.combine_chunks()
-        width = sig_col.type.list_size
-        sig_all = sig_col.flatten().to_numpy(zero_copy_only=False).reshape(-1, width)
-        for m in multi:
-            s0, sz = starts[m], sizes[m]
-            ids = ids_np[s0 : s0 + sz]
-            sigs = sig_all[s0 : s0 + sz]
-            for i in range(sz):
-                agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-                for j, e in enumerate(agree, start=i + 1):
-                    if e >= threshold and ids[i] != ids[j]:
-                        lo, hi = sorted((int(ids[i]), int(ids[j])))
-                        a_out.append(lo)
-                        b_out.append(hi)
-                        est.append(float(e))
-    return pa.table({
-        "doc_a": pa.array(a_out, type=pa.int64()),
-        "doc_b": pa.array(b_out, type=pa.int64()),
-        "est_jaccard": pa.array(est, type=pa.float64()),
-    })
-
-
-def minhash_dedup_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
-                        text_col: str = "text", threshold: float = 0.7,
-                        num_hashes: int = 64, bands: int = 16,
-                        seed: int = 42) -> ray.data.Dataset:
-    """Full MinHash-LSH near-dup pipeline -> distinct candidate pairs.
-
-    Scale shape: signatures are computed ONCE per doc; the bucket shuffle
-    carries only (band, bucket, doc_id) — 24 bytes/row, never the 64-hash
-    signature (shipping sigs per band row was 16x redundant, measured).
-    Candidate pairs (post bucket-collision + distinct) are scored against
-    a broadcast signature matrix (`ray.put` once; at multi-node scale,
-    shard the matrix per node the same way)."""
-    import ray as _ray
-
-    def sig_stage(batch: pa.Table) -> pa.Table:
-        flat, offsets = _word_ngram_hashes(batch.column(text_col), 3)
-        sig = _minhash_signatures(flat, offsets, num_hashes, seed)
-        n_docs = batch.num_rows
-        return pa.table({
-            id_col: batch.column(id_col),
-            "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(sig.reshape(-1).view(np.int64)), num_hashes
-            ),
-        })
-
-    sig_ds = ds.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True)
-    sig_tbl = pa.concat_tables(
-        [t for t in _ray.get(sig_ds.to_arrow_refs()) if t.num_columns],
-        promote_options="permissive",
-    )
-    ids_np = sig_tbl.column(id_col).to_numpy(zero_copy_only=False)
-    order = np.argsort(ids_np, kind="stable")
-    sorted_ids = ids_np[order]
-    sc = sig_tbl.column("sig")
-    if isinstance(sc, pa.ChunkedArray):
-        sc = sc.combine_chunks()
-    sig_mat = sc.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_hashes)[order]
-    sig_ref = _ray.put({"ids": sorted_ids, "mat": sig_mat})
-
-    rows_per_band = num_hashes // bands
-
-    def bucket_stage(batch: pa.Table) -> pa.Table:
-        scol = batch.column("sig")
-        if isinstance(scol, pa.ChunkedArray):
-            scol = scol.combine_chunks()
-        n_docs = batch.num_rows
-        sig = scol.flatten().to_numpy(zero_copy_only=False).reshape(n_docs, num_hashes)
-        band_sig = sig.view(np.uint64).reshape(n_docs, bands, rows_per_band)
-        bucket = np.zeros((n_docs, bands), dtype=np.uint64)
-        for r in range(rows_per_band):
-            bucket = bucket * np.uint64(31) + band_sig[:, :, r]
-        return pa.table({
-            "band": pa.array(np.repeat(np.arange(bands), n_docs), type=pa.int32()),
-            "bucket": pa.array(bucket.T.reshape(-1).view(np.int64)),
-            id_col: batch.column(id_col).take(
-                pa.array(np.tile(np.arange(n_docs), bands))
-            ),
-        })
-
-    buckets = sig_ds.map_batches(bucket_stage, batch_format="pyarrow", zero_copy_batch=True)
-
-    def candidates(group: pa.Table, max_full_pairwise: int = 64) -> pa.Table:
-        """Vectorized pair generation. Jumbo buckets (> max_full_pairwise
-        members — spam/boilerplate clusters) emit STAR pairs (min id vs
-        each member, linear) instead of the quadratic all-pairs set: the
-        cluster stays dedupable through its representative, and cost stays
-        linear in bucket size (the production LSH-dedup pattern)."""
+    def candidates(group: pa.Table) -> pa.Table:
         if "__part" in group.column_names:
             group = group.drop_columns(["__part"])
-        tbl, starts, sizes = _bucket_segments(group, ["band", "bucket"])
+        tbl, starts, sizes = _bucket_segments(group, key_cols)
         outs_a, outs_b = [], []
         multi = np.nonzero(sizes >= 2)[0]
         if len(multi):
@@ -345,114 +233,284 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
             "doc_b": pa.array(b.astype(np.int64)),
         })
 
-    cands = _partition_by(buckets, ["band", "bucket"]).map_groups(
-        candidates, batch_format="pyarrow"
-    )
+    return candidates
 
-    def score(batch: pa.Table) -> pa.Table:
-        if "__part" in batch.column_names:
-            batch = batch.drop_columns(["__part"])
-        if batch.num_rows == 0:
+
+def _score_via_store(cands: ray.data.Dataset, store: ray.data.Dataset,
+                     id_col: str, score_fn, num_partitions: int = 32):
+    """Distributed pair scoring WITHOUT any driver-side materialization:
+
+      1. candidate pairs are globally deduped (hash-partitioned by pair),
+         then exploded into two (key=doc, doc_a, doc_b) side rows;
+      2. a hash-shuffle JOIN against the doc store attaches each side's
+         payload (signature / shingle set / vector as packed binary);
+      3. pairs are re-co-located by (doc_a, doc_b) and ``score_fn``
+         scores each 2-row pair segment vectorized.
+
+    The store never leaves the object store as one object — at 10^10 docs
+    it stays sharded across the cluster and only the candidate docs'
+    payloads (rare) ride the pair shuffle."""
+
+    def dedup_explode(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
             return pa.table({
+                "key": pa.array([], type=pa.int64()),
                 "doc_a": pa.array([], type=pa.int64()),
                 "doc_b": pa.array([], type=pa.int64()),
-                "est_jaccard": pa.array([], type=pa.float64()),
             })
-        # distinct pairs within this partition (same pair from many bands)
-        gb = pa.TableGroupBy(batch, ["doc_a", "doc_b"], use_threads=False)
+        gb = pa.TableGroupBy(group, ["doc_a", "doc_b"], use_threads=False)
         dedup = gb.aggregate([])
         a = dedup.column("doc_a").to_numpy(zero_copy_only=False)
         b = dedup.column("doc_b").to_numpy(zero_copy_only=False)
-        sigd = _ray.get(sig_ref) if isinstance(sig_ref, _ray.ObjectRef) else sig_ref
-        ia = np.searchsorted(sigd["ids"], a)
-        ib = np.searchsorted(sigd["ids"], b)
-        est = (sigd["mat"][ia] == sigd["mat"][ib]).mean(axis=1)
+        return pa.table({
+            "key": pa.array(np.concatenate((a, b)).astype(np.int64)),
+            "doc_a": pa.array(np.concatenate((a, a)).astype(np.int64)),
+            "doc_b": pa.array(np.concatenate((b, b)).astype(np.int64)),
+        })
+
+    sides = _partition_by(cands, ["doc_a", "doc_b"], num_partitions).map_groups(
+        dedup_explode, batch_format="pyarrow"
+    )
+    # the hash-shuffle join spawns one aggregator ACTOR per partition,
+    # each reserving a CPU — more partitions than cluster CPUs deadlocks
+    # the actor pool (observed under the 4-CPU test fixture)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    join_parts = max(2, min(num_partitions, ncpu // 2))
+    joined = sides.join(
+        store, "inner", join_parts, on=("key",), right_on=(id_col,)
+    )
+    return _partition_by(joined, ["doc_a", "doc_b"], num_partitions).map_groups(
+        score_fn, batch_format="pyarrow"
+    )
+
+
+def _pair_segments(group: pa.Table):
+    """Sort a scored-join partition by (doc_a, doc_b); return the rows of
+    complete 2-row pair segments (side a first) or None if empty."""
+    if "__part" in group.column_names:
+        group = group.drop_columns(["__part"])
+    if group.num_rows == 0:
+        return None
+    si = pc.sort_indices(group, sort_keys=[
+        ("doc_a", "ascending"), ("doc_b", "ascending"), ("key", "ascending")
+    ])
+    tbl = group.take(si)
+    a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
+    b = tbl.column("doc_b").to_numpy(zero_copy_only=False)
+    n = len(a)
+    new = np.ones(n, dtype=bool)
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    seg_id = np.cumsum(new) - 1
+    sizes = np.bincount(seg_id)
+    keep_seg = sizes == 2  # both sides found in the store
+    keep = keep_seg[seg_id]
+    if not keep.any():
+        return None
+    return tbl.filter(pa.array(keep))
+
+
+def _mh_store_stage(batch: pa.Table, id_col: str, text_col: str, ngram: int,
+                    num_hashes: int, seed: int, with_shingles: bool) -> pa.Table:
+    """Doc store row: (doc_id, sig packed binary[, shingles packed binary
+    of the SORTED-UNIQUE shingle hashes]). One row per doc; computed once."""
+    from .vectors import pack_u64_rows, pack_u64_var
+
+    texts = batch.column(text_col)
+    flat, offsets = _word_ngram_hashes(texts, ngram)
+    sig = _minhash_signatures(flat, offsets, num_hashes, seed)
+    cols: dict = {
+        id_col: batch.column(id_col),
+        "sig": pack_u64_rows(sig),
+    }
+    if with_shingles:
+        n_docs = batch.num_rows
+        doc_ids = np.repeat(np.arange(n_docs), np.diff(offsets))
+        order = np.lexsort((flat, doc_ids))
+        d_s, v_s = doc_ids[order], flat[order]
+        uniq = np.ones(len(v_s), dtype=bool)
+        if len(v_s) > 1:
+            uniq[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+        u_docs, u_vals = d_s[uniq], v_s[uniq]
+        counts = np.bincount(u_docs, minlength=n_docs)
+        cols["shingles"] = pack_u64_var(u_vals, counts)
+    return pa.table(cols)
+
+
+def _band_rows_fn(id_col: str, num_hashes: int, bands: int):
+    """Bucket rows from the doc store: (band, bucket, doc_id) ONLY —
+    20 bytes/row through the shuffle, never the signature (shipping sigs
+    per band row was 16x redundant, measured round 1)."""
+    from .vectors import unpack_u64
+
+    rows_per_band = num_hashes // bands
+
+    def bucket_stage(batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        flat, _ = unpack_u64(batch.column("sig"))
+        sig = flat.reshape(n_docs, num_hashes)
+        band_sig = sig.reshape(n_docs, bands, rows_per_band)
+        bucket = np.zeros((n_docs, bands), dtype=np.uint64)
+        for r in range(rows_per_band):
+            bucket = bucket * np.uint64(31) + band_sig[:, :, r]
+        return pa.table({
+            "band": pa.array(np.repeat(np.arange(bands), n_docs), type=pa.int32()),
+            "bucket": pa.array(bucket.T.reshape(-1).view(np.int64)),
+            id_col: batch.column(id_col).take(
+                pa.array(np.tile(np.arange(n_docs), bands))
+            ),
+        })
+
+    return bucket_stage
+
+
+def _exact_jaccard_of_pairs(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """tbl = 2k rows (pair segments of 2, sorted). Returns (doc_a, doc_b,
+    jaccard) per pair — sorted-array intersection via one lexsort over the
+    flattened shingle values, no per-pair Python set ops."""
+    from .vectors import unpack_u64
+
+    a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
+    b = tbl.column("doc_b").to_numpy(zero_copy_only=False)
+    flat, counts = unpack_u64(tbl.column("shingles"))
+    n_rows = len(a)
+    pair_of_row = np.arange(n_rows) // 2
+    rep = np.repeat(pair_of_row, counts)
+    order = np.lexsort((flat, rep))
+    rs, vs = rep[order], flat[order]
+    n_pairs = n_rows // 2
+    inter = np.zeros(n_pairs, dtype=np.int64)
+    if len(rs) > 1:
+        dup = (rs[1:] == rs[:-1]) & (vs[1:] == vs[:-1])
+        # within-doc shingles are unique, so a duplicate is a cross-side hit
+        inter = np.bincount(rs[1:][dup], minlength=n_pairs)
+    union = counts[0::2] + counts[1::2] - inter
+    jac = inter / np.maximum(union, 1)
+    return a[0::2], b[0::2], jac
+
+
+def _minhash_est_of_pairs(tbl: pa.Table, num_hashes: int) -> np.ndarray:
+    from .vectors import unpack_u64
+
+    flat, _ = unpack_u64(tbl.column("sig"))
+    sig = flat.reshape(-1, num_hashes)
+    return (sig[0::2] == sig[1::2]).mean(axis=1)
+
+
+def minhash_dedup_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.7,
+                        num_hashes: int = 64, bands: int = 16,
+                        ngram: int = 3, seed: int = 42,
+                        verify: str = "exact",
+                        num_partitions: int = 32) -> ray.data.Dataset:
+    """MinHash-LSH near-dup pipeline -> distinct verified pairs
+    (doc_a, doc_b, est_jaccard, jaccard).
+
+    Scale shape (fully distributed — nothing materializes on the driver):
+    the doc store (id, packed sig, packed sorted-unique shingles) is
+    computed once per doc and stays sharded in the object store; the
+    bucket shuffle carries (band, bucket, doc_id) only; candidate pairs
+    are deduped, joined against the store shard-to-shard (hash-shuffle
+    join), and verified vectorized. ``verify="exact"`` keeps pairs with
+    exact n-gram Jaccard >= threshold (oracle-checkable); ``"est"`` keeps
+    pairs by the 64-hash signature estimate (classic MinHash semantics)."""
+    if verify not in ("exact", "est"):
+        raise ValueError("verify must be 'exact' or 'est'")
+    with_shingles = verify == "exact"
+
+    # the store feeds TWO consumers (bucket branch + verify join);
+    # materialize once so its lineage is not recomputed per consumer —
+    # it is the compact derived table (0.5-1.5 KB/doc), sharded across
+    # the cluster's object store (spill-backed), never on the driver
+    store = ds.map_batches(
+        lambda b: _mh_store_stage(
+            b, id_col, text_col, ngram, num_hashes, seed, with_shingles
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    buckets = store.map_batches(
+        _band_rows_fn(id_col, num_hashes, bands),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cands = _partition_by(buckets, ["band", "bucket"], num_partitions).map_groups(
+        _candidate_pairs_fn(["band", "bucket"], id_col), batch_format="pyarrow"
+    )
+
+    def score(group: pa.Table) -> pa.Table:
+        cols = {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "est_jaccard": pa.array([], type=pa.float64()),
+        }
+        if with_shingles:
+            cols["jaccard"] = pa.array([], type=pa.float64())
+        tbl = _pair_segments(group)
+        if tbl is None:
+            return pa.table(cols)
+        a = tbl.column("doc_a").to_numpy(zero_copy_only=False)[0::2]
+        b = tbl.column("doc_b").to_numpy(zero_copy_only=False)[0::2]
+        est = _minhash_est_of_pairs(tbl, num_hashes)
+        if verify == "exact":
+            _, _, jac = _exact_jaccard_of_pairs(tbl)
+            keep = jac >= threshold
+            return pa.table({
+                "doc_a": pa.array(a[keep].astype(np.int64)),
+                "doc_b": pa.array(b[keep].astype(np.int64)),
+                "est_jaccard": pa.array(est[keep], type=pa.float64()),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
+            })
         keep = est >= threshold
         return pa.table({
-            "doc_a": pa.array(a[keep]),
-            "doc_b": pa.array(b[keep]),
+            "doc_a": pa.array(a[keep].astype(np.int64)),
+            "doc_b": pa.array(b[keep].astype(np.int64)),
             "est_jaccard": pa.array(est[keep], type=pa.float64()),
         })
 
-    return _partition_by(cands, ["doc_a", "doc_b"]).map_groups(
-        score, batch_format="pyarrow"
-    )
+    return _score_via_store(cands, store, id_col, score, num_partitions)
 
 
 def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
                         text_col: str = "text", threshold: float = 0.5,
                         ngram: int = 3, num_hashes: int = 64, bands: int = 16,
-                        seed: int = 42) -> ray.data.Dataset:
+                        seed: int = 42,
+                        num_partitions: int = 32) -> ray.data.Dataset:
     """EXACT word-n-gram Jaccard similarity, computed only for LSH-bucket
-    candidate pairs (the scale path: MinHash bands prune the O(n²) space,
-    the exact set intersection verifies). -> (doc_a, doc_b, jaccard)."""
+    candidate pairs -> (doc_a, doc_b, jaccard). Same distributed shape as
+    minhash_dedup_pairs: the bucket shuffle ships (band, bucket, doc_id)
+    only (never the shingle lists — round 1 shipped them x16, measured),
+    and the verify pass is a sorted-array intersection per pair segment
+    (no Python set ops)."""
+    store = ds.map_batches(
+        lambda b: _mh_store_stage(b, id_col, text_col, ngram, num_hashes, seed, True),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()  # two consumers; see minhash_dedup_pairs
+    buckets = store.map_batches(
+        _band_rows_fn(id_col, num_hashes, bands),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cands = _partition_by(buckets, ["band", "bucket"], num_partitions).map_groups(
+        _candidate_pairs_fn(["band", "bucket"], id_col), batch_format="pyarrow"
+    )
 
-    def stage(batch: pa.Table) -> pa.Table:
-        out = minhash_stage(batch, id_col, text_col, num_hashes, bands, ngram, seed)
-        # carry each doc's exact shingle-hash set for the verify step
-        texts = batch.column(text_col)
-        flat, offsets = _word_ngram_hashes(texts, ngram)
-        n_docs = len(texts)
-        per_doc = pa.ListArray.from_arrays(
-            pa.array(offsets.astype(np.int32), type=pa.int32()),
-            pa.array(flat),
-        )
-        doc_idx = np.tile(np.arange(n_docs), bands)
-        return out.append_column("shingles", per_doc.take(pa.array(doc_idx)))
-
-    staged = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
-
-    def verify(group: pa.Table) -> pa.Table:
-        if "__part" in group.column_names:
-            group = group.drop_columns(["__part"])
-        tbl, starts, sizes = _bucket_segments(group, ["band", "bucket"])
-        a_out, b_out, jac = [], [], []
-        multi = np.nonzero(sizes >= 2)[0]
-        if len(multi):
-            ids_np = tbl.column(id_col).to_numpy(zero_copy_only=False)
-            sh_col = tbl.column("shingles")
-            if isinstance(sh_col, pa.ChunkedArray):
-                sh_col = sh_col.combine_chunks()
-            sh_py = None
-            for m in multi:
-                s0, sz = starts[m], sizes[m]
-                ids = ids_np[s0 : s0 + sz]
-                sh = [set(sh_col[s0 + i].as_py()) for i in range(sz)]
-                for i in range(sz):
-                    for j in range(i + 1, sz):
-                        if ids[i] == ids[j]:
-                            continue
-                        inter = len(sh[i] & sh[j])
-                        union = len(sh[i] | sh[j])
-                        jv = inter / union if union else 0.0
-                        if jv >= threshold:
-                            lo, hi = sorted((int(ids[i]), int(ids[j])))
-                            a_out.append(lo)
-                            b_out.append(hi)
-                            jac.append(jv)
+    def score(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        })
+        tbl = _pair_segments(group)
+        if tbl is None:
+            return empty
+        a, b, jac = _exact_jaccard_of_pairs(tbl)
+        keep = jac >= threshold
         return pa.table({
-            "doc_a": pa.array(a_out, type=pa.int64()),
-            "doc_b": pa.array(b_out, type=pa.int64()),
-            "jaccard": pa.array(jac, type=pa.float64()),
+            "doc_a": pa.array(a[keep].astype(np.int64)),
+            "doc_b": pa.array(b[keep].astype(np.int64)),
+            "jaccard": pa.array(jac[keep], type=pa.float64()),
         })
 
-    pairs = _partition_by(staged, ["band", "bucket"]).map_groups(
-        verify, batch_format="pyarrow"
-    )
-
-    def dedupe(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        if "__part" in batch.column_names:
-            batch = batch.drop_columns(["__part"])
-        gb = pa.TableGroupBy(batch, ["doc_a", "doc_b"], use_threads=False)
-        return gb.aggregate([("jaccard", "max")]).rename_columns(
-            ["doc_a", "doc_b", "jaccard"]
-        )
-
-    return _partition_by(pairs, ["doc_a", "doc_b"]).map_groups(
-        dedupe, batch_format="pyarrow"
-    )
+    return _score_via_store(cands, store, id_col, score, num_partitions)
 
 
 # ---------------------------------------------------------------- simhash
@@ -558,50 +616,81 @@ def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
 # ---------------------------------------------------------------- embeddings
 def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = "vec_id",
                             vec_col: str = "embedding", threshold: float = 0.95,
-                            n_planes: int = 12, seed: int = 42) -> ray.data.Dataset:
-    """Cosine near-dup: sign-LSH bucket (seeded hyperplanes) -> exact
-    cosine within bucket. The scale path: only bucket collisions compared."""
-    def bucketize(batch: pa.Table) -> pa.Table:
-        emb = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = emb / np.where(norms == 0, 1, norms)
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((emb.shape[1], n_planes))
-        signs = (emb @ planes > 0).astype(np.uint64)
-        bucket = (signs << np.arange(n_planes, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+                            n_planes: int = 4, n_tables: int = 8,
+                            seed: int = 42,
+                            num_partitions: int = 32,
+                            max_full_pairwise: int = 64) -> ray.data.Dataset:
+    """Cosine near-dup -> (vec_a, vec_b, cosine). Multi-table sign-LSH
+    (``n_tables`` independent tables of ``n_planes`` seeded hyperplanes):
+    a pair collides if ANY table buckets it together — recall
+    1-(1-p^planes)^tables with p = 1 - angle/pi, tunable to ~1 for a
+    target cosine. Same distributed shape as minhash_dedup_pairs: the
+    bucket shuffle ships (table, bucket, vec_id) only; jumbo buckets are
+    star-capped; exact cosine is verified against the sharded normalized-
+    vector store via a hash-shuffle join (vectors ride as packed binary,
+    decoded zero-copy — never ``to_pylist()``)."""
+    from .vectors import normalize_rows, pack_u64_rows, unpack_u64, vecs_np
+
+    def store_stage(batch: pa.Table) -> pa.Table:
+        m = normalize_rows(vecs_np(batch.column(vec_col)))
         return pa.table({
-            "bucket": pa.array(bucket.astype(np.int64)),
             id_col: batch.column(id_col),
-            "vec": pa.array([list(map(float, r)) for r in emb], type=pa.list_(pa.float64())),
+            "vec": pack_u64_rows(m.view(np.uint64)),
         })
 
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    store = ds.map_batches(
+        store_stage, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # two consumers; see minhash_dedup_pairs
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        if "__part" in group.column_names:
-            group = group.drop_columns(["__part"])
-        tbl, starts, sizes = _bucket_segments(group, ["bucket"])
-        a_out, b_out, cos = [], [], []
-        multi = np.nonzero(sizes >= 2)[0]
-        for mseg in multi:
-            s0, sz = starts[mseg], sizes[mseg]
-            sub = tbl.slice(s0, sz)
-            ids = sub.column(id_col).to_pylist()
-            m = np.array(sub.column("vec").to_pylist(), dtype=np.float64)
-            sims = m @ m.T
-            iu = np.triu_indices(sz, k=1)
-            for i, j in zip(*iu):
-                if sims[i, j] >= threshold:
-                    lo, hi = sorted((ids[i], ids[j]))
-                    a_out.append(lo)
-                    b_out.append(hi)
-                    cos.append(float(sims[i, j]))
+    def bucket_stage(batch: pa.Table) -> pa.Table:
+        flat, counts = unpack_u64(batch.column("vec"), dtype=np.float64)
+        n = batch.num_rows
+        if n == 0 or len(flat) == 0:
+            return pa.table({
+                "band": pa.array([], type=pa.int32()),
+                "bucket": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=batch.column(id_col).type),
+            })
+        dim = len(flat) // n
+        m = flat.reshape(n, dim)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_tables * n_planes))
+        signs = (m @ planes > 0).astype(np.uint64).reshape(n, n_tables, n_planes)
+        shifts = np.arange(n_planes, dtype=np.uint64)
+        bucket = (signs << shifts).sum(axis=2, dtype=np.uint64)  # (n, n_tables)
         return pa.table({
-            "vec_a": pa.array(a_out, type=pa.int64()),
-            "vec_b": pa.array(b_out, type=pa.int64()),
-            "cosine": pa.array(cos, type=pa.float64()),
+            "band": pa.array(np.repeat(np.arange(n_tables), n), type=pa.int32()),
+            "bucket": pa.array(bucket.T.reshape(-1).view(np.int64)),
+            id_col: batch.column(id_col).take(
+                pa.array(np.tile(np.arange(n), n_tables))
+            ),
         })
 
-    return _partition_by(bucketed, ["bucket"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    buckets = store.map_batches(bucket_stage, batch_format="pyarrow", zero_copy_batch=True)
+    cands = _partition_by(buckets, ["band", "bucket"], num_partitions).map_groups(
+        _candidate_pairs_fn(["band", "bucket"], id_col, max_full_pairwise),
+        batch_format="pyarrow",
     )
+
+    def score(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "vec_a": pa.array([], type=pa.int64()),
+            "vec_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        })
+        tbl = _pair_segments(group)
+        if tbl is None:
+            return empty
+        a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
+        b = tbl.column("doc_b").to_numpy(zero_copy_only=False)
+        flat, _ = unpack_u64(tbl.column("vec"), dtype=np.float64)
+        m = flat.reshape(len(a), -1)
+        cos = np.einsum("ij,ij->i", m[0::2], m[1::2])
+        keep = cos >= threshold
+        return pa.table({
+            "vec_a": pa.array(a[0::2][keep].astype(np.int64)),
+            "vec_b": pa.array(b[0::2][keep].astype(np.int64)),
+            "cosine": pa.array(cos[keep], type=pa.float64()),
+        })
+
+    return _score_via_store(cands, store, id_col, score, num_partitions)

@@ -56,6 +56,31 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     )
 
 
+def media_table_from_documents(doc_tbl: pa.Table) -> pa.Table:
+    """Deterministic media rows derived from a documents table: payload =
+    the utf-8 text bytes, kind cycles by doc_id. Keeps every downstream
+    value a pure function of the source table, so the full actor-pool
+    decode pipeline is DuckDB-oracle-checkable (n_bytes = octet_length)."""
+    import pyarrow.compute as pc
+
+    ids = doc_tbl.column("doc_id")
+    ids_np = ids.to_numpy(zero_copy_only=False)
+    kind_lut = np.array(["image", "audio", "video"], dtype=object)
+    kinds = kind_lut[ids_np % 3]
+    payload = pc.cast(doc_tbl.column("text"), pa.binary())
+    return pa.table(
+        {
+            "media_id": pc.cast(ids, pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "payload": payload,
+            "width": pa.array((16 + ids_np % 64).astype(np.int32)),
+            "height": pa.array((16 + (ids_np * 7) % 64).astype(np.int32)),
+            "sample_rate": pa.array(np.where(kinds == "audio", 16_000, 0).astype(np.int32)),
+            "duration_ms": pa.array(np.where(kinds != "image", 1000 + ids_np % 59_000, 0).astype(np.int32)),
+        }
+    )
+
+
 class MediaFeatureExtractor:
     """Actor-pool decode/feature stage.
 

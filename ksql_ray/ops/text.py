@@ -67,6 +67,24 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text", out: str = "fingerp
     return batch.append_column(out, digests)
 
 
+def add_fast_fingerprint(batch: pa.Table, text_col: str = "text", out: str = "fingerprint") -> pa.Table:
+    """Vectorized 64-bit fingerprint of the whitespace-normalized
+    lowercase text (cython ``pd.util.hash_array`` — no per-row Python
+    loop). Equality-equivalent to the md5 fingerprint for dedup purposes;
+    use ``add_fingerprint`` only where the md5 hex form itself is the
+    contract (the DuckDB oracle)."""
+    import pandas as pd
+
+    t = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(batch.column(text_col)), _WS, " ")
+    )
+    arr = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+    h = pd.util.hash_array(
+        arr.to_numpy(zero_copy_only=False), hash_key="ksql_ray_fprint0"
+    ).astype(np.uint64)
+    return batch.append_column(out, pa.array(h.view(np.int64)))
+
+
 # ---------------------------------------------------------------------------
 # language ID: character n-gram / stopword heuristic (deterministic)
 
@@ -121,7 +139,10 @@ def add_quality_score(batch: pa.Table, text_col: str = "text", out: str = "quali
         punct_ratio = np.where(n_chars > 0, n_punct / n_chars, 1.0)
     len_score = np.clip(n_chars / 500.0, 0.0, 1.0)
     score = 0.4 * len_score + 0.4 * alpha_ratio + 0.2 * (1.0 - np.clip(punct_ratio * 4, 0, 1))
-    return batch.append_column(out, pa.array(np.round(score, 6), type=pa.float64()))
+    # round half-away-from-zero (SQL ROUND semantics; np.round's half-even
+    # breaks oracle equality on exact .5 ties at the 6th decimal)
+    score = np.floor(score * 1e6 + 0.5) / 1e6
+    return batch.append_column(out, pa.array(score, type=pa.float64()))
 
 
 # ---------------------------------------------------------------------------
@@ -138,6 +159,6 @@ def analyze_documents(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.
     ds = ds.map_batches(stateless, batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(
         LangId, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow", concurrency=(1, 4),
+        batch_format="pyarrow", concurrency=(1, 16),
     )
     return ds

@@ -540,7 +540,38 @@ def _op_lang_quality(sf_dir: str) -> pa.Table:
     return t.select(["doc_id", "lang_pred", "quality"])
 
 
-REGISTRY["op_lang_quality"] = RawQ(_op_lang_quality)  # heuristic: rows-only check
+def _lang_quality_sql() -> str:
+    """The lang-ID heuristic replicated in SQL: per-language marker counts
+    over ' '+lower(text)+' ' (greedy non-overlapping, same as Arrow
+    count_substring), argmax with first-in-sorted-order tie-break, 'und'
+    when no marker hits; quality = the exact ops.text scoring formula."""
+    from ..ops.text import _LANG_MARKERS
+
+    def cnt(m: str) -> str:
+        e = m.replace("'", "''")
+        return f"(length(t) - length(replace(t, '{e}', ''))) / {len(m)}"
+
+    langs = sorted(_LANG_MARKERS)
+    score_cols = ", ".join(
+        f"({' + '.join(cnt(m) for m in _LANG_MARKERS[lang])}) AS s_{lang}"
+        for lang in langs
+    )
+    case = "CASE WHEN " + " + ".join(f"s_{l}" for l in langs) + " = 0 THEN 'und' "
+    for i, l in enumerate(langs):
+        conds = " AND ".join(f"s_{l} >= s_{m}" for m in langs[i + 1:]) or "TRUE"
+        case += f"WHEN {conds} THEN '{l}' "
+    case += "END"
+    return rf"""
+WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+sc AS (SELECT doc_id, {score_cols} FROM s)
+SELECT sc.doc_id AS doc_id, {case} AS lang_pred,
+  ROUND(0.4 * LEAST(length(d.text) / 500.0, 1.0)
+      + 0.4 * (CASE WHEN length(d.text) > 0 THEN length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(d.text) ELSE 0 END)
+      + 0.2 * (1.0 - LEAST((CASE WHEN length(d.text) > 0 THEN length(regexp_replace(d.text, '[\w\s]', '', 'g'))::DOUBLE / length(d.text) ELSE 1 END) * 4, 1.0)), 6) AS quality
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id"""
+
+
+REGISTRY["op_lang_quality"] = RawQ(_op_lang_quality, _lang_quality_sql())
 
 
 def _op_exact_dedup(sf_dir: str) -> pa.Table:
@@ -559,16 +590,40 @@ REGISTRY["op_exact_dedup"] = RawQ(
 )
 
 
+# exact word-3gram Jaccard, brute force over all pairs — the dedup ops'
+# ground truth at sf0.01 (the fixture's 25 planted near-dup pairs all
+# have jaccard >= 0.9, so banded LSH recall is ~1 and the pruned
+# pipeline must equal the exact answer)
+_NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, i::DOUBLE / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5"""
+
+
 def _op_minhash_dedup(sf_dir: str) -> pa.Table:
     import ray.data
 
     from ..ops.dedup import minhash_dedup_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    return _collect(minhash_dedup_pairs(ds, threshold=0.5))
+    t = _collect(minhash_dedup_pairs(ds, threshold=0.5, verify="exact"))
+    return t.select(["doc_a", "doc_b", "jaccard"])
 
 
-REGISTRY["op_minhash_dedup"] = RawQ(_op_minhash_dedup)  # LSH: rows-only check
+REGISTRY["op_minhash_dedup"] = RawQ(_op_minhash_dedup, _NGRAM_JACCARD_SQL)
 
 
 def _op_ngram_jaccard(sf_dir: str) -> pa.Table:
@@ -580,7 +635,7 @@ def _op_ngram_jaccard(sf_dir: str) -> pa.Table:
     return _collect(ngram_jaccard_pairs(ds, threshold=0.5))
 
 
-REGISTRY["op_ngram_jaccard"] = RawQ(_op_ngram_jaccard)
+REGISTRY["op_ngram_jaccard"] = RawQ(_op_ngram_jaccard, _NGRAM_JACCARD_SQL)
 
 
 def _op_simhash_dedup(sf_dir: str) -> pa.Table:
@@ -600,11 +655,26 @@ def _op_embedding_neardup(sf_dir: str) -> pa.Table:
 
     from ..ops.dedup import embedding_neardup_pairs
 
+    # threshold 0.45 is the fixture's near-dup band (max cosine 0.51 —
+    # round 1 gated at 0.95 and emitted 0 rows, verifying nothing);
+    # 32 tables x 4 planes makes multi-table LSH recall ~1 there, so the
+    # pruned pipeline must equal the oracle's exact all-pairs answer
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return _collect(embedding_neardup_pairs(ds, threshold=0.95))
+    t = _collect(embedding_neardup_pairs(
+        ds, threshold=0.45, n_planes=4, n_tables=32, max_full_pairwise=256
+    ))
+    return _round_cols(t, {"cosine": 6})
 
 
-REGISTRY["op_embedding_neardup"] = RawQ(_op_embedding_neardup)
+REGISTRY["op_embedding_neardup"] = RawQ(
+    _op_embedding_neardup,
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+       m AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nm FROM n)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              ROUND(list_inner_product(a.emb, b.emb) / (a.nm * b.nm), 6) AS cosine
+       FROM m a JOIN m b ON a.vec_id < b.vec_id
+       WHERE list_inner_product(a.emb, b.emb) / (a.nm * b.nm) >= 0.45""",
+)
 
 
 def _ann_queries(sf_dir: str):
@@ -651,25 +721,43 @@ def _op_ivf_ann(sf_dir: str) -> pa.Table:
 
     from ..ops.ann import ivf_topk
 
+    # generous probing (8 tables x 4 planes, Hamming-2 ball) pins recall
+    # to 1.0 on the fixture (verified == brute force), so the approximate
+    # path is gated against the exact SQL oracle; production configs trade
+    # this recall for corpus-fraction scans
     qids, qm = _ann_queries(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return _collect(ivf_topk(ds, qids, qm, k=10, n_planes=4))
+    return _collect(ivf_topk(ds, qids, qm, k=10, n_planes=4, n_tables=8, probe_radius=2))
 
 
-REGISTRY["op_ivf_ann"] = RawQ(_op_ivf_ann)  # approximate: rows-only check
+REGISTRY["op_ivf_ann"] = RawQ(_op_ivf_ann, REGISTRY["op_ann_topk"].sql)
 
 
 def _op_media_features(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
     import ray.data
 
-    from ..ops.multimodal import extract_media_features, synth_media_table
+    from ..ops.multimodal import extract_media_features, media_table_from_documents
 
-    ds = ray.data.from_arrow(synth_media_table(128, seed=42))
-    t = _collect(extract_media_features(ds, decode="fake", batch_size=16))
+    # media rows derived deterministically from the documents table
+    # (payload = utf-8 text bytes), so the actor-pool decode pipeline's
+    # metadata outputs are pure functions of the source parquet and the
+    # oracle can recompute them; the feature vector itself stays
+    # pytest-verified (sha256 is the declared fake-decode stub)
+    media = media_table_from_documents(pq.read_table(f"{sf_dir}/documents.parquet"))
+    ds = ray.data.from_arrow(media)
+    t = _collect(extract_media_features(ds, decode="fake", batch_size=64))
     return t.drop_columns(["features"]) if "features" in t.column_names else t
 
 
-REGISTRY["op_media_features"] = RawQ(_op_media_features)
+REGISTRY["op_media_features"] = RawQ(
+    _op_media_features,
+    "SELECT doc_id AS media_id, "
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+    "octet_length(encode(text)) AS n_bytes, "
+    "CAST(64 AS INTEGER) AS resized_w, CAST(64 AS INTEGER) AS resized_h "
+    "FROM documents",
+)
 
 
 # --------------------------------------------------------------- streaming
