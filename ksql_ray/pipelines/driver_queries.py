@@ -839,6 +839,114 @@ REGISTRY["streaming_window_session"] = RawQ(
 )
 
 
+# ---------------------------------------------------------- stream-stream join
+# StreamJoinJob (symmetric hash join with WITHIN bound) under the oracle:
+# events self-joined on user_id within a 10-minute window, replayed as
+# ts-ordered micro-batches (mirror of ksql/join.go:28-34 +
+# select_builder_test.go:108,173 verbs; rows-equal vs DuckDB).
+
+
+def _streaming_stream_join(sf_dir: str) -> pa.Table:
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.join import StreamJoinJob
+
+    cat = testdata_catalog(sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    ))
+    n = tbl.num_rows
+    batches = [tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8) for i in range(8)]
+    b = (Select(F("user_id"), F("event_id").As("left_id"),
+                F("e2.event_id").As("right_id"))
+         .From(Schema("events"))
+         .Join(Schema("events", alias="e2"),
+               F("events.user_id").Equal(F("e2.user_id"))))
+    out = tempfile.mkdtemp(prefix="ksql_ray_sjoin_")
+    try:
+        job = StreamJoinJob(b, cat, out, within_us=600_000_000,
+                            num_partitions=4, lateness_us=1 << 60)
+        for bt in batches:
+            job.process_epoch([bt], [bt])
+        job.finish()
+        return job.result()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+REGISTRY["streaming_stream_join"] = RawQ(
+    _streaming_stream_join,
+    "SELECT a.user_id AS user_id, a.event_id AS left_id, b.event_id AS right_id "
+    "FROM events a JOIN events b ON a.user_id = b.user_id "
+    "WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000",
+)
+
+
+# ------------------------------------------------------------------- DDL/DML
+# CREATE + INSERT VALUES (missing column -> NULL) + INSERT AS SELECT +
+# CTAS, read back through a pull query — the reference's largest test
+# corpora (create_builder_test.go:48-136, insert_builder_test.go:68-176)
+# under the DuckDB oracle instead of pytest-only.
+
+
+def _ddl_insert_ctas(sf_dir: str) -> pa.Table:
+    import shutil
+    import tempfile
+
+    from ..catalog import Ref
+    from ..ddl import Create, Insert, Metadata
+
+    cat = testdata_catalog(sf_dir)
+    eng = Engine(cat)
+    base = tempfile.mkdtemp(prefix="ksql_ray_ddl_")
+    try:
+        Create(Ref.STREAM, "hi_events").SchemaFields(
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("value", pa.float64()),
+        ).With(Metadata(topic=f"{base}/hi_events")).execute(cat)
+        Insert(Ref.STREAM, "hi_events").Rows(
+            {"event_id": -1, "user_id": 9001, "value": 123.5},
+            {"event_id": -2, "user_id": 9002},  # missing column -> NULL
+        ).execute(cat)
+        Insert(Ref.STREAM, "hi_events").AsSelect(
+            Select(F("event_id"), F("user_id"), F("value"))
+            .From(Schema("events")).Where(F("value").Greater(150.0))
+        ).execute(cat, eng)
+        Create(Ref.TABLE, "user_value").AsSelect(
+            Select(F("user_id"), Count(F("event_id")).As("cnt"),
+                   Sum(F("value")).As("sv"))
+            .From(Schema("hi_events")).GroupBy(F("user_id")).EmitChanges()
+        ).With(Metadata(topic=f"{base}/user_value")).execute(cat, eng)
+        t = eng.table(
+            Select(F("user_id"), F("cnt"), F("sv")).From(Schema("user_value"))
+        )
+        # DuckDB-equivalent rounding: round(x*10^4)/10^4 in float64 —
+        # pc.round can land 1 ulp off DuckDB's ROUND on these sums
+        import numpy as np
+
+        i = t.column_names.index("sv")
+        sv = t.column("sv").to_numpy(zero_copy_only=False).astype(np.float64)
+        sv = np.floor(sv * 1e4 + np.where(sv >= 0, 0.5, -0.5)) / 1e4
+        return t.set_column(i, "sv", pa.array(sv, type=pa.float64()))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+REGISTRY["ddl_insert_ctas"] = RawQ(
+    _ddl_insert_ctas,
+    "WITH hi AS ("
+    "  SELECT event_id, user_id, value FROM events WHERE value > 150.0"
+    "  UNION ALL SELECT -1, 9001, 123.5"
+    "  UNION ALL SELECT -2, 9002, NULL"
+    ") SELECT user_id, count(event_id) AS cnt, ROUND(sum(value), 4) AS sv "
+    "FROM hi GROUP BY 1",
+)
+
+
 def queries() -> dict[str, Callable[[str], pa.Table]]:
     return {name: (lambda sf_dir, _q=qq: _q.run(sf_dir)) for name, qq in REGISTRY.items()}
 
