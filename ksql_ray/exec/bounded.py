@@ -337,12 +337,6 @@ class Engine:
             else:
                 if j.how == "cross":
                     raise PlanError("CROSS JOIN build side too large to broadcast")
-                if residual:
-                    if j.how != "inner":
-                        raise PlanError(
-                            "non-equi residual ON conditions only supported for "
-                            "INNER joins in the shuffle path"
-                        )
                 right_cols = self._right_needed(b, jrel, [k for k in rk], renames)
                 right_ds = ray.data.read_parquet(jrel.path, columns=right_cols or None)
                 if renames:
@@ -356,18 +350,36 @@ class Engine:
                 # starve (raise num_partitions for real multi-node runs)
                 navail = int(ray.available_resources().get("CPU", 4)) if ray.is_initialized() else 4
                 nparts = max(2, min(self.num_partitions, navail))
-                ds = shuffle_join(ds, right_ds, j.how, lk, rk, nparts)
-                if residual:
-                    res = list(residual)
+                if residual and j.how != "inner":
+                    # compound ON for non-inner joins: co-partition both
+                    # sides and join each partition at the table level
+                    # (reference renders compound ON for all join types,
+                    # ksql/join.go:61-103)
+                    from .joins import copartition_join
 
-                    def resfilter(batch: pa.Table, _res=res):
-                        mask = None
-                        for c in _res:
-                            m = c.eval(batch)
-                            mask = m if mask is None else pc.and_kleene(mask, m)
-                        return batch.filter(pc.fill_null(mask, False))
+                    lschema = ds.schema().base_schema
+                    rschema = pa.schema([
+                        pa.field(renames.get(f.name, f.name), f.type)
+                        for f in jrel.schema
+                        if not right_cols or f.name in right_cols
+                    ])
+                    ds = copartition_join(
+                        ds, right_ds, j.how, lk, rk, list(residual),
+                        self.num_partitions, lschema, rschema,
+                    )
+                else:
+                    ds = shuffle_join(ds, right_ds, j.how, lk, rk, nparts)
+                    if residual:
+                        res = list(residual)
 
-                    ds = ds.map_batches(_pinned(resfilter), batch_format="pyarrow", zero_copy_batch=True)
+                        def resfilter(batch: pa.Table, _res=res):
+                            mask = None
+                            for c in _res:
+                                m = c.eval(batch)
+                                mask = m if mask is None else pc.and_kleene(mask, m)
+                            return batch.filter(pc.fill_null(mask, False))
+
+                        ds = ds.map_batches(_pinned(resfilter), batch_format="pyarrow", zero_copy_batch=True)
             left_names |= {renames.get(n, n) for n in right_names}
         return ds, left_names
 

@@ -135,46 +135,73 @@ def join_batch(
     right_keys: list[str],
     residual: list[Expr],
 ) -> pa.Table:
-    """Vectorized per-batch join (build side broadcast)."""
+    """Vectorized table-level join with full ON semantics (equi keys +
+    residual conditions) for INNER/LEFT/RIGHT/OUTER/CROSS.
+
+    Residual + outer joins use local row ids: inner-join on the equi
+    keys, filter by the residual, then null-pad each side's rows with no
+    SURVIVING match (compound-ON rendering, reference ksql/join.go:61-103
+    + join_test.go:81-100). Correct whenever both sides' rows for a key
+    are fully present — a broadcast build side, or one co-partition of a
+    hash-partitioned pair (never a per-batch RIGHT/OUTER broadcast, which
+    would re-emit build-side pads per batch)."""
     if how == "cross":
         lk = left.append_column("__x", pa.array(np.zeros(left.num_rows, dtype=np.int8)))
         rk = right.append_column("__x", pa.array(np.zeros(right.num_rows, dtype=np.int8)))
         out = lk.join(rk, keys=["__x"], join_type="inner")
         return out.drop_columns(["__x"])
 
-    jt = {"inner": "inner", "left": "left outer"}[how]
-    need_residual_fix = bool(residual) and how == "left"
-    if need_residual_fix or bool(residual):
-        left = left.append_column(
-            "__lrow", pa.array(np.arange(left.num_rows), type=pa.int64())
+    if not residual:
+        jt = {
+            "inner": "inner", "left": "left outer",
+            "right": "right outer", "outer": "full outer",
+        }[how]
+        return left.join(
+            right, keys=left_keys, right_keys=right_keys, join_type=jt,
+            use_threads=False,
         )
-    out = left.join(
-        right, keys=left_keys, right_keys=right_keys, join_type=jt, use_threads=False
+
+    l2 = left.append_column("__lrow", pa.array(np.arange(left.num_rows), type=pa.int64()))
+    r2 = right.append_column("__rrow", pa.array(np.arange(right.num_rows), type=pa.int64()))
+    out = l2.join(
+        r2, keys=left_keys, right_keys=right_keys, join_type="inner",
+        use_threads=False,
     )
-    if residual:
-        mask = None
-        for c in residual:
-            m = c.eval(out)
-            mask = m if mask is None else pc.and_kleene(mask, m)
-        if how == "left":
-            # ON-residual: keep unmatched-left null rows, and re-null rows
-            # whose matches all failed the residual
-            rmask = pc.fill_null(mask, False)
-            # rows with no match at all have nulls in right key column
-            matched = out.filter(rmask)
-            all_lrows = left.column("__lrow")
-            surviving = matched.column("__lrow")
-            lost = pc.is_in(all_lrows, value_set=pc.unique(
-                surviving.combine_chunks() if isinstance(surviving, pa.ChunkedArray) else surviving
-            ))
-            unmatched_left = left.filter(pc.invert(lost))
-            pad = _null_pad(unmatched_left, matched.schema)
-            out = pa.concat_tables([matched, pad], promote_options="permissive")
-        else:
-            out = out.filter(pc.fill_null(mask, False))
-    if "__lrow" in out.column_names:
-        out = out.drop_columns(["__lrow"])
-    return out
+    mask = None
+    for c in residual:
+        m = c.eval(out)
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    surv = out.filter(pc.fill_null(mask, False))
+    pieces = [surv]
+    target_schema = surv.schema
+
+    def _lost(all_tbl: pa.Table, id_col: str, surviving) -> pa.Table:
+        if isinstance(surviving, pa.ChunkedArray):
+            surviving = surviving.combine_chunks()
+        hit = pc.is_in(all_tbl.column(id_col), value_set=pc.unique(surviving))
+        return all_tbl.filter(pc.invert(hit))
+
+    if how in ("left", "outer"):
+        pieces.append(_null_pad(
+            _lost(l2, "__lrow", surv.column("__lrow")), target_schema
+        ))
+    if how in ("right", "outer"):
+        r_lost = _lost(r2, "__rrow", surv.column("__rrow"))
+        pad = _null_pad(r_lost, target_schema)
+        # the inner join keeps only the left key column (coalesced name);
+        # right pads carry their key value in it, matching the shuffle
+        # join's USING-style coalescing
+        for lkc, rkc in zip(left_keys, right_keys):
+            if lkc != rkc and lkc in pad.column_names and rkc in r_lost.column_names:
+                i = pad.column_names.index(lkc)
+                pad = pad.set_column(
+                    i, lkc,
+                    pc.cast(r_lost.column(rkc), pad.schema.field(lkc).type),
+                )
+        pieces.append(pad)
+    out = pa.concat_tables([p for p in pieces if p.num_rows], promote_options="permissive") \
+        if any(p.num_rows for p in pieces) else surv
+    return out.drop_columns([c for c in ("__lrow", "__rrow") if c in out.column_names])
 
 
 def _null_pad(left_part: pa.Table, target_schema: pa.Schema) -> pa.Table:
@@ -188,6 +215,77 @@ def _null_pad(left_part: pa.Table, target_schema: pa.Schema) -> pa.Table:
         else:
             cols.append(pa.nulls(left_part.num_rows, type=f.type))
     return pa.Table.from_arrays(cols, schema=target_schema)
+
+
+def copartition_join(
+    left_ds,
+    right_ds,
+    how: str,
+    left_keys: list[str],
+    right_keys: list[str],
+    residual: list[Expr],
+    num_partitions: int,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+):
+    """Residual (compound-ON) LEFT/RIGHT/OUTER joins at scale: both sides
+    are hash-partitioned by join key (side-tagged union through one
+    sort shuffle), then each co-partition is joined at the TABLE level by
+    ``join_batch`` — every row of a key is fully present in its
+    partition, so null-padding rows with no surviving match is exact.
+    The per-batch broadcast path cannot do this for RIGHT/OUTER (it
+    would re-emit build-side pads per batch)."""
+    from .groupby import hash_partition_ids
+
+    right_only = [f for f in right_schema if f.name not in left_schema.names]
+    all_fields = list(left_schema) + right_only
+    key_types = {lk: left_schema.field(lk).type for lk in left_keys}
+
+    def make_tag(side: int, keys: list[str], schema: pa.Schema):
+        def tag(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for f in all_fields:
+                if f.name in batch.column_names:
+                    c = batch.column(f.name)
+                    if c.type != f.type:
+                        c = pc.cast(c, f.type)
+                    cols[f.name] = c
+                else:
+                    cols[f.name] = pa.nulls(n, type=f.type)
+            tbl = pa.table(cols)
+            # hash over the side's OWN key values, cast to the left key
+            # types so equal values hash identically on both sides
+            ktbl = pa.table({
+                lk: pc.cast(batch.column(k), key_types[lk])
+                for lk, k in zip(left_keys, keys)
+            })
+            part = hash_partition_ids(ktbl, left_keys, num_partitions)
+            tbl = tbl.append_column("__side", pa.array(np.full(n, side, dtype=np.int8)))
+            return tbl.append_column("__part", pa.array(part, type=pa.int64()))
+
+        return tag
+
+    tagged = left_ds.map_batches(
+        make_tag(0, left_keys, left_schema), batch_format="pyarrow", zero_copy_batch=True
+    ).union(right_ds.map_batches(
+        make_tag(1, right_keys, right_schema), batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    lnames = list(left_schema.names)
+    rnames = [f.name for f in right_schema]
+
+    def fix(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        lpart = group.filter(pa.array(side == 0)).select(lnames)
+        rpart = group.filter(pa.array(side == 1)).select(rnames)
+        out = join_batch(lpart, rpart, how, left_keys, right_keys, residual)
+        order = list(dict.fromkeys(lnames + rnames))
+        return out.select([c for c in order if c in out.column_names])
+
+    return tagged.groupby("__part").map_groups(fix, batch_format="pyarrow")
 
 
 def shuffle_join(

@@ -886,6 +886,57 @@ REGISTRY["streaming_stream_join"] = RawQ(
 )
 
 
+# ------------------------------------------ streaming RIGHT/OUTER join gates
+# Reference verbs RightJoin/OuterJoin (ksql/select_builder.go:353-374) in
+# the PUSH-query path: events replayed as micro-batches against the
+# customer table, never-matched build rows null-padded exactly once at
+# end-of-stream (matched-bitmap state).
+
+
+def _stream_project_join(sf_dir: str, how: str) -> pa.Table:
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.driver import StreamingProjectJob
+
+    cat = testdata_catalog(sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    ))
+    n = tbl.num_rows
+    batches = [tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8) for i in range(8)]
+    b = Select(F("event_id"), F("user_id"), F("c_name")).From(Schema("events"))
+    cond = F("events.user_id").Equal(F("customer.c_custkey"))
+    b = b.RightJoin(Schema("customer"), cond) if how == "right" else \
+        b.OuterJoin(Schema("customer"), cond)
+    out = tempfile.mkdtemp(prefix=f"ksql_ray_spj_{how}_")
+    try:
+        job = StreamingProjectJob(b, cat, out)
+        for bt in batches:
+            job.process_epoch([bt])
+        job.finish()
+        return job.result()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+REGISTRY["streaming_join_right"] = RawQ(
+    lambda sf: _stream_project_join(sf, "right"),
+    "SELECT e.event_id AS event_id, c.c_custkey AS user_id, c.c_name AS c_name "
+    "FROM events e RIGHT JOIN customer c ON e.user_id = c.c_custkey",
+)
+
+REGISTRY["streaming_join_outer"] = RawQ(
+    lambda sf: _stream_project_join(sf, "outer"),
+    "SELECT e.event_id AS event_id, "
+    "coalesce(e.user_id, c.c_custkey) AS user_id, c.c_name AS c_name "
+    "FROM events e FULL OUTER JOIN customer c ON e.user_id = c.c_custkey",
+)
+
+
 # ------------------------------------------------------------------- DDL/DML
 # CREATE + INSERT VALUES (missing column -> NULL) + INSERT AS SELECT +
 # CTAS, read back through a pull query — the reference's largest test

@@ -194,23 +194,7 @@ class StateActor:
             self.state.restore(f.read())
 
 
-@ray.remote
-def _project_file(
-    path_or_tbl, columns, join_specs: list, wheres: list, fields: list,
-    sink_dir: str, partition: int, epoch: int,
-):
-    """Stateless push-query epoch: read -> joins -> WHERE -> projection ->
-    two-phase sink. One task per input file (no state, no shuffle)."""
-    if isinstance(path_or_tbl, pa.Table):
-        batch = path_or_tbl
-    else:
-        batch = pq.read_table(path_or_tbl, columns=columns)
-    for build_tbl, how, lk, rk, residual in join_specs:
-        if isinstance(build_tbl, ray.ObjectRef):
-            build_tbl = ray.get(build_tbl)
-        from ..exec.joins import join_batch
-
-        batch = join_batch(batch, build_tbl, how, lk, rk, residual)
+def _project_fields(batch: pa.Table, wheres: list, fields: list) -> pa.Table:
     if wheres:
         mask = None
         for c in wheres:
@@ -227,11 +211,43 @@ def _project_file(
             )
         cols.append(v)
         names.append(e.output_name())
-    out = pa.table(dict(zip(names, cols)))
+    return pa.table(dict(zip(names, cols)))
+
+
+@ray.remote
+def _project_file(
+    path_or_tbl, columns, join_specs: list, wheres: list, fields: list,
+    sink_dir: str, partition: int, epoch: int,
+):
+    """Stateless push-query epoch: read -> joins -> WHERE -> projection ->
+    two-phase sink. One task per input file (no state, no shuffle). For a
+    tracked (RIGHT/OUTER) join the build side carries a ``__bid`` row id;
+    the task reports which build rows matched so the driver can emit the
+    never-matched pads exactly once at end-of-stream."""
+    if isinstance(path_or_tbl, pa.Table):
+        batch = path_or_tbl
+    else:
+        batch = pq.read_table(path_or_tbl, columns=columns)
+    from ..exec.joins import join_batch
+
+    matched: list = []
+    for build_tbl, how, lk, rk, residual in join_specs:
+        if isinstance(build_tbl, ray.ObjectRef):
+            build_tbl = ray.get(build_tbl)
+        tracked = "__bid" in build_tbl.column_names
+        batch = join_batch(batch, build_tbl, how, lk, rk, residual)
+        if tracked:
+            bid = batch.column("__bid")
+            if isinstance(bid, pa.ChunkedArray):
+                bid = bid.combine_chunks()
+            ids = bid.drop_null().to_numpy(zero_copy_only=False)
+            matched.append(np.unique(ids))
+            batch = batch.drop_columns(["__bid"])
+    out = _project_fields(batch, wheres, fields)
     sink = TwoPhaseSink(sink_dir)
     if out.num_rows:
         sink.write(partition, epoch, out)
-    return out.num_rows
+    return out.num_rows, matched
 
 
 class StreamingProjectJob:
@@ -239,7 +255,14 @@ class StreamingProjectJob:
     EMIT CHANGES over a micro-batch stream — the `SelectWithEmit`
     filter/projection shape (streams/specification.go:626-655,
     select_builder_test.go:615). No shuffle, no state: each input file
-    becomes one idempotent (partition=file-index, epoch) sink write."""
+    becomes one idempotent (partition=file-index, epoch) sink write.
+
+    RIGHT/FULL-OUTER stream-table joins (reference verbs
+    ksql/select_builder.go:353-374) keep one matched-bitmap per build
+    row on the driver (the only state — build-side sized, broadcast
+    small): per epoch the probe emits INNER (right) or LEFT (outer)
+    results, and ``finish()`` null-pads the never-matched build rows
+    exactly once at end-of-stream. Supported for single-join queries."""
 
     def __init__(self, builder: SelectBuilder, catalog: Catalog, out_dir: str):
         builder.validate(catalog)
@@ -247,16 +270,28 @@ class StreamingProjectJob:
             raise PlanError("use StreamingJob for aggregating push queries")
         rel = builder._source_relation(catalog)
         self.builder = builder
+        self.rel = rel
         self.sink = TwoPhaseSink(out_dir)
         eng = Engine(catalog)
         aggs: list = []
         self.columns = eng._needed_columns(builder, rel, aggs) or None
         self.join_specs = []
+        self._pad_joins: list[tuple[int, pa.Table]] = []  # (spec idx, build)
+        self._matched: list[np.ndarray] = []
         left_names = set(rel.schema.names)
+        tracked_hows = {"right": "inner", "outer": "left"}
+        if sum(1 for j in builder.joins if j.how in tracked_hows) > 1 or (
+            any(j.how in tracked_hows for j in builder.joins)
+            and len(builder.joins) > 1
+        ):
+            raise PlanError(
+                "streaming RIGHT/OUTER stream-table joins support "
+                "single-join queries"
+            )
         for j in builder.joins:
             jrel = catalog.get(j.source.name)
-            if j.how not in ("inner", "left", "cross"):
-                raise PlanError("push-query joins are broadcast INNER/LEFT/CROSS")
+            if j.how not in ("inner", "left", "cross", "right", "outer"):
+                raise PlanError("unsupported push-query join type")
             alias = j.source.alias or j.source.name
             lk, rk, residual = extract_equi_keys(
                 j.conds, left_names, set(jrel.schema.names), alias
@@ -268,7 +303,15 @@ class StreamingProjectJob:
                 build = build.rename_columns(
                     [renames.get(n, n) for n in build.column_names]
                 )
-            self.join_specs.append((ray.put(build), j.how, lk, rk, residual))
+            how = j.how
+            if j.how in tracked_hows:
+                build = build.append_column(
+                    "__bid", pa.array(np.arange(build.num_rows), type=pa.int64())
+                )
+                self._pad_joins.append((len(self.join_specs), build, list(lk), list(rk)))
+                self._matched.append(np.zeros(build.num_rows, dtype=bool))
+                how = tracked_hows[j.how]
+            self.join_specs.append((ray.put(build), how, lk, rk, residual))
             left_names |= {renames.get(n, n) for n in jrel.schema.names}
         self._join_ref = ray.put(self.join_specs)
         self._wheres_ref = ray.put(list(builder.wheres))
@@ -284,7 +327,13 @@ class StreamingProjectJob:
             )
             for i, x in enumerate(files_or_tables)
         ]
-        n = sum(ray.get(refs))
+        results = ray.get(refs)
+        n = 0
+        for rows, matched in results:
+            n += rows
+            for k, ids in enumerate(matched):
+                if len(ids):
+                    self._matched[k][ids] = True
         self.sink.commit_epoch(self.epoch)
         return n
 
@@ -297,6 +346,41 @@ class StreamingProjectJob:
                 batch = []
         if batch:
             self.process_epoch(batch)
+
+    def finish(self) -> int:
+        """End-of-stream: emit the never-matched build rows of RIGHT/OUTER
+        joins, null-padded for the stream side, through the same WHERE +
+        projection (exactly once, own sink epoch)."""
+        if not self._pad_joins:
+            return 0
+        self.epoch += 1
+        n = 0
+        for k, (_idx, build, lk, rk) in enumerate(self._pad_joins):
+            unmatched = build.filter(pa.array(~self._matched[k]))
+            if unmatched.num_rows == 0:
+                continue
+            cols: dict = {}
+            for f in self.rel.schema:
+                if f.name not in unmatched.column_names:
+                    cols[f.name] = pa.nulls(unmatched.num_rows, type=f.type)
+            for name in unmatched.column_names:
+                if name != "__bid":
+                    cols[name] = unmatched.column(name)
+            # USING-style key coalescing: pads carry the build-side key
+            # value in the stream-side key column (same as the bounded
+            # shuffle join's coalesced output)
+            for lkc, rkc in zip(lk, rk):
+                if lkc != rkc and rkc in unmatched.column_names:
+                    cols[lkc] = pc.cast(
+                        unmatched.column(rkc), self.rel.schema.field(lkc).type
+                    ) if lkc in self.rel.schema.names else unmatched.column(rkc)
+            pad = pa.table(cols)
+            out = _project_fields(pad, list(self.builder.wheres), list(self.builder.fields))
+            if out.num_rows:
+                self.sink.write(10_000 + k, self.epoch, out)
+                n += out.num_rows
+        self.sink.commit_epoch(self.epoch)
+        return n
 
     def result(self) -> pa.Table:
         return self.sink.read_committed()

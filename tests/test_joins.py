@@ -172,3 +172,57 @@ def test_cte(engine, duck):
           "WITH spend_by_cust AS (SELECT o_custkey, sum(o_totalprice) AS spend "
           "FROM orders GROUP BY o_custkey) "
           "SELECT o_custkey, spend FROM spend_by_cust WHERE spend > 1000000.0")
+
+
+def test_right_join_with_residual(shuffle_engine, duck):
+    # compound ON for RIGHT joins (reference ksql/join.go:61-103): right
+    # rows whose matches all fail the residual are null-padded once
+    q = (
+        Select(F("c_custkey"), F("s_name"))
+        .From(Schema("supplier"))
+        .RightJoin(
+            Schema("customer"),
+            And(
+                F("supplier.s_nationkey").Equal(F("customer.c_nationkey")),
+                F("supplier.s_acctbal").Greater(5000.0),
+            ),
+        )
+    )
+    check(shuffle_engine, duck, q,
+          "SELECT c_custkey, s_name FROM supplier "
+          "RIGHT JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > 5000.0")
+
+
+def test_outer_join_with_residual(shuffle_engine, duck):
+    q = (
+        Select(F("s_suppkey"), F("n_name"))
+        .From(Schema("supplier"))
+        .OuterJoin(
+            Schema("nation"),
+            And(
+                F("supplier.s_nationkey").Equal(F("nation.n_nationkey")),
+                F("supplier.s_acctbal").Greater(5000.0),
+            ),
+        )
+    )
+    check(shuffle_engine, duck, q,
+          "SELECT s_suppkey, n_name FROM supplier "
+          "FULL OUTER JOIN nation ON s_nationkey = n_nationkey AND s_acctbal > 5000.0")
+
+
+def test_left_join_with_residual_shuffle(shuffle_engine, duck):
+    # the same compound-ON LEFT join through the co-partitioned path
+    q = (
+        Select(F("c_custkey"), F("s_name"))
+        .From(Schema("customer"))
+        .LeftJoin(
+            Schema("supplier"),
+            And(
+                F("customer.c_nationkey").Equal(F("supplier.s_nationkey")),
+                F("supplier.s_acctbal").Greater(5000.0),
+            ),
+        )
+    )
+    check(shuffle_engine, duck, q,
+          "SELECT c_custkey, s_name FROM customer "
+          "LEFT JOIN supplier ON c_nationkey = s_nationkey AND s_acctbal > 5000.0")
