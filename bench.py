@@ -226,7 +226,11 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     simhash_pairs(ds, max_hamming=2).count()
     out["simhash_dedup_200k"] = round(time.perf_counter() - t0, 2)
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    esch = pq.read_schema(f"{sf_dir}/embeddings.parquet")
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        schema=pa.schema([pa.field(f.name, f.type) for f in esch]),
+    )
     qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     sub = qtbl.slice(0, 16)
     qids = sub.column("vec_id").to_pylist()

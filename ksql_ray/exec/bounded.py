@@ -304,8 +304,16 @@ class Engine:
         if fmt == "CSV":
             ds = ray.data.read_csv(rel.path, override_num_blocks=nblocks)
             return ds.select_columns(cols) if cols else ds
+        # strip schema metadata (testdata files carry pandas metadata whose
+        # dict values make the Arrow schema unhashable — Ray Data then logs
+        # "Failed to hash the schemas" per read task); schema must cover
+        # exactly the projected columns, in file order
+        clean = pa.schema([
+            pa.field(f.name, f.type) for f in rel.schema
+            if not cols or f.name in cols
+        ])
         return ray.data.read_parquet(
-            rel.path, columns=cols, override_num_blocks=nblocks
+            rel.path, columns=cols, schema=clean, override_num_blocks=nblocks
         )
 
     # ------------------------------------------------------------------
@@ -416,9 +424,15 @@ class Engine:
                 b.groupby, aggs, rel.order_cols, b.window, rel.timestamp_col,
                 self.num_partitions,
             )
-            routed = ds.map_batches(_pinned(plan.route_fn), batch_format="pyarrow", zero_copy_batch=True)
+            # pre-aggregate WITHIN each batch (sessionize + p1 partials) so
+            # the partition shuffle moves per-(key, batch-session) partials,
+            # never raw rows (the streaming path's shape, reused here)
+            routed = ds.map_batches(
+                _pinned(plan.sessionize_partial_fn), batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
             merged = routed.groupby("__part").map_groups(
-                _pinned(plan.session_merge_fn), batch_format="pyarrow"
+                _pinned(plan.session_partial_merge_fn), batch_format="pyarrow"
             )
         else:
             plan = GroupByPlan(

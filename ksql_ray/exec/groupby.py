@@ -380,6 +380,58 @@ class SessionGroupByPlan(GroupByPlan):
             "__part", pa.array(part, type=pa.int64())
         )
 
+    def session_partial_merge_fn(self, tbl: pa.Table) -> pa.Table:
+        """Phase 2 over ``sessionize_partial_fn`` output (the bounded
+        path): merge within-batch session PARTIALS across batches —
+        an interval merge on (__ts_min, __ts_max) with a grouped running
+        max — then repartial-merge the aggregate partials per merged
+        session. Partition memory is bounded by distinct (key,
+        within-batch-session) partials, never raw rows."""
+        import pandas as pd
+
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        si = pc.sort_indices(
+            tbl,
+            sort_keys=[(k, "ascending") for k in self.key_names]
+            + [("__ts_min", "ascending"), ("__ts_max", "ascending")],
+        )
+        tbl = tbl.take(si)
+        n = tbl.num_rows
+        starts = _segment_starts(tbl, self.key_names)
+        is_start = np.zeros(n, dtype=bool)
+        is_start[starts] = True
+        seg_ids = np.cumsum(is_start) - 1
+        tmin = pc.cast(tbl.column("__ts_min"), pa.int64()).to_numpy(zero_copy_only=False)
+        tmax = pc.cast(tbl.column("__ts_max"), pa.int64()).to_numpy(zero_copy_only=False)
+        # per-key running max of interval ends (cython grouped cummax)
+        cmax = pd.Series(tmax).groupby(seg_ids).cummax().to_numpy()
+        prev = np.concatenate(([0], cmax[:-1]))
+        new_sess = is_start | ((tmin - prev) > self.session.gap_us)
+        sess_id = np.cumsum(new_sess) - 1
+        tbl = tbl.append_column("__sess", pa.array(sess_id, type=pa.int64()))
+        keys = self.key_names + ["__sess"]
+        inner = GroupByPlan(
+            [], self.aggs, self.order_cols, None, None, self.num_partitions
+        )
+        inner.key_names = keys
+        inner.all_keys = keys
+        inner.ord_names = self.ord_names
+        merged = inner.merge_fn(tbl)
+        bounds = pa.TableGroupBy(
+            tbl.select(keys + ["__ts_min", "__ts_max"]), keys, use_threads=False
+        ).aggregate([("__ts_min", "min"), ("__ts_max", "max")])
+        bounds = bounds.take(
+            pc.sort_indices(bounds, sort_keys=[(k, "ascending") for k in keys])
+        )
+        merged = merged.append_column(
+            "window_start", pc.cast(bounds.column("__ts_min_min"), pa.timestamp("us"))
+        )
+        merged = merged.append_column(
+            "window_end", pc.cast(bounds.column("__ts_max_max"), pa.timestamp("us"))
+        )
+        return merged.drop_columns(["__sess"])
+
     def session_merge_fn(self, tbl: pa.Table) -> pa.Table:
         if "__part" in tbl.column_names:
             tbl = tbl.drop_columns(["__part"])

@@ -119,6 +119,7 @@ def brute_force_topk(
         fn_constructor_kwargs={"queries_ref": qref, "k": k, "id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow",
         concurrency=(1, 8),
+        max_restarts=0,  # ctor args in object store + restarts -> ray#53727 warning
     )
     return partials.groupby("query_id").map_groups(
         _merge_topk_fn(k), batch_format="pyarrow"
@@ -239,6 +240,7 @@ def ivf_topk(
         },
         batch_format="pyarrow",
         concurrency=(1, 8),
+        max_restarts=0,  # ctor args in object store + restarts -> ray#53727 warning
     )
     return partials.groupby("query_id").map_groups(
         _merge_topk_fn(k), batch_format="pyarrow"

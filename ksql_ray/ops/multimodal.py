@@ -145,6 +145,7 @@ def extract_media_features(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),
+        max_restarts=0,  # ctor args in object store + restarts -> ray#53727 warning
     )
 
 

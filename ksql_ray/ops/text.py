@@ -160,5 +160,9 @@ def analyze_documents(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.
     ds = ds.map_batches(
         LangId, fn_constructor_kwargs={"text_col": text_col},
         batch_format="pyarrow", concurrency=(1, 16),
+        # constructor args live in the object store; with restartable
+        # actors Ray warns they may go out of scope (ray#53727) — the
+        # pool replaces failed actors anyway, so disable actor restarts
+        max_restarts=0,
     )
     return ds

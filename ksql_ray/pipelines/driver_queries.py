@@ -486,6 +486,18 @@ REGISTRY["cte"].post = lambda t: _round_cols(t, {"spend": 2})
 # training-data operations; SURVEY-mandated first-class components)
 
 
+
+def _read_clean(path: str):
+    """read_parquet with the schema's pandas metadata stripped (testdata
+    schemas are unhashable otherwise and every read task logs a
+    schema-dedup warning)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    s = pq.read_schema(path)
+    clean = pa.schema([pa.field(f.name, f.type) for f in s])
+    return ray.data.read_parquet(path, schema=clean)
+
 class RawQ:
     """Registry entry backed by a Ray Data pipeline function, not the
     SQL builder."""
@@ -516,7 +528,7 @@ def _op_text_analysis(sf_dir: str) -> pa.Table:
 
     from ..ops.text import analyze_documents
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
     t = _collect(analyze_documents(ds))
     return t.select(["doc_id", "char_count", "token_count", "fingerprint"])
 
@@ -535,7 +547,7 @@ def _op_lang_quality(sf_dir: str) -> pa.Table:
 
     from ..ops.text import analyze_documents
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
     t = _collect(analyze_documents(ds))
     return t.select(["doc_id", "lang_pred", "quality"])
 
@@ -579,7 +591,7 @@ def _op_exact_dedup(sf_dir: str) -> pa.Table:
 
     from ..ops.dedup import exact_dedup_keys
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
     return _collect(exact_dedup_keys(ds))
 
 
@@ -618,7 +630,7 @@ def _op_minhash_dedup(sf_dir: str) -> pa.Table:
 
     from ..ops.dedup import minhash_dedup_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
     t = _collect(minhash_dedup_pairs(ds, threshold=0.5, verify="exact"))
     return t.select(["doc_a", "doc_b", "jaccard"])
 
@@ -631,7 +643,7 @@ def _op_ngram_jaccard(sf_dir: str) -> pa.Table:
 
     from ..ops.dedup import ngram_jaccard_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
     return _collect(ngram_jaccard_pairs(ds, threshold=0.5))
 
 
@@ -643,7 +655,7 @@ def _op_simhash_dedup(sf_dir: str) -> pa.Table:
 
     from ..ops.dedup import simhash_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
     return _collect(simhash_pairs(ds, max_hamming=3))
 
 
@@ -659,7 +671,7 @@ def _op_embedding_neardup(sf_dir: str) -> pa.Table:
     # round 1 gated at 0.95 and emitted 0 rows, verifying nothing);
     # 32 tables x 4 planes makes multi-table LSH recall ~1 there, so the
     # pruned pipeline must equal the oracle's exact all-pairs answer
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_clean(f"{sf_dir}/embeddings.parquet")
     t = _collect(embedding_neardup_pairs(
         ds, threshold=0.45, n_planes=4, n_tables=32, max_full_pairwise=256
     ))
@@ -695,7 +707,7 @@ def _op_ann_topk(sf_dir: str) -> pa.Table:
     from ..ops.ann import brute_force_topk
 
     qids, qm = _ann_queries(sf_dir)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_clean(f"{sf_dir}/embeddings.parquet")
     return _collect(brute_force_topk(ds, qids, qm, k=10))
 
 
@@ -726,7 +738,7 @@ def _op_ivf_ann(sf_dir: str) -> pa.Table:
     # path is gated against the exact SQL oracle; production configs trade
     # this recall for corpus-fraction scans
     qids, qm = _ann_queries(sf_dir)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_clean(f"{sf_dir}/embeddings.parquet")
     return _collect(ivf_topk(ds, qids, qm, k=10, n_planes=4, n_tables=8, probe_radius=2))
 
 
