@@ -243,6 +243,9 @@ def copartition_join(
 
     def make_tag(side: int, keys: list[str], schema: pa.Schema):
         def tag(batch: pa.Table) -> pa.Table:
+            from ..streaming.driver import limit_worker_threads
+
+            limit_worker_threads()
             n = batch.num_rows
             cols = {}
             for f in all_fields:
@@ -276,6 +279,9 @@ def copartition_join(
     rnames = [f.name for f in right_schema]
 
     def fix(group: pa.Table) -> pa.Table:
+        from ..streaming.driver import limit_worker_threads
+
+        limit_worker_threads()
         if "__part" in group.column_names:
             group = group.drop_columns(["__part"])
         side = group.column("__side").to_numpy(zero_copy_only=False)

@@ -51,10 +51,10 @@ def exact_dedup_keys(ds: ray.data.Dataset, id_col: str = "doc_id",
         b = fp(batch.select([id_col, text_col]), text_col, "h")
         return b.drop_columns([text_col])
 
-    hashed = ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+    hashed = ds.map_batches(_pin(digest), batch_format="pyarrow", zero_copy_batch=True)
     plan = GroupByPlan([F("h")], [Min(F(id_col)), Count(F(id_col))], [], num_partitions=16)
-    partials = hashed.map_batches(plan.partial_fn, batch_format="pyarrow", zero_copy_batch=True)
-    merged = partials.groupby("__part").map_groups(plan.merge_fn, batch_format="pyarrow")
+    partials = hashed.map_batches(_pin(plan.partial_fn), batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby("__part").map_groups(_pin(plan.merge_fn), batch_format="pyarrow")
 
     def rename(batch: pa.Table) -> pa.Table:
         mapping = {"__k0": "h", "__agg0": id_col, "__agg1": "dup_count"}
@@ -62,6 +62,22 @@ def exact_dedup_keys(ds: ray.data.Dataset, id_col: str = "doc_id",
 
     return merged.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
+
+
+def _pin(fn):
+    """Pin Arrow's per-process thread pool before running a stage fn:
+    N concurrent workers x multithreaded kernels oversubscribe the node
+    (measured 4x at 32 CPUs — BASELINE.md perf lesson #2)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        from ..streaming.driver import limit_worker_threads
+
+        limit_worker_threads()
+        return fn(*a, **kw)
+
+    return wrapped
 
 
 # ---------------------------------------------------------------- bucketing
@@ -73,6 +89,7 @@ def _partition_by(ds: ray.data.Dataset, key_cols: list[str], num_partitions: int
     (measured on the 200k-doc dedup bench)."""
     from ..exec.groupby import hash_partition_ids
 
+    @_pin
     def add_part(batch: pa.Table) -> pa.Table:
         part = hash_partition_ids(batch, key_cols, num_partitions)
         return batch.append_column("__part", pa.array(part, type=pa.int64()))
@@ -271,7 +288,7 @@ def _score_via_store(cands: ray.data.Dataset, store: ray.data.Dataset,
         })
 
     sides = _partition_by(cands, ["doc_a", "doc_b"], num_partitions).map_groups(
-        dedup_explode, batch_format="pyarrow"
+        _pin(dedup_explode), batch_format="pyarrow"
     )
     # the hash-shuffle join spawns one aggregator ACTOR per partition,
     # each reserving a CPU — more partitions than cluster CPUs deadlocks
@@ -282,7 +299,7 @@ def _score_via_store(cands: ray.data.Dataset, store: ray.data.Dataset,
         store, "inner", join_parts, on=("key",), right_on=(id_col,)
     )
     return _partition_by(joined, ["doc_a", "doc_b"], num_partitions).map_groups(
-        score_fn, batch_format="pyarrow"
+        _pin(score_fn), batch_format="pyarrow"
     )
 
 
@@ -367,24 +384,32 @@ def _band_rows_fn(id_col: str, num_hashes: int, bands: int):
 
 def _exact_jaccard_of_pairs(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """tbl = 2k rows (pair segments of 2, sorted). Returns (doc_a, doc_b,
-    jaccard) per pair — sorted-array intersection via one lexsort over the
-    flattened shingle values, no per-pair Python set ops."""
+    jaccard) per pair. The cross-side intersection count uses ONE
+    primitive ``np.sort`` over packed uint64 keys
+    ``(pair_idx << 33) | (folded_hash32 << 1) | side`` — adjacent keys
+    differing only in the side bit are cross-side hits — instead of an
+    indirect two-key lexsort over the raw 64-bit hashes (measured 5x
+    slower). The 32-bit fold adds ~1e-7 collision noise per pair; set
+    sizes (and thus unions) stay exact from the 64-bit store."""
     from .vectors import unpack_u64
 
     a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
     b = tbl.column("doc_b").to_numpy(zero_copy_only=False)
     flat, counts = unpack_u64(tbl.column("shingles"))
     n_rows = len(a)
-    pair_of_row = np.arange(n_rows) // 2
-    rep = np.repeat(pair_of_row, counts)
-    order = np.lexsort((flat, rep))
-    rs, vs = rep[order], flat[order]
     n_pairs = n_rows // 2
+    pair_of_row = np.arange(n_rows, dtype=np.uint64) >> np.uint64(1)
+    rep = np.repeat(pair_of_row, counts)
+    side = np.repeat((np.arange(n_rows) & 1).astype(np.uint64), counts)
+    h32 = (flat ^ (flat >> np.uint64(32))) & np.uint64(0xFFFFFFFF)
+    key = (rep << np.uint64(33)) | (h32 << np.uint64(1)) | side
+    key.sort()
     inter = np.zeros(n_pairs, dtype=np.int64)
-    if len(rs) > 1:
-        dup = (rs[1:] == rs[:-1]) & (vs[1:] == vs[:-1])
-        # within-doc shingles are unique, so a duplicate is a cross-side hit
-        inter = np.bincount(rs[1:][dup], minlength=n_pairs)
+    if len(key) > 1:
+        hits = (key[1:] ^ key[:-1]) == np.uint64(1)
+        inter = np.bincount(
+            (key[1:][hits] >> np.uint64(33)).astype(np.int64), minlength=n_pairs
+        )
     union = counts[0::2] + counts[1::2] - inter
     jac = inter / np.maximum(union, 1)
     return a[0::2], b[0::2], jac
@@ -424,17 +449,17 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     # it is the compact derived table (0.5-1.5 KB/doc), sharded across
     # the cluster's object store (spill-backed), never on the driver
     store = ds.map_batches(
-        lambda b: _mh_store_stage(
+        _pin(lambda b: _mh_store_stage(
             b, id_col, text_col, ngram, num_hashes, seed, with_shingles
-        ),
+        )),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
     buckets = store.map_batches(
-        _band_rows_fn(id_col, num_hashes, bands),
+        _pin(_band_rows_fn(id_col, num_hashes, bands)),
         batch_format="pyarrow", zero_copy_batch=True,
     )
     cands = _partition_by(buckets, ["band", "bucket"], num_partitions).map_groups(
-        _candidate_pairs_fn(["band", "bucket"], id_col), batch_format="pyarrow"
+        _pin(_candidate_pairs_fn(["band", "bucket"], id_col)), batch_format="pyarrow"
     )
 
     def score(group: pa.Table) -> pa.Table:
@@ -482,15 +507,15 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     and the verify pass is a sorted-array intersection per pair segment
     (no Python set ops)."""
     store = ds.map_batches(
-        lambda b: _mh_store_stage(b, id_col, text_col, ngram, num_hashes, seed, True),
+        _pin(lambda b: _mh_store_stage(b, id_col, text_col, ngram, num_hashes, seed, True)),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()  # two consumers; see minhash_dedup_pairs
     buckets = store.map_batches(
-        _band_rows_fn(id_col, num_hashes, bands),
+        _pin(_band_rows_fn(id_col, num_hashes, bands)),
         batch_format="pyarrow", zero_copy_batch=True,
     )
     cands = _partition_by(buckets, ["band", "bucket"], num_partitions).map_groups(
-        _candidate_pairs_fn(["band", "bucket"], id_col), batch_format="pyarrow"
+        _pin(_candidate_pairs_fn(["band", "bucket"], id_col)), batch_format="pyarrow"
     )
 
     def score(group: pa.Table) -> pa.Table:
@@ -539,7 +564,7 @@ def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     """Near-dup pairs within Hamming distance: bucket by each of four
     16-bit chunks (pigeonhole: distance<=3 shares at least one chunk)."""
     hashed = ds.map_batches(
-        lambda b: simhash_stage(b, id_col, text_col),
+        _pin(lambda b: simhash_stage(b, id_col, text_col)),
         batch_format="pyarrow", zero_copy_batch=True,
     )
 
@@ -556,7 +581,7 @@ def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
             "simhash": batch.column("simhash").take(pa.array(doc_idx)),
         })
 
-    exploded = hashed.map_batches(explode_chunks, batch_format="pyarrow", zero_copy_batch=True)
+    exploded = hashed.map_batches(_pin(explode_chunks), batch_format="pyarrow", zero_copy_batch=True)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         if "__part" in group.column_names:
@@ -597,7 +622,7 @@ def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
         })
 
     pairs = _partition_by(exploded, ["chunk", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+        _pin(bucket_pairs), batch_format="pyarrow"
     )
 
     def dedupe(batch: pa.Table) -> pa.Table:
@@ -609,7 +634,7 @@ def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
         return gb.aggregate([("hamming", "min")]).rename_columns(["doc_a", "doc_b", "hamming"])
 
     return _partition_by(pairs, ["doc_a", "doc_b"]).map_groups(
-        dedupe, batch_format="pyarrow"
+        _pin(dedupe), batch_format="pyarrow"
     )
 
 
@@ -639,7 +664,7 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = "vec_id",
         })
 
     store = ds.map_batches(
-        store_stage, batch_format="pyarrow", zero_copy_batch=True
+        _pin(store_stage), batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # two consumers; see minhash_dedup_pairs
 
     def bucket_stage(batch: pa.Table) -> pa.Table:
@@ -666,9 +691,9 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = "vec_id",
             ),
         })
 
-    buckets = store.map_batches(bucket_stage, batch_format="pyarrow", zero_copy_batch=True)
+    buckets = store.map_batches(_pin(bucket_stage), batch_format="pyarrow", zero_copy_batch=True)
     cands = _partition_by(buckets, ["band", "bucket"], num_partitions).map_groups(
-        _candidate_pairs_fn(["band", "bucket"], id_col, max_full_pairwise),
+        _pin(_candidate_pairs_fn(["band", "bucket"], id_col, max_full_pairwise)),
         batch_format="pyarrow",
     )
 
