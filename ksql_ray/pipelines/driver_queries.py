@@ -31,12 +31,18 @@ GAP_US = 30 * 60 * 1_000_000
 
 
 def _round_cols(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
+    """DuckDB-equivalent rounding: round(x * 10^d) / 10^d in float64,
+    half away from zero — ``pc.round`` lands 1 ulp off DuckDB's ROUND on
+    some values (measured: 1e-10..1e-14 diffs on ROUND'd aggregates)."""
+    import numpy as np
+
     for c, nd in cols.items():
         if c in tbl.column_names:
             i = tbl.column_names.index(c)
-            tbl = tbl.set_column(
-                i, c, pc.round(pc.cast(tbl.column(c), pa.float64()), ndigits=nd)
-            )
+            v = pc.cast(tbl.column(c), pa.float64()).to_numpy(zero_copy_only=False)
+            scale = 10.0 ** nd
+            r = np.floor(v * scale + np.where(v >= 0, 0.5, -0.5)) / scale
+            tbl = tbl.set_column(i, c, pa.array(r, type=pa.float64()))
     return tbl
 
 
