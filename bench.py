@@ -238,6 +238,36 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     brute_force_topk(emb, qids, qm, k=10).count()
     out["ann_topk_16q"] = round(time.perf_counter() - t0, 2)
+
+    # embedding ops at volume: 100k x 64d synthetic vectors with 1000
+    # planted near-dup pairs (the sf embeddings table is tiny)
+    from ksql_ray.ops.ann import ivf_topk
+    from ksql_ray.ops.dedup import embedding_neardup_pairs
+
+    vec_path = "/tmp/ksql_ray_vectors_100k.parquet"
+    if not os.path.exists(vec_path):
+        rng = np.random.default_rng(42)
+        m = rng.standard_normal((100_000, 64)).astype(np.float32)
+        m[1:2000:2] = m[0:2000:2] + 0.05 * rng.standard_normal((1000, 64)).astype(np.float32)
+        pq.write_table(pa.table({
+            "vec_id": pa.array(np.arange(100_000), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), 64
+            ),
+        }), vec_path)
+
+    vds = ray.data.read_parquet(vec_path)
+    t0 = time.perf_counter()
+    embedding_neardup_pairs(vds, threshold=0.9, n_planes=10, n_tables=4,
+                            vec_dtype=np.float32).count()
+    out["embedding_neardup_100k"] = round(time.perf_counter() - t0, 2)
+
+    vds = ray.data.read_parquet(vec_path)
+    qcol = pq.read_table(vec_path).slice(0, 16).column("embedding").combine_chunks()
+    qm2 = qcol.flatten().to_numpy(zero_copy_only=False).reshape(16, 64).astype(np.float64)
+    t0 = time.perf_counter()
+    ivf_topk(vds, list(range(16)), qm2, k=10, n_planes=8, n_tables=4, probe_radius=1).count()
+    out["ivf_ann_100k_16q"] = round(time.perf_counter() - t0, 2)
     return out
 
 

@@ -644,7 +644,8 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = "vec_id",
                             n_planes: int = 4, n_tables: int = 8,
                             seed: int = 42,
                             num_partitions: int = 32,
-                            max_full_pairwise: int = 64) -> ray.data.Dataset:
+                            max_full_pairwise: int = 64,
+                            vec_dtype=np.float64) -> ray.data.Dataset:
     """Cosine near-dup -> (vec_a, vec_b, cosine). Multi-table sign-LSH
     (``n_tables`` independent tables of ``n_planes`` seeded hyperplanes):
     a pair collides if ANY table buckets it together — recall
@@ -657,10 +658,12 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = "vec_id",
     from .vectors import normalize_rows, pack_u64_rows, unpack_u64, vecs_np
 
     def store_stage(batch: pa.Table) -> pa.Table:
-        m = normalize_rows(vecs_np(batch.column(vec_col)))
+        # vec_dtype=np.float32 halves the store/join payload (use for
+        # throughput; keep float64 where bit-exact cosines matter)
+        m = normalize_rows(vecs_np(batch.column(vec_col))).astype(vec_dtype, copy=False)
         return pa.table({
             id_col: batch.column(id_col),
-            "vec": pack_u64_rows(m.view(np.uint64)),
+            "vec": pack_u64_rows(m),
         })
 
     store = ds.map_batches(
@@ -668,7 +671,7 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = "vec_id",
     ).materialize()  # two consumers; see minhash_dedup_pairs
 
     def bucket_stage(batch: pa.Table) -> pa.Table:
-        flat, counts = unpack_u64(batch.column("vec"), dtype=np.float64)
+        flat, counts = unpack_u64(batch.column("vec"), dtype=vec_dtype)
         n = batch.num_rows
         if n == 0 or len(flat) == 0:
             return pa.table({
@@ -708,9 +711,9 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = "vec_id",
             return empty
         a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
         b = tbl.column("doc_b").to_numpy(zero_copy_only=False)
-        flat, _ = unpack_u64(tbl.column("vec"), dtype=np.float64)
+        flat, _ = unpack_u64(tbl.column("vec"), dtype=vec_dtype)
         m = flat.reshape(len(a), -1)
-        cos = np.einsum("ij,ij->i", m[0::2], m[1::2])
+        cos = np.einsum("ij,ij->i", m[0::2], m[1::2]).astype(np.float64)
         keep = cos >= threshold
         return pa.table({
             "vec_a": pa.array(a[0::2][keep].astype(np.int64)),

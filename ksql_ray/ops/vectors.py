@@ -49,10 +49,10 @@ def _binary_from_offsets(n: int, offsets_bytes: np.ndarray, data: np.ndarray) ->
 
 
 def pack_u64_rows(mat: np.ndarray) -> pa.Array:
-    """(n, w) uint64/int64/float64 matrix -> binary column, 8*w bytes/row."""
+    """(n, w) fixed-width matrix -> binary column, itemsize*w bytes/row."""
     n, w = mat.shape
-    offsets = np.arange(n + 1, dtype=np.int64) * (w * 8)
-    return _binary_from_offsets(n, offsets, mat.view(np.uint8))
+    offsets = np.arange(n + 1, dtype=np.int64) * (w * mat.dtype.itemsize)
+    return _binary_from_offsets(n, offsets, np.ascontiguousarray(mat).view(np.uint8))
 
 
 def pack_u64_var(flat: np.ndarray, counts: np.ndarray) -> pa.Array:
@@ -77,5 +77,5 @@ def unpack_u64(col, dtype=np.uint64) -> tuple[np.ndarray, np.ndarray]:
     offs = np.frombuffer(bufs[1], dtype=off_dtype)[col.offset : col.offset + n + 1]
     data = np.frombuffer(bufs[2], dtype=np.uint8)
     flat = data[offs[0] : offs[-1]].copy().view(dtype)
-    counts = (np.diff(offs) // 8).astype(np.int64)
+    counts = (np.diff(offs) // np.dtype(dtype).itemsize).astype(np.int64)
     return flat, counts
