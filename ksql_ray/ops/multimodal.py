@@ -151,23 +151,21 @@ def extract_media_features(
 
 def frame_sample_stub(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
     """Video frame-sampling plumbing: expands each video row into frame
-    rows (deterministic count from duration; decode stubbed)."""
-    ids = batch.column("media_id").to_pylist()
-    kinds = batch.column("kind").to_pylist()
-    durs = batch.column("duration_ms").to_pylist()
-    out_id, out_frame, out_ts = [], [], []
-    for i, k, d in zip(ids, kinds, durs):
-        if k != "video":
-            continue
-        n_frames = max(1, (d or 0) // every_ms)
-        for f in range(n_frames):
-            out_id.append(i)
-            out_frame.append(f)
-            out_ts.append(f * every_ms)
+    rows (deterministic count from duration; decode stubbed). Vectorized
+    fan-out via repeat + per-row cumulative offsets."""
+    import pyarrow.compute as pc
+
+    vids = batch.filter(pc.equal(batch.column("kind"), "video"))
+    ids = vids.column("media_id").to_numpy(zero_copy_only=False)
+    durs = pc.fill_null(vids.column("duration_ms"), 0).to_numpy(zero_copy_only=False)
+    n_frames = np.maximum(1, durs.astype(np.int64) // every_ms)
+    out_id = np.repeat(ids, n_frames)
+    starts = np.concatenate(([0], np.cumsum(n_frames)))[:-1]
+    frame_idx = np.arange(int(n_frames.sum()), dtype=np.int64) - np.repeat(starts, n_frames)
     return pa.table(
         {
-            "media_id": pa.array(out_id, type=pa.int64()),
-            "frame_idx": pa.array(out_frame, type=pa.int64()),
-            "frame_ts_ms": pa.array(out_ts, type=pa.int64()),
+            "media_id": pa.array(out_id.astype(np.int64)),
+            "frame_idx": pa.array(frame_idx),
+            "frame_ts_ms": pa.array(frame_idx * every_ms),
         }
     )

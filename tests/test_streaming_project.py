@@ -85,3 +85,29 @@ def test_push_replay_idempotent(fix, tmp_path, ray_session):
     job2 = StreamingProjectJob(q, fix["cat"], out)
     job2.run(files, files_per_epoch=2)
     assert job2.result().num_rows == n1
+
+
+def test_push_right_outer_join_pads(fix, tmp_path, ray_session):
+    """RIGHT/OUTER stream-table joins: never-matched build rows are
+    null-padded exactly once at finish() (matched-bitmap state)."""
+    q = (Select(F("conv_id"), F("turn_idx"), F("user_tier"))
+         .From(Schema("transcripts"))
+         .RightJoin(Schema("conv_meta"),
+                    F("transcripts.conv_id").Equal(F("conv_meta.conv_id")))
+         .EmitChanges())
+    files = sorted(glob.glob(fix["t_dir"] + "/*.parquet"))
+    job = StreamingProjectJob(q, fix["cat"], str(tmp_path / "out_r"))
+    job.run(files, files_per_epoch=2)
+    job.finish()
+    got = job.result()
+    exp = fix["con"].execute(
+        "SELECT m.conv_id AS conv_id, t.turn_idx, m.user_tier FROM transcripts t "
+        "RIGHT JOIN conv_meta m ON t.conv_id = m.conv_id"
+    ).arrow()
+    assert_tables_equal(got, exp)
+
+    # replaying the same stream into the same sink must not duplicate pads
+    job2 = StreamingProjectJob(q, fix["cat"], str(tmp_path / "out_r"))
+    job2.run(files, files_per_epoch=2)
+    job2.finish()
+    assert job2.result().num_rows == got.num_rows
