@@ -340,6 +340,14 @@ class SessionGroupByPlan(GroupByPlan):
             cols[name] = v
         for name, oc in zip(self.ord_names, self.order_cols):
             cols[name] = batch.column(oc)
+        # LATEST/EARLIEST need their per-agg masked order partials here
+        # too (same as partial_fn) — _p1_entries aggregates them
+        for i, _pick in self._pick_aggs():
+            valid = pc.is_valid(cols[self.agg_names[i]])
+            for j, oname in enumerate(self.ord_names):
+                oc = cols[oname]
+                oc_type = oc.type if hasattr(oc, "type") else batch.column(self.order_cols[j]).type
+                cols[f"__oa{i}_{j}"] = pc.if_else(valid, oc, pa.nulls(n, type=oc_type))
         cols["__ts"] = pc.cast(batch.column(self.ts_col), pa.int64())
         tmp = pa.table(cols)
         part = hash_partition_ids(tmp, self.key_names, self.num_partitions)
