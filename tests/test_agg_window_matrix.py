@@ -169,7 +169,7 @@ def Tumbling_():
     return Tumbling(10, MINUTES)
 
 
-@pytest.mark.parametrize("window", ["tumbling", "session"])
+@pytest.mark.parametrize("window", ["tumbling", "hopping", "session"])
 @pytest.mark.parametrize("agg", sorted(AGGS))
 def test_streaming_matrix_equals_bounded(mx, ray_session, tmp_path, window, agg):
     """Streaming EMIT FINAL over micro-batches + end-of-stream flush must
@@ -186,7 +186,10 @@ def test_streaming_matrix_equals_bounded(mx, ray_session, tmp_path, window, agg)
 
     def build():
         q = Select(F("k"), make_expr()).From(Schema("mx")).GroupBy(F("k"))
-        q = q.Windowed(Tumbling_() if window == "tumbling" else Session(5, MINUTES))
+        win = (Tumbling_() if window == "tumbling"
+               else Hopping(10, MINUTES, 5, MINUTES) if window == "hopping"
+               else Session(5, MINUTES))
+        q = q.Windowed(win)
         return q.EmitFinal()
 
     eng = Engine(mx["cat"], num_partitions=4)
