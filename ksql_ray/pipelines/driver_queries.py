@@ -830,6 +830,29 @@ REGISTRY["streaming_window_tumbling"] = RawQ(
 )
 
 
+def _streaming_hopping(sf_dir: str) -> pa.Table:
+    def b():
+        return (Select(F("user_id"), Count(F("event_id")).As("cnt"))
+                .From(Schema("events")).GroupBy(F("user_id"))
+                .Windowed(Hopping(60, MINUTES, 30, MINUTES)).EmitFinal())
+
+    return _stream_events(sf_dir, b, "hop")
+
+
+REGISTRY["streaming_window_hopping"] = RawQ(
+    _streaming_hopping,
+    f"""WITH exp AS (
+      SELECT user_id, event_id,
+             unnest(range(greatest((epoch_us(ts) - {HOUR_US}) // {HALF_US} + 1, 0),
+                          epoch_us(ts) // {HALF_US} + 1)) AS k
+      FROM events)
+    SELECT make_timestamp(k * {HALF_US}) AS window_start,
+           make_timestamp(k * {HALF_US} + {HOUR_US}) AS window_end,
+           user_id, count(event_id) AS cnt
+    FROM exp GROUP BY 1, 2, 3""",
+)
+
+
 def _streaming_session(sf_dir: str) -> pa.Table:
     def b():
         return (Select(F("user_id"), Count(F("event_id")).As("cnt"))
