@@ -114,3 +114,46 @@ def test_random_aggregates(prop_engine, duck_prop, agg_idx, cond):
         f"WHERE {sql_cond} GROUP BY l_returnflag"
     ).arrow()
     assert_tables_equal(actual, expected, float_tol=1e-6)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.lists(st.integers(min_value=0, max_value=60), min_size=0, max_size=30),
+        st.lists(st.integers(min_value=0, max_value=60), min_size=0, max_size=30),
+    ),
+    min_size=1, max_size=12,
+))
+def test_packed_sort_jaccard_matches_sets(pairs):
+    """The packed-key np.sort intersection kernel must equal Python set
+    Jaccard for arbitrary shingle multisets (store rows are sorted-unique,
+    which the test reproduces)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ksql_ray.ops.dedup import _exact_jaccard_of_pairs
+    from ksql_ray.ops.vectors import pack_u64_var
+
+    rows_flat, counts, expect = [], [], []
+    for a_vals, b_vals in pairs:
+        sa, sb = set(a_vals), set(b_vals)
+        u = len(sa | sb)
+        expect.append(len(sa & sb) / u if u else 0.0)
+        for s in (sa, sb):
+            vals = np.array(sorted(s), dtype=np.uint64)
+            rows_flat.append(vals)
+            counts.append(len(vals))
+    flat = np.concatenate(rows_flat) if rows_flat else np.empty(0, dtype=np.uint64)
+    n_pairs = len(pairs)
+    tbl = pa.table({
+        "doc_a": pa.array(np.repeat(np.arange(n_pairs) * 2, 2)),
+        "doc_b": pa.array(np.repeat(np.arange(n_pairs) * 2 + 1, 2)),
+        "key": pa.array(np.arange(2 * n_pairs)),
+        "shingles": pack_u64_var(flat, np.array(counts)),
+    })
+    a, b, jac = _exact_jaccard_of_pairs(tbl)
+    assert len(jac) == n_pairs
+    assert np.allclose(jac, expect, rtol=0, atol=0)
