@@ -264,7 +264,8 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
             "embedding": pa.FixedSizeListArray.from_arrays(
                 pa.array(m.reshape(-1)), 64
             ),
-        }), vec_path)
+        }), vec_path + ".tmp")
+        os.replace(vec_path + ".tmp", vec_path)  # no partial files on kill
 
     out["embedding_neardup_100k"] = min2(
         lambda: embedding_neardup_pairs(
