@@ -329,14 +329,19 @@ def _pair_segments(group: pa.Table):
 
 
 def _mh_store_stage(batch: pa.Table, id_col: str, text_col: str, ngram: int,
-                    num_hashes: int, seed: int, with_shingles: bool) -> pa.Table:
+                    num_hashes: int, seed: int, with_shingles: bool,
+                    sig_dtype=np.uint64) -> pa.Table:
     """Doc store row: (doc_id, sig packed binary[, shingles packed binary
-    of the SORTED-UNIQUE shingle hashes]). One row per doc; computed once."""
+    of the SORTED-UNIQUE shingle hashes]). One row per doc; computed once.
+    ``sig_dtype=np.uint32`` truncates signature values (per-element
+    collision 2^-32 — est bias ~1e-9) and halves the est-mode payload."""
     from .vectors import pack_u64_rows, pack_u64_var
 
     texts = batch.column(text_col)
     flat, offsets = _word_ngram_hashes(texts, ngram)
     sig = _minhash_signatures(flat, offsets, num_hashes, seed)
+    if sig_dtype is not np.uint64:
+        sig = (sig & np.uint64(0xFFFFFFFF)).astype(sig_dtype)
     cols: dict = {
         id_col: batch.column(id_col),
         "sig": pack_u64_rows(sig),
@@ -355,7 +360,8 @@ def _mh_store_stage(batch: pa.Table, id_col: str, text_col: str, ngram: int,
     return pa.table(cols)
 
 
-def _band_rows_fn(id_col: str, num_hashes: int, bands: int):
+def _band_rows_fn(id_col: str, num_hashes: int, bands: int,
+                  sig_dtype=np.uint64):
     """Bucket rows from the doc store: (band, bucket, doc_id) ONLY —
     20 bytes/row through the shuffle, never the signature (shipping sigs
     per band row was 16x redundant, measured round 1)."""
@@ -365,8 +371,8 @@ def _band_rows_fn(id_col: str, num_hashes: int, bands: int):
 
     def bucket_stage(batch: pa.Table) -> pa.Table:
         n_docs = batch.num_rows
-        flat, _ = unpack_u64(batch.column("sig"))
-        sig = flat.reshape(n_docs, num_hashes)
+        flat, _ = unpack_u64(batch.column("sig"), dtype=sig_dtype)
+        sig = flat.astype(np.uint64, copy=False).reshape(n_docs, num_hashes)
         band_sig = sig.reshape(n_docs, bands, rows_per_band)
         bucket = np.zeros((n_docs, bands), dtype=np.uint64)
         for r in range(rows_per_band):
@@ -415,10 +421,11 @@ def _exact_jaccard_of_pairs(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray, np.n
     return a[0::2], b[0::2], jac
 
 
-def _minhash_est_of_pairs(tbl: pa.Table, num_hashes: int) -> np.ndarray:
+def _minhash_est_of_pairs(tbl: pa.Table, num_hashes: int,
+                          sig_dtype=np.uint64) -> np.ndarray:
     from .vectors import unpack_u64
 
-    flat, _ = unpack_u64(tbl.column("sig"))
+    flat, _ = unpack_u64(tbl.column("sig"), dtype=sig_dtype)
     sig = flat.reshape(-1, num_hashes)
     return (sig[0::2] == sig[1::2]).mean(axis=1)
 
@@ -443,6 +450,7 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     if verify not in ("exact", "est"):
         raise ValueError("verify must be 'exact' or 'est'")
     with_shingles = verify == "exact"
+    sig_dtype = np.uint64 if verify == "exact" else np.uint32
 
     # the store feeds TWO consumers (bucket branch + verify join);
     # materialize once so its lineage is not recomputed per consumer —
@@ -450,12 +458,13 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     # the cluster's object store (spill-backed), never on the driver
     store = ds.map_batches(
         _pin(lambda b: _mh_store_stage(
-            b, id_col, text_col, ngram, num_hashes, seed, with_shingles
+            b, id_col, text_col, ngram, num_hashes, seed, with_shingles,
+            sig_dtype=sig_dtype,
         )),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
     buckets = store.map_batches(
-        _pin(_band_rows_fn(id_col, num_hashes, bands)),
+        _pin(_band_rows_fn(id_col, num_hashes, bands, sig_dtype=sig_dtype)),
         batch_format="pyarrow", zero_copy_batch=True,
     )
     cands = _partition_by(buckets, ["band", "bucket"], num_partitions).map_groups(
@@ -475,7 +484,7 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
             return pa.table(cols)
         a = tbl.column("doc_a").to_numpy(zero_copy_only=False)[0::2]
         b = tbl.column("doc_b").to_numpy(zero_copy_only=False)[0::2]
-        est = _minhash_est_of_pairs(tbl, num_hashes)
+        est = _minhash_est_of_pairs(tbl, num_hashes, sig_dtype=sig_dtype)
         if verify == "exact":
             _, _, jac = _exact_jaccard_of_pairs(tbl)
             keep = jac >= threshold

@@ -778,6 +778,29 @@ REGISTRY["op_media_features"] = RawQ(
 )
 
 
+def _op_frame_sample(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..ops.multimodal import frame_sample_stub, media_table_from_documents
+
+    media = media_table_from_documents(pq.read_table(f"{sf_dir}/documents.parquet"))
+    ds = ray.data.from_arrow(media)
+    return _collect(ds.map_batches(frame_sample_stub, batch_format="pyarrow"))
+
+
+REGISTRY["op_frame_sample"] = RawQ(
+    _op_frame_sample,
+    # media rows derive from documents (media_table_from_documents):
+    # kind = doc_id%3 (2 -> video), duration_ms = 1000 + doc_id%59000;
+    # one frame per 1000 ms
+    "SELECT doc_id AS media_id, "
+    "unnest(range(0, greatest(1, (1000 + doc_id % 59000) // 1000))) AS frame_idx, "
+    "unnest(range(0, greatest(1, (1000 + doc_id % 59000) // 1000))) * 1000 AS frame_ts_ms "
+    "FROM documents WHERE doc_id % 3 = 2",
+)
+
+
 # --------------------------------------------------------------- streaming
 # The streaming engine itself under the driver's oracle gate: the events
 # table replayed as ts-ordered micro-batches through StreamingJob; with no

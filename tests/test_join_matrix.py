@@ -86,3 +86,43 @@ def test_join_matrix(jm, ray_session, how, residual, multikey, path):
     got = eng.table(_build(how, residual, multikey))
     exp = jm["con"].execute(_sql(how, residual, multikey)).arrow()
     assert_tables_equal(got, exp)
+
+
+def test_copartition_join_string_keys(jm, ray_session, tmp_path_factory):
+    """Residual outer join over STRING keys (exercises the side-tagged
+    union's key-type coercion and string hashing)."""
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("jstr")
+    rng = np.random.default_rng(9)
+    left = pa.table({
+        "lk": pa.array([f"k{v:02d}" for v in rng.integers(0, 30, 800)], type=pa.string()),
+        "lval": pa.array(rng.integers(0, 100, 800), type=pa.int64()),
+        "lid": pa.array(np.arange(800), type=pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array([f"k{v:02d}" for v in rng.integers(0, 40, 120)], type=pa.string()),
+        "rval": pa.array(rng.integers(0, 100, 120), type=pa.int64()),
+        "rid": pa.array(np.arange(120), type=pa.int64()),
+    })
+    lp, rp = str(base / "l.parquet"), str(base / "r.parquet")
+    pq.write_table(left, lp)
+    pq.write_table(right, rp)
+    from ksql_ray import Catalog, Relation
+    cat = Catalog()
+    cat.create(Relation("ls", Ref.TABLE, left.schema, path=lp))
+    cat.create(Relation("rs", Ref.TABLE, right.schema, path=rp))
+    eng = Engine(cat, num_partitions=4, broadcast_max_bytes=0)
+    q = (Select(F("lid"), F("rid"))
+         .From(Schema("ls"))
+         .OuterJoin(Schema("rs"), And(F("ls.lk").Equal(F("rs.rk")),
+                                      F("rs.rval").Greater(50))))
+    got = eng.table(q)
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ls AS SELECT * FROM '{lp}'")
+    con.execute(f"CREATE VIEW rs AS SELECT * FROM '{rp}'")
+    exp = con.execute(
+        "SELECT lid, rid FROM ls FULL OUTER JOIN rs "
+        "ON ls.lk = rs.rk AND rs.rval > 50").arrow()
+    assert_tables_equal(got, exp)
