@@ -39,10 +39,16 @@ def _round_cols(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
     for c, nd in cols.items():
         if c in tbl.column_names:
             i = tbl.column_names.index(c)
-            v = pc.cast(tbl.column(c), pa.float64()).to_numpy(zero_copy_only=False)
+            col = pc.cast(tbl.column(c), pa.float64()).combine_chunks()
+            v = col.to_numpy(zero_copy_only=False)
             scale = 10.0 ** nd
             r = np.floor(v * scale + np.where(v >= 0, 0.5, -0.5)) / scale
-            tbl = tbl.set_column(i, c, pa.array(r, type=pa.float64()))
+            # Preserve the validity mask: to_numpy turns NULL into NaN and a
+            # bare pa.array(r) would keep it NaN, corrupting NULL aggregates
+            # (e.g. SUM over an all-NULL group) into hash mismatches.
+            mask = np.asarray(col.is_null())
+            tbl = tbl.set_column(
+                i, c, pa.array(r, type=pa.float64(), mask=mask))
     return tbl
 
 
@@ -1039,14 +1045,8 @@ def _ddl_insert_ctas(sf_dir: str) -> pa.Table:
         t = eng.table(
             Select(F("user_id"), F("cnt"), F("sv")).From(Schema("user_value"))
         )
-        # DuckDB-equivalent rounding: round(x*10^4)/10^4 in float64 —
-        # pc.round can land 1 ulp off DuckDB's ROUND on these sums
-        import numpy as np
-
-        i = t.column_names.index("sv")
-        sv = t.column("sv").to_numpy(zero_copy_only=False).astype(np.float64)
-        sv = np.floor(sv * 1e4 + np.where(sv >= 0, 0.5, -0.5)) / 1e4
-        return t.set_column(i, "sv", pa.array(sv, type=pa.float64()))
+        # DuckDB-equivalent rounding (NULL-preserving; see _round_cols).
+        return _round_cols(t, {"sv": 4})
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
