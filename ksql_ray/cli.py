@@ -39,6 +39,7 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     if args.cmd == "create":
+        os.makedirs(args.dir, exist_ok=True)
         fname = os.path.join(args.dir, f"{int(time.time())}_{args.name}.sql")
         with open(fname, "w") as f:
             f.write("-- +seeker Up\n\n-- +seeker Down\n")
