@@ -145,9 +145,11 @@ def run_streaming_headline(sf_dir: str, num_cpus: int) -> dict:
     out_dir = f"/tmp/ksql_ray_bench_out_{os.getpid()}"
     files = sorted(glob.glob(paths["transcripts"] + "/*.parquet"))
     P = 16  # fixed partitioning across cluster sizes (the scaling job)
+    route = os.environ.get("KSQL_STREAM_ROUTE", "p2p")
     # warm the worker pool (process spawn + imports) outside the timing
     warm = StreamingJob(make_query(), cat, out_dir + "_warm", num_partitions=P,
-                        lateness_us=300_000_000, pre_transform=pre_transform)
+                        lateness_us=300_000_000, pre_transform=pre_transform,
+                        route=route)
     warm.run(files[:2], files_per_epoch=2)
     warm.finish()
 
@@ -159,7 +161,7 @@ def run_streaming_headline(sf_dir: str, num_cpus: int) -> dict:
     for trial in range(2):
         job = StreamingJob(make_query(), cat, f"{out_dir}_t{trial}",
                            num_partitions=P, lateness_us=300_000_000,
-                           pre_transform=pre_transform)
+                           pre_transform=pre_transform, route=route)
         t0 = time.perf_counter()
         job.run(files, files_per_epoch=fpe, max_inflight=2)
         job.finish()

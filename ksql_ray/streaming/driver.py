@@ -83,13 +83,21 @@ def _prep_file(
     plan,
     num_partitions: int,
     pre_transform=None,
+    split: bool = True,
 ):
     """Stateless per-epoch prep over one or more micro-batch files:
     read -> pre-transform -> broadcast joins -> filter -> phase-1
-    partials. Returns ONE partial table carrying the routing column
-    ``__part``; state actors slice their partition zero-copy from the
-    shared object store (a per-partition multi-return split only pays off
-    across nodes — the multi-node dispatch point, see StreamingJob)."""
+    partials.
+
+    With ``split`` (the default, invoked via ``num_returns=P``) the
+    routed partials come back as P separate objects — the multi-node
+    dispatch point: actor p fetches ONLY object p, so cross-node traffic
+    per epoch is each partition's own bytes instead of P x the full
+    partial table. Each slice is a zero-copy view of one sorted table;
+    Arrow IPC truncates buffers on serialization so object p holds only
+    partition p's rows. With ``split=False`` it returns the single
+    sorted partial table (actors slice their segment from shared plasma
+    — fine on one node, P x amplification across nodes)."""
     limit_worker_threads()
     if isinstance(inputs, (str, pa.Table)):
         inputs = [inputs]
@@ -120,6 +128,11 @@ def _prep_file(
         if len(partials) == 1
         else pa.concat_tables(partials, promote_options="permissive")
     )
+    if split:
+        slices = _split_by_part(out, num_partitions)
+        # num_returns=1 stores the return value as-is (no unpacking):
+        # hand back the bare table so the actor sees a pa.Table either way
+        return slices[0] if num_partitions == 1 else tuple(slices)
     # pre-sort by __part so actor-side slicing is a zero-copy view
     return out.take(pc.sort_indices(out, sort_keys=[("__part", "ascending")]))
 
@@ -402,10 +415,19 @@ class StreamingJob:
         pre_transform=None,
         files_per_task: int = 1,
         salt_by_window: bool = False,
+        route: str = "p2p",
     ):
         """``pre_transform``: optional vectorized batch fn (e.g. token
         counting / quality scoring from ops.text) applied in the prep
-        task before joins — user UDF stages, SURVEY.md §2.10."""
+        task before joins — user UDF stages, SURVEY.md §2.10.
+
+        ``route``: ``"p2p"`` (default) splits each prep task's partials
+        into P separate return objects routed point-to-point to their
+        state actor — the multi-node shape (per-epoch network is each
+        partition's own bytes). ``"broadcast"`` returns one partial table
+        per prep task and every actor slices its segment — equivalent
+        output, P x network amplification on a real cluster; kept for
+        single-node A/B measurement."""
         builder.validate(catalog)
         if not builder.groupby:
             raise PlanError("streaming jobs require a GROUP BY query")
@@ -590,6 +612,9 @@ class StreamingJob:
 
         self.pre_transform = pre_transform
         self.files_per_task = files_per_task
+        if route not in ("p2p", "broadcast"):
+            raise PlanError(f"route must be 'p2p' or 'broadcast', got {route!r}")
+        self.route = route
         # ship per-epoch-invariant objects to the object store ONCE; the
         # prep tasks receive refs (auto-dereferenced), not fresh pickles
         self._plan_ref = ray.put(self.plan)
@@ -656,16 +681,36 @@ class StreamingJob:
         inputs = list(files_or_tables)
         fpt = max(1, self.files_per_task)
         chunks = [inputs[i : i + fpt] for i in range(0, len(inputs), fpt)]
-        prep_refs = [
-            _prep_file.remote(
-                chunk, self.columns, self._join_specs_ref, self._wheres_ref,
-                self._plan_ref, self.num_partitions, self.pre_transform,
-            )
-            for chunk in chunks
-        ]
         acks = []
-        for p, actor in enumerate(self.actors):
-            acks.append(actor.process.remote(self.epoch, *prep_refs))
+        if self.route == "p2p":
+            # point-to-point: each prep task returns P objects; actor p's
+            # call references only the p-th return of every task, so only
+            # partition p's bytes move to actor p's node.
+            prep_refs = [
+                _prep_file.options(num_returns=self.num_partitions).remote(
+                    chunk, self.columns, self._join_specs_ref,
+                    self._wheres_ref, self._plan_ref, self.num_partitions,
+                    self.pre_transform, True,
+                )
+                for chunk in chunks
+            ]
+            if self.num_partitions == 1:
+                prep_refs = [[r] for r in prep_refs]
+            for p, actor in enumerate(self.actors):
+                acks.append(
+                    actor.process.remote(self.epoch, *[rs[p] for rs in prep_refs])
+                )
+        else:
+            prep_refs = [
+                _prep_file.remote(
+                    chunk, self.columns, self._join_specs_ref,
+                    self._wheres_ref, self._plan_ref, self.num_partitions,
+                    self.pre_transform, False,
+                )
+                for chunk in chunks
+            ]
+            for p, actor in enumerate(self.actors):
+                acks.append(actor.process.remote(self.epoch, *prep_refs))
         ckpt_refs = None
         if (
             self.checkpoint_dir
