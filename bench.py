@@ -282,6 +282,13 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
             ray.data.read_parquet(vec_path), list(range(16)), qm2, k=10,
             n_planes=8, n_tables=4, probe_radius=1,
         ).count())
+
+    # "no silent caps": star-capped jumbo buckets and dropped store-join
+    # segments across all dedup runs above (recall impact is quantifiable
+    # from these — a zero here means no cap fired at this scale)
+    from ksql_ray.ops.stats import collect_op_stats
+
+    out["cap_stats"] = collect_op_stats()
     return out
 
 

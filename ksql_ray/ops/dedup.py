@@ -45,19 +45,25 @@ def exact_dedup_keys(ds: ray.data.Dataset, id_col: str = "doc_id",
     from ..expr import F
     from .text import add_fast_fingerprint
 
-    fp = add_fast_fingerprint if fingerprint == "fast" else add_fingerprint
+    fast = fingerprint == "fast"
 
     def digest(batch: pa.Table) -> pa.Table:
-        b = fp(batch.select([id_col, text_col]), text_col, "h")
+        sel = batch.select([id_col, text_col])
+        # fast mode groups on TWO independent 64-bit keys (128 bits total)
+        # — a single 64-bit key has birthday collisions at 10^9+ docs
+        b = add_fast_fingerprint(sel, text_col, "h") if fast \
+            else add_fingerprint(sel, text_col, "h")
         return b.drop_columns([text_col])
 
+    keys = [F("h"), F("h_hi")] if fast else [F("h")]
     hashed = ds.map_batches(_pin(digest), batch_format="pyarrow", zero_copy_batch=True)
-    plan = GroupByPlan([F("h")], [Min(F(id_col)), Count(F(id_col))], [], num_partitions=16)
+    plan = GroupByPlan(keys, [Min(F(id_col)), Count(F(id_col))], [], num_partitions=16)
     partials = hashed.map_batches(_pin(plan.partial_fn), batch_format="pyarrow", zero_copy_batch=True)
     merged = partials.groupby("__part").map_groups(_pin(plan.merge_fn), batch_format="pyarrow")
 
     def rename(batch: pa.Table) -> pa.Table:
-        mapping = {"__k0": "h", "__agg0": id_col, "__agg1": "dup_count"}
+        mapping = {"__k0": "h", "__k1": "h_hi",
+                   "__agg0": id_col, "__agg1": "dup_count"}
         return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
 
     return merged.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
@@ -213,20 +219,24 @@ def _minhash_signatures(flat: np.ndarray, offsets: np.ndarray, num_hashes: int =
 
 
 def _candidate_pairs_fn(key_cols: list[str], id_col: str,
-                        max_full_pairwise: int = 64):
+                        max_full_pairwise: int = 64,
+                        stat_prefix: str = "lsh"):
     """map_groups closure over one PARTITION of bucket rows: vectorized
     pair generation inside multi-member buckets. Jumbo buckets
     (> max_full_pairwise members — spam/boilerplate clusters) emit STAR
     pairs (min id vs each member, linear) instead of the quadratic
     all-pairs set: the cluster stays dedupable through its representative,
     and cost stays linear in bucket size (the production LSH-dedup
-    pattern)."""
+    pattern). Capped buckets are counted to the op-stats actor — the cap
+    trades recall inside jumbo buckets and must never be silent."""
+    from .stats import record_stats
 
     def candidates(group: pa.Table) -> pa.Table:
         if "__part" in group.column_names:
             group = group.drop_columns(["__part"])
         tbl, starts, sizes = _bucket_segments(group, key_cols)
         outs_a, outs_b = [], []
+        capped_buckets = capped_members = 0
         multi = np.nonzero(sizes >= 2)[0]
         if len(multi):
             idn = tbl.column(id_col).to_numpy(zero_copy_only=False)
@@ -243,6 +253,10 @@ def _candidate_pairs_fn(key_cols: list[str], id_col: str,
                 else:
                     outs_a.append(np.full(k - 1, ids[0]))
                     outs_b.append(ids[1:])
+                    capped_buckets += 1
+                    capped_members += k
+        record_stats(stat_prefix, capped_buckets=capped_buckets,
+                     capped_members=capped_members)
         a = np.concatenate(outs_a) if outs_a else np.empty(0, dtype=np.int64)
         b = np.concatenate(outs_b) if outs_b else np.empty(0, dtype=np.int64)
         return pa.table({
@@ -303,9 +317,17 @@ def _score_via_store(cands: ray.data.Dataset, store: ray.data.Dataset,
     )
 
 
-def _pair_segments(group: pa.Table):
+def _pair_segments(group: pa.Table, stat_prefix: str = "lsh"):
     """Sort a scored-join partition by (doc_a, doc_b); return the rows of
-    complete 2-row pair segments (side a first) or None if empty."""
+    complete 2-row pair segments (side a first) or None if empty.
+
+    Segments of any other size indicate corrupt input and are counted to
+    the op-stats actor instead of vanishing silently: >2 rows means
+    duplicate doc ids in the store (e.g. a per-batch arange reused across
+    files — the round-1 bench bug), 1 row means a candidate id missing
+    from the store entirely."""
+    from .stats import record_stats
+
     if "__part" in group.column_names:
         group = group.drop_columns(["__part"])
     if group.num_rows == 0:
@@ -322,6 +344,9 @@ def _pair_segments(group: pa.Table):
     seg_id = np.cumsum(new) - 1
     sizes = np.bincount(seg_id)
     keep_seg = sizes == 2  # both sides found in the store
+    record_stats(stat_prefix,
+                 dropped_dup_id_segments=int((sizes > 2).sum()),
+                 dropped_orphan_segments=int((sizes == 1).sum()))
     keep = keep_seg[seg_id]
     if not keep.any():
         return None
@@ -447,6 +472,9 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     join), and verified vectorized. ``verify="exact"`` keeps pairs with
     exact n-gram Jaccard >= threshold (oracle-checkable); ``"est"`` keeps
     pairs by the 64-hash signature estimate (classic MinHash semantics)."""
+    from .stats import ensure_stats_actor
+
+    ensure_stats_actor()  # workers record capped-bucket counters by name
     if verify not in ("exact", "est"):
         raise ValueError("verify must be 'exact' or 'est'")
     with_shingles = verify == "exact"
@@ -468,7 +496,9 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
         batch_format="pyarrow", zero_copy_batch=True,
     )
     cands = _partition_by(buckets, ["band", "bucket"], num_partitions).map_groups(
-        _pin(_candidate_pairs_fn(["band", "bucket"], id_col)), batch_format="pyarrow"
+        _pin(_candidate_pairs_fn(["band", "bucket"], id_col,
+                                 stat_prefix="minhash")),
+        batch_format="pyarrow",
     )
 
     def score(group: pa.Table) -> pa.Table:
@@ -479,7 +509,7 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
         }
         if with_shingles:
             cols["jaccard"] = pa.array([], type=pa.float64())
-        tbl = _pair_segments(group)
+        tbl = _pair_segments(group, "minhash")
         if tbl is None:
             return pa.table(cols)
         a = tbl.column("doc_a").to_numpy(zero_copy_only=False)[0::2]
@@ -515,6 +545,9 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     only (never the shingle lists — round 1 shipped them x16, measured),
     and the verify pass is a sorted-array intersection per pair segment
     (no Python set ops)."""
+    from .stats import ensure_stats_actor
+
+    ensure_stats_actor()
     store = ds.map_batches(
         _pin(lambda b: _mh_store_stage(b, id_col, text_col, ngram, num_hashes, seed, True)),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -524,7 +557,9 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
         batch_format="pyarrow", zero_copy_batch=True,
     )
     cands = _partition_by(buckets, ["band", "bucket"], num_partitions).map_groups(
-        _pin(_candidate_pairs_fn(["band", "bucket"], id_col)), batch_format="pyarrow"
+        _pin(_candidate_pairs_fn(["band", "bucket"], id_col,
+                                 stat_prefix="ngram")),
+        batch_format="pyarrow",
     )
 
     def score(group: pa.Table) -> pa.Table:
@@ -533,7 +568,7 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
             "doc_b": pa.array([], type=pa.int64()),
             "jaccard": pa.array([], type=pa.float64()),
         })
-        tbl = _pair_segments(group)
+        tbl = _pair_segments(group, "ngram")
         if tbl is None:
             return empty
         a, b, jac = _exact_jaccard_of_pairs(tbl)
@@ -572,6 +607,9 @@ def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3) -> ray.data.Dataset:
     """Near-dup pairs within Hamming distance: bucket by each of four
     16-bit chunks (pigeonhole: distance<=3 shares at least one chunk)."""
+    from .stats import ensure_stats_actor
+
+    ensure_stats_actor()
     hashed = ds.map_batches(
         _pin(lambda b: simhash_stage(b, id_col, text_col)),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -593,10 +631,13 @@ def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     exploded = hashed.map_batches(_pin(explode_chunks), batch_format="pyarrow", zero_copy_batch=True)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        from .stats import record_stats
+
         if "__part" in group.column_names:
             group = group.drop_columns(["__part"])
         tbl, starts, sizes = _bucket_segments(group, ["chunk", "bucket"])
         outs_a, outs_b, outs_d = [], [], []
+        capped_buckets = capped_members = 0
         multi = np.nonzero(sizes >= 2)[0]
         if len(multi):
             ids_np = tbl.column(id_col).to_numpy(zero_copy_only=False)
@@ -607,6 +648,9 @@ def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
                 sims = sims_np[s0 : s0 + sz]
                 # jumbo buckets (boilerplate clusters): star pairs against
                 # the min-id representative, linear cost (see minhash)
+                if sz > 64:
+                    capped_buckets += 1
+                    capped_members += int(sz)
                 anchor_rows = range(sz) if sz <= 64 else [int(np.argmin(ids))]
                 for i in anchor_rows:
                     x = (sims[i] ^ sims).astype(np.uint64)
@@ -621,6 +665,8 @@ def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
                         outs_a.append(np.minimum(ids[i], ids[sel]))
                         outs_b.append(np.maximum(ids[i], ids[sel]))
                         outs_d.append(hd[sel].astype(np.int64))
+        record_stats("simhash", capped_buckets=capped_buckets,
+                     capped_members=capped_members)
         a = np.concatenate(outs_a) if outs_a else np.empty(0, dtype=np.int64)
         b = np.concatenate(outs_b) if outs_b else np.empty(0, dtype=np.int64)
         d = np.concatenate(outs_d) if outs_d else np.empty(0, dtype=np.int64)
@@ -664,7 +710,10 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = "vec_id",
     star-capped; exact cosine is verified against the sharded normalized-
     vector store via a hash-shuffle join (vectors ride as packed binary,
     decoded zero-copy — never ``to_pylist()``)."""
+    from .stats import ensure_stats_actor
     from .vectors import normalize_rows, pack_u64_rows, unpack_u64, vecs_np
+
+    ensure_stats_actor()
 
     def store_stage(batch: pa.Table) -> pa.Table:
         # vec_dtype=np.float32 halves the store/join payload (use for
@@ -705,7 +754,8 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = "vec_id",
 
     buckets = store.map_batches(_pin(bucket_stage), batch_format="pyarrow", zero_copy_batch=True)
     cands = _partition_by(buckets, ["band", "bucket"], num_partitions).map_groups(
-        _pin(_candidate_pairs_fn(["band", "bucket"], id_col, max_full_pairwise)),
+        _pin(_candidate_pairs_fn(["band", "bucket"], id_col, max_full_pairwise,
+                                 stat_prefix="embedding")),
         batch_format="pyarrow",
     )
 
@@ -715,7 +765,7 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = "vec_id",
             "vec_b": pa.array([], type=pa.int64()),
             "cosine": pa.array([], type=pa.float64()),
         })
-        tbl = _pair_segments(group)
+        tbl = _pair_segments(group, "embedding")
         if tbl is None:
             return empty
         a = tbl.column("doc_a").to_numpy(zero_copy_only=False)

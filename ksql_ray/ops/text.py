@@ -73,22 +73,34 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text", out: str = "fingerp
     return batch.append_column(out, digests)
 
 
-def add_fast_fingerprint(batch: pa.Table, text_col: str = "text", out: str = "fingerprint") -> pa.Table:
-    """Vectorized 64-bit fingerprint of the whitespace-normalized
-    lowercase text (cython ``pd.util.hash_array`` — no per-row Python
-    loop). Equality-equivalent to the md5 fingerprint for dedup purposes;
-    use ``add_fingerprint`` only where the md5 hex form itself is the
-    contract (the DuckDB oracle)."""
+def add_fast_fingerprint(batch: pa.Table, text_col: str = "text",
+                         out: str = "fingerprint", bits: int = 128) -> pa.Table:
+    """Vectorized fingerprint of the whitespace-normalized lowercase text
+    (cython ``pd.util.hash_array`` — no per-row Python loop). Equality-
+    equivalent to the md5 fingerprint for dedup purposes; use
+    ``add_fingerprint`` only where the md5 hex form itself is the contract
+    (the DuckDB oracle).
+
+    ``bits=128`` (default) appends TWO independent int64 columns (``out``
+    and ``out + "_hi"``) — group/join on both. A single 64-bit key has
+    birthday collisions at the 10^9-10^10-doc scale this path targets
+    (~thousands of expected false merges at 10^10 docs); 128 bits keeps
+    that negligible, like md5. ``bits=64`` keeps the single column."""
     import pandas as pd
 
+    if bits not in (64, 128):
+        raise ValueError("bits must be 64 or 128")
     t = pc.utf8_trim_whitespace(
         pc.replace_substring_regex(pc.utf8_lower(batch.column(text_col)), _WS, " ")
     )
     arr = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
-    h = pd.util.hash_array(
-        arr.to_numpy(zero_copy_only=False), hash_key="ksql_ray_fprint0"
-    ).astype(np.uint64)
-    return batch.append_column(out, pa.array(h.view(np.int64)))
+    nparr = arr.to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(nparr, hash_key="ksql_ray_fprint0").astype(np.uint64)
+    batch = batch.append_column(out, pa.array(h.view(np.int64)))
+    if bits == 128:
+        h2 = pd.util.hash_array(nparr, hash_key="ksql_ray_fprint1").astype(np.uint64)
+        batch = batch.append_column(out + "_hi", pa.array(h2.view(np.int64)))
+    return batch
 
 
 # ---------------------------------------------------------------------------

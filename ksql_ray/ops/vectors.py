@@ -40,6 +40,15 @@ def normalize_rows(m: np.ndarray) -> np.ndarray:
 
 
 def _binary_from_offsets(n: int, offsets_bytes: np.ndarray, data: np.ndarray) -> pa.Array:
+    if len(offsets_bytes) and int(offsets_bytes[-1]) > np.iinfo(np.int32).max:
+        # int32 offsets would silently wrap and corrupt the column; fall
+        # back to large_binary (int64 offsets) for >2 GiB packed batches
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            n,
+            [None, pa.py_buffer(offsets_bytes.astype(np.int64).tobytes()),
+             pa.py_buffer(np.ascontiguousarray(data).tobytes())],
+        )
     return pa.BinaryArray.from_buffers(
         pa.binary(),
         n,

@@ -618,9 +618,14 @@ REGISTRY["op_exact_dedup"] = RawQ(
 # ground truth at sf0.01 (the fixture's 25 planted near-dup pairs all
 # have jaccard >= 0.9, so banded LSH recall is ~1 and the pruned
 # pipeline must equal the exact answer)
+# docs with <3 tokens are filtered on BOTH sides: the engine gives them
+# one whole-doc xor-gram (order/dup-insensitive — not SQL-expressible),
+# so the gate would otherwise mismatch on a definitional corner, not a
+# bug (the whole-doc rule itself is pinned by pytest property tests)
 _NGRAM_JACCARD_SQL = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3
 ), grams AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, len(t) - 1),
@@ -637,12 +642,22 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5"""
 
 
+def _min3_tokens(ds):
+    """Drop docs with <3 tokens (mirrors the oracle's filter — see
+    _NGRAM_JACCARD_SQL note)."""
+    def f(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(pc.fill_null(batch.column("text"), ""))
+        return batch.filter(pc.greater_equal(
+            pc.count_substring_regex(t, r"\S+"), 3))
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _op_minhash_dedup(sf_dir: str) -> pa.Table:
     import ray.data
 
     from ..ops.dedup import minhash_dedup_pairs
 
-    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    ds = _min3_tokens(_read_clean(f"{sf_dir}/documents.parquet"))
     t = _collect(minhash_dedup_pairs(ds, threshold=0.5, verify="exact"))
     return t.select(["doc_a", "doc_b", "jaccard"])
 
@@ -655,7 +670,7 @@ def _op_ngram_jaccard(sf_dir: str) -> pa.Table:
 
     from ..ops.dedup import ngram_jaccard_pairs
 
-    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    ds = _min3_tokens(_read_clean(f"{sf_dir}/documents.parquet"))
     return _collect(ngram_jaccard_pairs(ds, threshold=0.5))
 
 

@@ -214,3 +214,38 @@ def test_ngram_jaccard_pairs(ray_session):
     # no cross-base pairs
     for a, b in got:
         assert a // 3 == b // 3
+
+
+def test_cap_stats_and_fast_fingerprint(ray_session):
+    """No-silent-caps: star-capped jumbo buckets surface in op stats;
+    128-bit fast fingerprint agrees with md5 on grouping."""
+    from ksql_ray.ops.dedup import exact_dedup_keys, minhash_dedup_pairs, simhash_pairs
+    from ksql_ray.ops.stats import collect_op_stats
+
+    texts = (["the quick brown fox jumps over the lazy dog again"] * 100
+             + [f"unique doc number {i} with distinct words {i * 7}" for i in range(50)])
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    ds = ray.data.from_arrow(tbl)
+
+    collect_op_stats()  # clear any residue from earlier tests
+    # 100 identical docs share every LSH bucket -> star cap (>64) fires
+    pairs = collect(minhash_dedup_pairs(ds, threshold=0.8, verify="est"))
+    stats = collect_op_stats()
+    assert pairs.num_rows == 99  # star pairs: doc 0 vs each duplicate
+    assert stats.get("minhash.capped_buckets", 0) > 0
+    assert stats.get("minhash.capped_members", 0) > 0
+
+    collect(simhash_pairs(ds, max_hamming=2))
+    stats = collect_op_stats()
+    assert stats.get("simhash.capped_buckets", 0) > 0
+
+    # fast (128-bit, two int64 keys) and md5 modes group identically
+    fast = collect(exact_dedup_keys(ds, fingerprint="fast"))
+    md5 = collect(exact_dedup_keys(ds, fingerprint="md5"))
+    assert {"h", "h_hi"} <= set(fast.column_names)
+    f = sorted(zip(fast.column("doc_id").to_pylist(), fast.column("dup_count").to_pylist()))
+    m = sorted(zip(md5.column("doc_id").to_pylist(), md5.column("dup_count").to_pylist()))
+    assert f == m
