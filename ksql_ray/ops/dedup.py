@@ -583,10 +583,44 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------- simhash
-def simhash_stage(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """64-bit simhash per doc, vectorized bit-count accumulation."""
+def _md5_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Per-token 64-bit hashes from the first 16 hex chars of md5 —
+    the oracle-checkable form (DuckDB: ('0x' || substr(md5(tok), 1,
+    16))::UBIGINT). md5 runs once per UNIQUE token (vocabulary-sized
+    Python loop), then broadcasts via np.unique inverse — the per-token
+    cost stays vectorized. Tokenization matches _word_ngram_hashes."""
+    import hashlib
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_large_string(texts.type):
+        texts = pc.cast(texts, pa.string())
+    t = pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(texts, "")))
+    toks = pc.split_pattern_regex(t, r"\s+")
+    tok_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_toks = pc.list_flatten(toks)
+    if isinstance(flat_toks, pa.ChunkedArray):
+        flat_toks = flat_toks.combine_chunks()
+    uniq, inv = np.unique(flat_toks.to_numpy(zero_copy_only=False), return_inverse=True)
+    uh = np.array(
+        [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16) for s in uniq],
+        dtype=np.uint64,
+    ) if len(uniq) else np.empty(0, dtype=np.uint64)
+    offsets = np.concatenate(([0], np.cumsum(tok_counts)))
+    return uh[inv] if len(uniq) else np.empty(0, dtype=np.uint64), offsets
+
+
+def simhash_stage(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text",
+                  token_hash: str = "fast") -> pa.Table:
+    """64-bit simhash per doc, vectorized bit-count accumulation.
+    ``token_hash="md5"`` derives token hashes from md5 (SQL-replicable,
+    the oracle form); ``"fast"`` uses the vectorized cython hash (the
+    scale path — same semantics, not SQL-expressible)."""
     texts = batch.column(text_col)
-    flat, offsets = _word_ngram_hashes(texts, 1)  # token hashes
+    if token_hash == "md5":
+        flat, offsets = _md5_token_hashes(texts)
+    else:
+        flat, offsets = _word_ngram_hashes(texts, 1)  # token hashes
     n_docs = len(texts)
     sims = np.zeros(n_docs, dtype=np.uint64)
     if len(flat):
@@ -604,14 +638,17 @@ def simhash_stage(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text
 
 
 def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 3) -> ray.data.Dataset:
+                  text_col: str = "text", max_hamming: int = 3,
+                  token_hash: str = "fast") -> ray.data.Dataset:
     """Near-dup pairs within Hamming distance: bucket by each of four
-    16-bit chunks (pigeonhole: distance<=3 shares at least one chunk)."""
+    16-bit chunks (pigeonhole: distance<=3 shares at least one chunk).
+    ``token_hash`` selects the simhash_stage hash form ("md5" is the
+    oracle-checkable variant)."""
     from .stats import ensure_stats_actor
 
     ensure_stats_actor()
     hashed = ds.map_batches(
-        _pin(lambda b: simhash_stage(b, id_col, text_col)),
+        _pin(lambda b: simhash_stage(b, id_col, text_col, token_hash)),
         batch_format="pyarrow", zero_copy_batch=True,
     )
 

@@ -683,10 +683,39 @@ def _op_simhash_dedup(sf_dir: str) -> pa.Table:
     from ..ops.dedup import simhash_pairs
 
     ds = _read_clean(f"{sf_dir}/documents.parquet")
-    return _collect(simhash_pairs(ds, max_hamming=3))
+    # token_hash="md5" is the oracle-checkable form: per-token 64-bit
+    # hashes from the first 16 hex chars of md5, replicated bit-for-bit
+    # by the SQL below (bucketed pipeline vs brute-force Hamming join)
+    return _collect(simhash_pairs(ds, max_hamming=3, token_hash="md5"))
 
 
-REGISTRY["op_simhash_dedup"] = RawQ(_op_simhash_dedup)
+# simhash in SQL: md5-derived 64-bit token hash -> per-bit +/-1 votes
+# (each token OCCURRENCE votes) -> sign bits -> brute-force Hamming<=3
+# pairs. The engine's 16-bit-chunk pigeonhole bucketing is exact for
+# Hamming<=3, so the pruned pipeline must equal this exact answer.
+_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(range(0, 64)) AS bit) b
+  GROUP BY 1, 2
+), sim AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::UBIGINT << bit) ELSE 0 END)::UBIGINT AS s
+  FROM votes GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.s, b.s)) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3"""
+
+
+REGISTRY["op_simhash_dedup"] = RawQ(_op_simhash_dedup, _SIMHASH_SQL)
 
 
 def _op_embedding_neardup(sf_dir: str) -> pa.Table:
