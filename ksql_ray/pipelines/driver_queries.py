@@ -1106,6 +1106,86 @@ REGISTRY["ddl_insert_ctas"] = RawQ(
 )
 
 
+def _ddl_migrations(sf_dir: str) -> pa.Table:
+    """Migration chain + List/Describe under the oracle gate: apply an
+    ``-- +seeker Up/Down`` chain (AutoMigrate), revert the newest (Down),
+    then read the system table, LIST and DESCRIBE back as one flat
+    (kind, name, value) relation. Mirrors migrator.go:43-187 semantics;
+    deterministic, so the oracle is a constant VALUES table."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import Catalog
+    from ..ddl import Describe, List
+    from ..migrations import Migrator
+
+    tmp = tempfile.mkdtemp(prefix="ksql_ray_mig_gate_")
+    try:
+        mdir = os.path.join(tmp, "migrations")
+        os.makedirs(mdir)
+        files = {
+            "1001_init_users.sql": (
+                "-- +seeker Up\n"
+                "CREATE STREAM users (id INT, name VARCHAR, joined TIMESTAMP)"
+                " WITH (PARTITIONS = 4);\n"
+                "-- +seeker Down\nDROP STREAM users;\n"
+            ),
+            "1002_orders.sql": (
+                "-- +seeker Up\n"
+                "CREATE TABLE orders (order_id BIGINT PRIMARY KEY, amount DOUBLE);\n"
+                "-- +seeker Down\nDROP TABLE orders;\n"
+            ),
+            "1003_scores.sql": (
+                "-- +seeker Up\nCREATE TABLE scores (sid INT, val DOUBLE);\n"
+                "-- +seeker Down\nDROP TABLE scores;\n"
+            ),
+        }
+        for fn, text in files.items():
+            with open(os.path.join(mdir, fn), "w") as f:
+                f.write(text)
+        cat = Catalog()
+        mig = Migrator(cat, os.path.join(tmp, "state"))
+        applied = mig.auto_migrate(mdir)
+        assert applied == [1001, 1002, 1003]
+        mig.down(os.path.join(mdir, "1003_scores.sql"))  # revert newest
+        rows: list[tuple[str, str, str]] = []
+        for r in mig.applied():
+            rows.append(("applied", str(r["version"]), r["name"]))
+        for rel in List(cat):
+            rows.append(("relation", rel["name"], rel["kind"]))
+        d = Describe(cat, "users")
+        for fld in d["fields"]:
+            rows.append(("column", f"users.{fld['name']}", fld["type"]))
+        rows.append(("pk", "orders", Describe(cat, "orders")["primary_key"]))
+        rows.append(("partitions", "users", str(d["partitions"])))
+        rows.sort()
+        return pa.table({
+            "kind": pa.array([r[0] for r in rows]),
+            "name": pa.array([r[1] for r in rows]),
+            "value": pa.array([r[2] for r in rows]),
+        })
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+REGISTRY["ddl_migrations"] = RawQ(
+    _ddl_migrations,
+    "SELECT * FROM (VALUES "
+    "('applied', '1001', 'init_users'), "
+    "('applied', '1002', 'orders'), "
+    "('column', 'users.id', 'int32'), "
+    "('column', 'users.joined', 'timestamp[us]'), "
+    "('column', 'users.name', 'string'), "
+    "('partitions', 'users', '4'), "
+    "('pk', 'orders', 'order_id'), "
+    "('relation', 'QUERYABLE_orders', 'TABLE'), "
+    "('relation', 'orders', 'TABLE'), "
+    "('relation', 'users', 'STREAM')"
+    ") AS t(kind, name, value)",
+)
+
+
 def queries() -> dict[str, Callable[[str], pa.Table]]:
     return {name: (lambda sf_dir, _q=qq: _q.run(sf_dir)) for name, qq in REGISTRY.items()}
 
