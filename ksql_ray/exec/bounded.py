@@ -144,6 +144,7 @@ class Engine:
         catalog: Catalog,
         num_partitions: int | None = None,
         broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+        allow_large_cross: bool = False,
     ):
         self.catalog = catalog
         if num_partitions is None:
@@ -153,6 +154,9 @@ class Engine:
             num_partitions = max(4, min(DEFAULT_NUM_PARTITIONS, ncpu))
         self.num_partitions = num_partitions
         self.broadcast_max_bytes = broadcast_max_bytes
+        # CROSS with a build side too large to broadcast is a deliberate
+        # opt-in (block-nested-loop; output is the row-count product)
+        self.allow_large_cross = allow_large_cross
 
     # ------------------------------------------------------------------
     def dataset(self, b: SelectBuilder) -> ray.data.Dataset:
@@ -344,7 +348,17 @@ class Engine:
                 ds = ds.map_batches(_pinned(bjoin), batch_format="pyarrow", zero_copy_batch=True)
             else:
                 if j.how == "cross":
-                    raise PlanError("CROSS JOIN build side too large to broadcast")
+                    if not self.allow_large_cross:
+                        raise PlanError(
+                            "CROSS JOIN build side too large to broadcast; "
+                            "opt in with Engine(allow_large_cross=True) — "
+                            "block-nested-loop, output is the row-count "
+                            "product (reference enum has CROSS "
+                            "unconditionally, ksql/join.go:33)"
+                        )
+                    ds = self._cross_bnl(ds, jrel, b, rk, renames, residual)
+                    left_names |= {renames.get(n, n) for n in right_names}
+                    continue
                 right_cols = self._right_needed(b, jrel, [k for k in rk], renames)
                 right_ds = ray.data.read_parquet(jrel.path, columns=right_cols or None)
                 if renames:
@@ -390,6 +404,56 @@ class Engine:
                         ds = ds.map_batches(_pinned(resfilter), batch_format="pyarrow", zero_copy_batch=True)
             left_names |= {renames.get(n, n) for n in right_names}
         return ds, left_names
+
+    def _cross_bnl(self, ds, jrel: Relation, b: SelectBuilder, rk, renames,
+                   residual):
+        """Large x large CROSS join as a block-nested loop: the build side
+        is read ONCE into sharded plasma objects (one remote read per
+        file — never the driver), and every probe batch joins each shard
+        in turn. Per-task memory is one probe batch x one shard; output
+        is the row-count product, so callers must reduce/filter
+        downstream (the partitioning assumption this relies on: the
+        build side fits the CLUSTER object store in aggregate, spill-
+        backed — not any single node's heap)."""
+        import glob as _glob
+
+        from .joins import join_batch as _jb
+
+        right_cols = self._right_needed(b, jrel, [k for k in rk], renames)
+        if os.path.isdir(jrel.path):
+            files = sorted(_glob.glob(os.path.join(jrel.path, "*.parquet")))
+        else:
+            files = [jrel.path]
+
+        @ray.remote
+        def _read_shard(path: str, cols, ren):
+            t = pq.read_table(path, columns=cols or None)
+            if ren:
+                t = t.rename_columns([ren.get(n, n) for n in t.column_names])
+            return t
+
+        shard_refs = [_read_shard.remote(f, right_cols, dict(renames)) for f in files]
+        ray.wait(shard_refs, num_returns=len(shard_refs))  # resolve before map
+        res = list(residual)
+
+        def bnl(batch: pa.Table, _refs=shard_refs, _res=res):
+            outs = []
+            for r in _refs:
+                right = ray.get(r)  # plasma-cached, zero-copy per node
+                out = _jb(batch, right, "cross", [], [], [])
+                if _res and out.num_rows:
+                    mask = None
+                    for c in _res:
+                        m = c.eval(out)
+                        mask = m if mask is None else pc.and_kleene(mask, m)
+                    out = out.filter(pc.fill_null(mask, False))
+                if out.num_rows:
+                    outs.append(out)
+            if not outs:
+                return _jb(batch.slice(0, 0), ray.get(_refs[0]), "cross", [], [], [])
+            return pa.concat_tables(outs, promote_options="permissive")
+
+        return ds.map_batches(_pinned(bnl), batch_format="pyarrow", zero_copy_batch=True)
 
     def _right_needed(self, b: SelectBuilder, jrel: Relation, rk, renames) -> list[str]:
         cols: set[str] = set(k for k in rk)

@@ -1169,6 +1169,29 @@ def _ddl_migrations(sf_dir: str) -> pa.Table:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _join_cross_large(sf_dir: str) -> pa.Table:
+    """Large x large CROSS via the block-nested-loop opt-in: force the
+    BNL path with broadcast_max_bytes=0 (no side may broadcast) and
+    reduce the product immediately (orders x region -> count/sum per
+    region) so only the aggregate leaves the workers."""
+    cat = testdata_catalog(sf_dir)
+    eng = Engine(cat, broadcast_max_bytes=0, allow_large_cross=True)
+    t = eng.table(
+        Select(F("r_name"), Count(F("o_orderkey")).As("cnt"),
+               Sum(F("o_totalprice")).As("tp"))
+        .From(Schema("orders")).CrossJoin(Schema("region"))
+        .GroupBy(F("r_name"))
+    )
+    return _round_cols(t, {"tp": 4})
+
+
+REGISTRY["join_cross_large"] = RawQ(
+    _join_cross_large,
+    "SELECT r_name, count(o_orderkey) AS cnt, ROUND(sum(o_totalprice), 4) AS tp "
+    "FROM orders CROSS JOIN region GROUP BY 1",
+)
+
+
 REGISTRY["ddl_migrations"] = RawQ(
     _ddl_migrations,
     "SELECT * FROM (VALUES "
