@@ -56,6 +56,20 @@ def _pin_once():
         _pin_once._done = True
 
 
+@ray.remote
+def _merge_small(merge_fn, finalize_fn, *tables):
+    """Single-task merge of small combined partials (<= SMALL_MERGE_BYTES):
+    identical result to the distributed groupby (the merge sorts by group
+    keys and reduces contiguous segments) without its ~2.4 s fixed shuffle
+    cost, and without using driver heap."""
+    _pin_once()
+    live = [t for t in tables if t.num_rows]
+    whole = live[0] if len(live) == 1 else pa.concat_tables(
+        live, promote_options="permissive"
+    )
+    return finalize_fn(merge_fn(whole))
+
+
 def _pinned(fn):
     """Wrap a batch fn so the worker process pins kernel threads first."""
     import functools
@@ -490,11 +504,16 @@ class Engine:
     def _merge_partials(self, partials, merge_fn, finalize_fn):
         mat = partials.materialize()
         if mat.size_bytes() <= self.SMALL_MERGE_BYTES:
-            tables = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
-            if tables:
-                whole = pa.concat_tables(tables, promote_options="permissive")
-                final = finalize_fn(merge_fn(whole))
-                return ray.data.from_arrow(final)
+            refs = mat.to_arrow_refs()
+            if refs and mat.count() > 0:
+                # ONE remote task, not the driver: concurrent bounded
+                # queries would otherwise share driver heap for their
+                # merges (the block refs are passed as *args so they
+                # resolve before the task runs — no ray.get inside, and
+                # the result stays in the object store as a ref)
+                return ray.data.from_arrow_refs(
+                    [_merge_small.remote(merge_fn, finalize_fn, *refs)]
+                )
             # fall through on empty input: the groupby path yields the
             # correct empty dataset
         merged = mat.groupby("__part").map_groups(
