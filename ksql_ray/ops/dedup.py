@@ -637,15 +637,51 @@ def simhash_stage(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text
     })
 
 
+def _block_combos(max_hamming: int):
+    """Block-union tables (Manku et al., WWW'07 §3): split the 64 bits
+    into ``max_hamming + 3`` blocks and key each table on a distinct
+    3-block union. Any ``max_hamming`` flipped bits touch at most that
+    many blocks, so some 3 blocks are untouched and that table's key
+    collides — exact, like the chunk scheme, but with a ~2^33 bucket
+    space instead of 2^16: per-bucket population (and thus star-cap
+    recall loss) stays flat to ~10^9-10^10 docs. Cost: C(m, 3) tables
+    (20 rows/doc at max_hamming=3) instead of 4."""
+    from itertools import combinations
+
+    m = max_hamming + 3
+    sizes = [64 // m + (1 if i < 64 % m else 0) for i in range(m)]
+    shifts = np.concatenate(([0], np.cumsum(sizes[:-1]))).astype(np.uint64)
+    masks = [np.uint64((1 << s) - 1) for s in sizes]
+    combos = list(combinations(range(m), 3))
+    return sizes, shifts, masks, combos
+
+
 def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3,
-                  token_hash: str = "fast") -> ray.data.Dataset:
-    """Near-dup pairs within Hamming distance: bucket by each of four
-    16-bit chunks (pigeonhole: distance<=3 shares at least one chunk).
+                  token_hash: str = "fast",
+                  scheme: str = "chunks") -> ray.data.Dataset:
+    """Near-dup pairs within Hamming distance.
+
+    ``scheme="chunks"``: bucket by each of four 16-bit chunks
+    (pigeonhole: distance<=3 shares at least one chunk). Exact and
+    cheapest (4 rows/doc), but the 4 x 65,536 bucket space means bucket
+    population grows linearly with corpus size — beyond ~10^8 docs the
+    64-member star cap starts trading recall (visible via op stats
+    ``simhash.capped_buckets``).
+
+    ``scheme="blocks"``: block-union tables (see _block_combos) — ~2^33
+    buckets, flat per-bucket population to 10^9+ docs, C(max_hamming+3,
+    3) rows/doc through the shuffle. Same exact guarantee; use it when
+    the chunk scheme's capped-bucket stats come back nonzero.
+
     ``token_hash`` selects the simhash_stage hash form ("md5" is the
     oracle-checkable variant)."""
     from .stats import ensure_stats_actor
 
+    if scheme not in ("chunks", "blocks"):
+        raise ValueError("scheme must be 'chunks' or 'blocks'")
+    if scheme == "chunks" and max_hamming > 3:
+        raise ValueError("chunks scheme is exact only for max_hamming <= 3")
     ensure_stats_actor()
     hashed = ds.map_batches(
         _pin(lambda b: simhash_stage(b, id_col, text_col, token_hash)),
@@ -665,7 +701,30 @@ def simhash_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
             "simhash": batch.column("simhash").take(pa.array(doc_idx)),
         })
 
-    exploded = hashed.map_batches(_pin(explode_chunks), batch_format="pyarrow", zero_copy_batch=True)
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        sizes, shifts, masks, combos = _block_combos(max_hamming)
+        sims = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(sims)
+        blocks = [(sims >> shifts[i]) & masks[i] for i in range(len(sizes))]
+        keys = []
+        for (i, j, k) in combos:
+            keys.append(
+                (blocks[i] << np.uint64(sizes[j] + sizes[k]))
+                | (blocks[j] << np.uint64(sizes[k]))
+                | blocks[k]
+            )
+        t = len(combos)
+        doc_idx = np.tile(np.arange(n), t)
+        return pa.table({
+            "chunk": pa.array(np.repeat(np.arange(t), n).astype(np.int32)),
+            "bucket": pa.array(np.concatenate(keys).view(np.int64) if keys else
+                               np.empty(0, dtype=np.int64)),
+            id_col: batch.column(id_col).take(pa.array(doc_idx)),
+            "simhash": batch.column("simhash").take(pa.array(doc_idx)),
+        })
+
+    explode = explode_chunks if scheme == "chunks" else explode_blocks
+    exploded = hashed.map_batches(_pin(explode), batch_format="pyarrow", zero_copy_batch=True)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         from .stats import record_stats

@@ -249,3 +249,48 @@ def test_cap_stats_and_fast_fingerprint(ray_session):
     f = sorted(zip(fast.column("doc_id").to_pylist(), fast.column("dup_count").to_pylist()))
     m = sorted(zip(md5.column("doc_id").to_pylist(), md5.column("dup_count").to_pylist()))
     assert f == m
+
+
+def test_simhash_blocks_scheme_exact(ray_session):
+    """Block-union tables (the 10^9-doc scale path) recover exactly the
+    brute-force Hamming<=3 pairs, including pairs the chunk scheme loses
+    to star-capped jumbo buckets — and the caps are visible in op stats."""
+    from ksql_ray.ops.dedup import simhash_pairs, simhash_stage
+    from ksql_ray.ops.stats import collect_op_stats
+
+    base = [
+        f"the quick brown fox {i} jumps over the lazy dog {i * 3} "
+        "extra words here for volume" for i in range(300)
+    ]
+    texts = []
+    for i, b in enumerate(base):
+        texts.append(b)
+        if i % 5 == 0:
+            texts.append(b + " tail")
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    st = simhash_stage(tbl)
+    sims = st.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+    n = len(sims)
+    x = sims[:, None] ^ sims[None, :]
+    hd = np.unpackbits(x.view(np.uint8).reshape(n, n, 8), axis=2).sum(axis=2)
+    brute = {(i, j, int(hd[i, j]))
+             for i in range(n) for j in range(i + 1, n) if hd[i, j] <= 3}
+
+    ds = ray.data.from_arrow(tbl)
+    collect_op_stats()
+    got_blocks = {(r["doc_a"], r["doc_b"], r["hamming"])
+                  for r in simhash_pairs(ds, max_hamming=3, scheme="blocks").take_all()}
+    assert collect_op_stats().get("simhash.capped_buckets", 0) == 0
+    assert got_blocks == brute
+
+    got_chunks = {(r["doc_a"], r["doc_b"], r["hamming"])
+                  for r in simhash_pairs(ds, max_hamming=3, scheme="chunks").take_all()}
+    stats = collect_op_stats()
+    # this fixture is built to overflow one 16-bit-chunk bucket: the cap
+    # fires, is REPORTED, and blocks-scheme recall covers the loss
+    assert got_chunks <= brute
+    if got_chunks != brute:
+        assert stats.get("simhash.capped_buckets", 0) > 0
