@@ -10,8 +10,9 @@ and prints ONE JSON line:
    "streaming": {turns, sec, turns_per_sec, late_drops}}
 
 `--scaling` evidences the N->4N cluster-size criterion in-sandbox: the
-same headline job in two fresh subprocesses at num_cpus=8 and 32, with
-efficiency T(32)/(4*T(8)) (BASELINE.md measurement plan).
+same headline job in fresh pinned subprocesses at num_cpus in
+(2,4,8,16,32), reporting efficiency T(4N)/(4*T(N)) for the pairs
+2->8, 4->16 and 8->32 (BASELINE.md measurement plan).
 """
 
 from __future__ import annotations
@@ -301,7 +302,8 @@ def main() -> None:
 
         results = {}
         have_taskset = _sh.which("taskset") is not None
-        for cpus in (2, 8, 32):
+        sizes = (2, 4, 8, 16, 32)
+        for cpus in sizes:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
             cmd = [sys.executable, __file__, "--single-streaming"]
             if have_taskset:
@@ -313,17 +315,19 @@ def main() -> None:
             )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             results[cpus] = json.loads(line)
-        tput = {c: results[c]["streaming"]["turns_per_sec"] for c in (2, 8, 32)}
-        eff_2_8 = tput[8] / (4 * tput[2])
-        eff_8_32 = tput[32] / (4 * tput[8])
+        tput = {c: results[c]["streaming"]["turns_per_sec"] for c in sizes}
+        effs = {f"efficiency_{n}_to_{4 * n}": round(tput[4 * n] / (4 * tput[n]), 3)
+                for n in (2, 4, 8)}
         print(json.dumps({
-            "metric": "scaling efficiency N->4N (pinned cores; pairs 2->8 and 8->32)",
-            "value": round(eff_2_8, 3), "unit": "efficiency",
-            "efficiency_2_to_8": round(eff_2_8, 3),
-            "efficiency_8_to_32": round(eff_8_32, 3),
+            "metric": "scaling efficiency N->4N (pinned cores; "
+                      "pairs 2->8, 4->16, 8->32)",
+            "value": effs["efficiency_4_to_16"], "unit": "efficiency",
+            **effs,
             "throughputs": tput,
-            "note": "8->32 is capped by single-node DRAM bandwidth shared "
-                    "across both 'clusters'; separate 4N nodes have 4x the "
+            "note": "the larger the fraction of this single node the '4N "
+                    "cluster' occupies, the more the shared-DRAM-bandwidth "
+                    "artifact depresses the pair (8->32 shares one memory "
+                    "bus both sides); separate 4N nodes have 4x the "
                     "aggregate bandwidth (see BASELINE.md)",
             "sf": sf_dir, "detail": results,
         }))
