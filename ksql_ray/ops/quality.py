@@ -1,0 +1,152 @@
+"""Gopher-style repetition / quality-filter statistics.
+
+Large-scale training-data pipelines filter documents on repetition
+heuristics (Rae et al. 2021 "Scaling Language Models" §A1.1: duplicate
+line / word fractions, top n-gram fraction, symbol-to-word ratios).
+The reference ksql builder has no scalar string library (absence
+verified across /root/reference/ksql/*.go) — this extends the engine's
+training-data surface alongside ops/text.py.
+
+Ray-Data-native: one stateless ``map_batches`` transform over zero-copy
+Arrow batches. Per-row token statistics are computed with ONE flattened
+lexsort over (row, token-hash) pairs per batch — no Python loop over
+rows or tokens — so a batch with millions of tokens costs O(T log T)
+numpy, not O(rows) interpreter time.
+
+Oracle forms (DuckDB, bit-equal; see pipelines/driver_queries.py
+``op_quality_filter``):
+
+- ``dup_word_frac``  = ROUND(1 - count(DISTINCT tok)::DOUBLE / count(tok), 6)
+- ``top_word_frac``  = ROUND(max(per-token count)::DOUBLE / count(tok), 6)
+- ``mean_word_len``  = ROUND(avg(length(tok)), 6)
+- ``symbol_word_ratio`` = ROUND((#'#' + #'...') / count(tok), 6)
+- ``dup_line_frac``  like dup_word_frac over string_split(text, chr(10))
+
+where tok = unnest(regexp_split_to_array(trim(lower(text)), '\\s+')).
+An all-whitespace document splits to one empty token on BOTH sides
+(Arrow and DuckDB agree), so no special-casing is needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+__all__ = ["add_repetition_stats", "quality_filter"]
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    # SQL ROUND half-away-from-zero; np.round's half-even differs on
+    # exact ties (BASELINE.md perf lesson #13). Values here are >= 0.
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _segment_stats(flat: pa.Array, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (distinct count, max run length) over a flattened list
+    column. One lexsort over (row, hash64) — vectorized, no row loop.
+    64-bit token hashing: within-row collision odds are ~k^2/2^65 per
+    row (negligible even at 10^6-token documents)."""
+    import pandas as pd
+
+    n = len(lens)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+    vals = flat.to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(vals).astype(np.uint64)
+    order = np.lexsort((h, row_ids))
+    sr, sh = row_ids[order], h[order]
+    new = np.ones(len(sr), dtype=bool)
+    if len(sr) > 1:
+        new[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
+    starts = np.flatnonzero(new)
+    distinct = np.bincount(sr[starts], minlength=n)
+    run_len = np.diff(np.append(starts, len(sr)))
+    top = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top, sr[starts], run_len)
+    return distinct, top
+
+
+def _list_parts(col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
+    lst = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offsets = lst.offsets.to_numpy()
+    return lst.values, np.diff(offsets)
+
+
+def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append dup_word_frac / top_word_frac / mean_word_len /
+    symbol_word_ratio / dup_line_frac (all float64, rounded to 6 dp
+    with SQL ROUND semantics)."""
+    t = batch.column(text_col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    norm = pc.utf8_lower(pc.utf8_trim_whitespace(t))
+    flat_tok, n_tok = _list_parts(pc.split_pattern_regex(norm, r"\s+"))
+    distinct, top = _segment_stats(flat_tok, n_tok)
+    tok_chars = pc.utf8_length(flat_tok).to_numpy(zero_copy_only=False)
+    # every row has >= 1 token ('' splits to ['']) so reduceat is safe
+    char_sums = np.add.reduceat(tok_chars, np.concatenate(([0], np.cumsum(n_tok)[:-1])))
+
+    nt = n_tok.astype(np.float64)
+    dup_word = _round6(1.0 - distinct / nt)
+    top_word = _round6(top / nt)
+    mean_len = _round6(char_sums / nt)
+
+    hashes = pc.count_substring(t, "#").to_numpy(zero_copy_only=False)
+    ellipses = pc.count_substring(t, "...").to_numpy(zero_copy_only=False)
+    symbol = _round6((hashes + ellipses) / nt)
+
+    flat_line, n_line = _list_parts(pc.split_pattern(t, "\n"))
+    line_distinct, _ = _segment_stats(flat_line, n_line)
+    dup_line = _round6(1.0 - line_distinct / n_line.astype(np.float64))
+
+    for name, arr in (
+        ("dup_word_frac", dup_word), ("top_word_frac", top_word),
+        ("mean_word_len", mean_len), ("symbol_word_ratio", symbol),
+        ("dup_line_frac", dup_line),
+    ):
+        batch = batch.append_column(name, pa.array(arr, type=pa.float64()))
+    return batch
+
+
+def quality_filter(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.30,
+    max_top_word_frac: float = 0.20,
+    max_dup_line_frac: float = 0.30,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_word_ratio: float = 0.10,
+    keep_stats: bool = False,
+) -> ray.data.Dataset:
+    """Gopher-style repetition filter: drop documents whose repetition
+    stats fall outside the thresholds. Streaming ``map_batches`` —
+    filtering happens inside the batch transform (no separate
+    ``Dataset.filter`` row pass)."""
+    stat_cols = ["dup_word_frac", "top_word_frac", "mean_word_len",
+                 "symbol_word_ratio", "dup_line_frac"]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        orig = batch.column_names
+        batch = add_repetition_stats(batch, text_col)
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.less_equal(batch.column("dup_word_frac"), max_dup_word_frac),
+                    pc.less_equal(batch.column("top_word_frac"), max_top_word_frac),
+                ),
+                pc.and_(
+                    pc.less_equal(batch.column("dup_line_frac"), max_dup_line_frac),
+                    pc.less_equal(batch.column("symbol_word_ratio"), max_symbol_word_ratio),
+                ),
+            ),
+            pc.and_(
+                pc.greater_equal(batch.column("mean_word_len"), min_mean_word_len),
+                pc.less_equal(batch.column("mean_word_len"), max_mean_word_len),
+            ),
+        )
+        out = batch.filter(keep)
+        return out if keep_stats else out.select(orig)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

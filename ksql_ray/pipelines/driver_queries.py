@@ -851,6 +851,130 @@ REGISTRY["op_frame_sample"] = RawQ(
 )
 
 
+def _op_quality_filter(sf_dir: str) -> pa.Table:
+    from ..ops.quality import add_repetition_stats
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    t = _collect(ds.map_batches(add_repetition_stats, batch_format="pyarrow",
+                                zero_copy_batch=True))
+    return t.select(["doc_id", "dup_word_frac", "top_word_frac",
+                     "mean_word_len", "symbol_word_ratio", "dup_line_frac"])
+
+
+REGISTRY["op_quality_filter"] = RawQ(
+    _op_quality_filter,
+    # Gopher-style repetition stats (ops/quality.py docstring spells out
+    # the contract); an all-whitespace doc splits to one '' token on
+    # both sides, so no empties special-case is needed
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct, max(c) AS top,
+         sum(length(tok) * c) AS chars
+  FROM tc GROUP BY 1
+), lc AS (
+  SELECT doc_id, ln, count(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents
+  ) GROUP BY 1, 2
+), lagg AS (SELECT doc_id, sum(c) AS n_ln, count(*) AS n_dln FROM lc GROUP BY 1)
+SELECT a.doc_id AS doc_id,
+  ROUND(1 - a.n_distinct::DOUBLE / a.n_tok, 6) AS dup_word_frac,
+  ROUND(a.top::DOUBLE / a.n_tok, 6) AS top_word_frac,
+  ROUND(a.chars::DOUBLE / a.n_tok, 6) AS mean_word_len,
+  ROUND(((length(d.text) - length(replace(d.text, '#', ''))) +
+         (length(d.text) - length(replace(d.text, '...', ''))) / 3)::DOUBLE
+        / a.n_tok, 6) AS symbol_word_ratio,
+  ROUND(1 - l.n_dln::DOUBLE / l.n_ln, 6) AS dup_line_frac
+FROM agg a JOIN documents d USING (doc_id) JOIN lagg l USING (doc_id)""",
+)
+
+
+def _op_pii_scrub(sf_dir: str) -> pa.Table:
+    """PII scrub gate. The documents fixture contains no PII, which
+    would make the oracle vacuous — so both sides first append a
+    deterministic PII suffix derived from doc_id (same expression in
+    the SQL), then the engine scrubs it back out."""
+    import pyarrow.compute as pc
+
+    from ..ops.scrub import scrub_pii
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        suffix = pc.binary_join_element_wise(
+            pa.scalar(" contact user"), ids, pa.scalar("@example.com at https://ex.org/"),
+            ids, pa.scalar(" or 10.0."), ids, pa.scalar(".7"), "")
+        text = pc.binary_join_element_wise(batch.column("text"), suffix, "")
+        return batch.set_column(batch.column_names.index("text"), "text", text)
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    t = _collect(ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+                   .map_batches(scrub_pii, batch_format="pyarrow", zero_copy_batch=True))
+    return t.select(["doc_id", "text_scrubbed", "n_urls", "n_emails", "n_ips"])
+
+
+def _pii_scrub_sql() -> str:
+    from ..ops.scrub import EMAIL_RE, IPV4_RE, URL_RE
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+    || '@example.com at https://ex.org/' || CAST(doc_id AS VARCHAR)
+    || ' or 10.0.' || CAST(doc_id AS VARCHAR) || '.7' AS text
+  FROM documents
+), u AS (SELECT doc_id, text, regexp_replace(text, '{URL_RE}', '<URL>', 'g') AS t1 FROM d),
+e AS (SELECT *, regexp_replace(t1, '{EMAIL_RE}', '<EMAIL>', 'g') AS t2 FROM u)
+SELECT doc_id, regexp_replace(t2, '{IPV4_RE}', '<IP>', 'g') AS text_scrubbed,
+  length(regexp_split_to_array(text, '{URL_RE}')) - 1 AS n_urls,
+  length(regexp_split_to_array(t1, '{EMAIL_RE}')) - 1 AS n_emails,
+  length(regexp_split_to_array(t2, '{IPV4_RE}')) - 1 AS n_ips
+FROM e"""
+
+
+REGISTRY["op_pii_scrub"] = RawQ(_op_pii_scrub, _pii_scrub_sql())
+
+
+def _op_stratified_sample(sf_dir: str) -> pa.Table:
+    from ..ops.sample import stratified_sample
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    samp = stratified_sample(
+        ds, "doc_id", fractions={"en": 0.5, "de": 1.0, "fr": 0.25},
+        strata_col="lang", default_fraction=0.1, method="md5",
+    )
+    return _collect(samp).select(["doc_id", "lang", "source"])
+
+
+REGISTRY["op_stratified_sample"] = RawQ(
+    _op_stratified_sample,
+    # deterministic hash sampling: keep iff
+    # uint32(md5(str(doc_id))[:8]) < frac(lang) * 2^32 (ops/sample.py)
+    "SELECT doc_id, lang, source FROM documents "
+    "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT "
+    "< (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 "
+    "ELSE 0.1 END) * 4294967296.0",
+)
+
+
+def _op_top_terms(sf_dir: str) -> pa.Table:
+    from ..ops.terms import top_terms
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    return _collect(top_terms(ds, k=25))
+
+
+REGISTRY["op_top_terms"] = RawQ(
+    _op_top_terms,
+    r"WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), "
+    r"'\s+')) AS term FROM documents) "
+    "SELECT term, count(*) AS cnt FROM toks GROUP BY 1 "
+    "ORDER BY cnt DESC, term LIMIT 25",
+)
+
+
 # --------------------------------------------------------------- streaming
 # The streaming engine itself under the driver's oracle gate: the events
 # table replayed as ts-ordered micro-batches through StreamingJob; with no

@@ -1,0 +1,190 @@
+"""Corpus-ops tests: Gopher-style repetition stats / quality filter,
+PII scrubbing, deterministic stratified sampling, top-k terms."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from conftest import SF_DIR, assert_tables_equal, collect
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    return ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+# -------------------------------------------------------- repetition stats
+def _stats_tbl():
+    return pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            "the cat sat on the mat",            # 'the' twice: 6 tok, 5 distinct
+            "spam spam spam spam",               # all same
+            "one\ntwo\none\ntwo\nthree",         # dup lines
+            "   ",                               # whitespace-only -> [''] token
+            "Hello... wait #### what...",
+            "Unique words only here",
+        ]),
+    })
+
+
+def test_repetition_stats_brute_force():
+    from ksql_ray.ops.quality import add_repetition_stats
+
+    out = add_repetition_stats(_stats_tbl()).to_pydict()
+
+    def brute(text):
+        toks = __import__("re").split(r"\s+", text.strip().lower())
+        lines = text.split("\n")
+        from collections import Counter
+        tc = Counter(toks)
+        r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6
+        return (
+            r6(1 - len(tc) / len(toks)),
+            r6(max(tc.values()) / len(toks)),
+            r6(sum(len(t) for t in toks) / len(toks)),
+            r6((text.count("#") + text.count("...")) / len(toks)),
+            r6(1 - len(set(lines)) / len(lines)),
+        )
+
+    for i, text in enumerate(_stats_tbl().column("text").to_pylist()):
+        exp = brute(text)
+        got = (out["dup_word_frac"][i], out["top_word_frac"][i],
+               out["mean_word_len"][i], out["symbol_word_ratio"][i],
+               out["dup_line_frac"][i])
+        assert got == pytest.approx(exp, abs=0), (i, got, exp)
+
+
+def test_repetition_stats_vs_duckdb(docs_ds, duck):
+    from ksql_ray.ops.quality import add_repetition_stats
+    from ksql_ray.pipelines.driver_queries import REGISTRY
+
+    got = collect(docs_ds.map_batches(
+        add_repetition_stats, batch_format="pyarrow", zero_copy_batch=True,
+    )).select(["doc_id", "dup_word_frac", "top_word_frac", "mean_word_len",
+               "symbol_word_ratio", "dup_line_frac"])
+    exp = duck.execute(REGISTRY["op_quality_filter"].sql).arrow()
+    assert_tables_equal(got, exp)
+
+
+def test_quality_filter_thresholds(ray_session):
+    from ksql_ray.ops.quality import quality_filter
+
+    ds = ray.data.from_arrow(_stats_tbl())
+    kept = collect(quality_filter(
+        ds, max_dup_word_frac=0.2, max_top_word_frac=0.5,
+        max_dup_line_frac=0.1, min_mean_word_len=2.0, max_mean_word_len=12.0,
+        max_symbol_word_ratio=0.5,
+    ))
+    # doc 0 passes (dup_word 1/6 < .2); 1 fails dup_word; 2 fails dup_line;
+    # 3 fails mean_word_len (0); 4 fails symbol ratio (5/4 > .5); 5 passes
+    assert sorted(kept.column("doc_id").to_pylist()) == [0, 5]
+    assert kept.column_names == ["doc_id", "text"]  # stats dropped
+
+    with_stats = collect(quality_filter(ds, keep_stats=True))
+    assert "dup_word_frac" in with_stats.column_names
+
+
+# ------------------------------------------------------------- PII scrub
+def test_scrub_pii_forms():
+    from ksql_ray.ops.scrub import scrub_pii
+
+    t = pa.table({"text": pa.array([
+        "mail a.b+c@d-e.co.uk now",
+        "go to https://x.y/z?a=1#f and http://plain.com",
+        "host 192.168.0.1 done",
+        "url with creds http://u@h.com/p then bare u@h.com",
+        "nothing here",
+    ])})
+    out = scrub_pii(t).to_pydict()
+    assert out["text_scrubbed"] == [
+        "mail <EMAIL> now",
+        "go to <URL> and <URL>",
+        "host <IP> done",
+        "url with creds <URL> then bare <EMAIL>",
+        "nothing here",
+    ]
+    assert out["n_emails"] == [1, 0, 0, 1, 0]
+    assert out["n_urls"] == [0, 2, 0, 1, 0]
+    assert out["n_ips"] == [0, 0, 1, 0, 0]
+
+
+def test_scrub_documents_replace(ray_session):
+    from ksql_ray.ops.scrub import scrub_documents
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["ping bob@x.io", "clean"]),
+    }))
+    out = collect(scrub_documents(ds)).sort_by("doc_id")
+    assert out.column("text").to_pylist() == ["ping <EMAIL>", "clean"]
+    assert out.column("n_emails").to_pylist() == [1, 0]
+    assert "text_scrubbed" not in out.column_names
+
+
+# ------------------------------------------------------ stratified sample
+def test_stratified_sample_md5_vs_duckdb(docs_ds, duck):
+    from ksql_ray.ops.sample import stratified_sample
+
+    got = collect(stratified_sample(
+        docs_ds, "doc_id", fractions={"en": 0.5, "de": 1.0},
+        strata_col="lang", default_fraction=0.1,
+    ))
+    exp = duck.execute(
+        "SELECT * FROM documents WHERE "
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT "
+        "< (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 ELSE 0.1 END) "
+        "* 4294967296.0"
+    ).arrow()
+    assert sorted(got.column("doc_id").to_pylist()) == \
+        sorted(exp.column("doc_id").to_pylist())
+
+
+def test_stratified_sample_deterministic_and_fast(docs_ds):
+    from ksql_ray.ops.sample import stratified_sample
+
+    a = collect(stratified_sample(docs_ds, "doc_id", fractions=0.3))
+    b = collect(stratified_sample(docs_ds, "doc_id", fractions=0.3))
+    assert sorted(a.column("doc_id").to_pylist()) == \
+        sorted(b.column("doc_id").to_pylist())
+    # different seed -> different (deterministic) subset
+    c = collect(stratified_sample(docs_ds, "doc_id", fractions=0.3, seed="s2"))
+    assert sorted(a.column("doc_id").to_pylist()) != \
+        sorted(c.column("doc_id").to_pylist())
+    # fast method: roughly the right rate, deterministic
+    f1 = collect(stratified_sample(docs_ds, "doc_id", fractions=0.3, method="fast"))
+    f2 = collect(stratified_sample(docs_ds, "doc_id", fractions=0.3, method="fast"))
+    assert sorted(f1.column("doc_id").to_pylist()) == \
+        sorted(f2.column("doc_id").to_pylist())
+    assert 0.15 < f1.num_rows / 500 < 0.45
+
+    with pytest.raises(ValueError):
+        stratified_sample(docs_ds, "doc_id", fractions={"en": 1.0})  # no strata_col
+
+
+# ------------------------------------------------------------- top terms
+def test_top_terms_vs_duckdb(docs_ds, duck):
+    from ksql_ray.ops.terms import top_terms
+
+    got = collect(top_terms(docs_ds, k=10))
+    exp = duck.execute(
+        r"WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),"
+        r" '\s+')) AS term FROM documents) "
+        "SELECT term, count(*) AS cnt FROM toks GROUP BY 1 "
+        "ORDER BY cnt DESC, term LIMIT 10"
+    ).arrow()
+    # ordered comparison: the op's contract includes the (cnt desc, term asc) order
+    assert got.to_pydict() == exp.to_pydict()
+
+
+def test_top_terms_tie_break(ray_session):
+    from ksql_ray.ops.terms import top_terms
+
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(["b a", "a c b", "d d"]),
+    }))
+    got = collect(top_terms(ds, k=3)).to_pydict()
+    # counts: a=2 b=2 d=2 c=1 -> top3 by (cnt desc, term asc) = a, b, d
+    assert got["term"] == ["a", "b", "d"]
+    assert got["cnt"] == [2, 2, 2]
