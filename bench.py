@@ -240,6 +240,18 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["simhash_dedup_200k"] = min2(
         lambda: simhash_pairs(docs_ds(), max_hamming=2).count())
 
+    from ksql_ray.ops.quality import quality_filter
+    from ksql_ray.ops.sample import stratified_sample
+    from ksql_ray.ops.scrub import scrub_documents
+    from ksql_ray.ops.terms import top_terms
+
+    out["quality_filter_200k"] = min2(lambda: quality_filter(docs_ds()).count())
+    out["pii_scrub_200k"] = min2(lambda: scrub_documents(docs_ds()).count())
+    out["sample_10pct_200k"] = min2(
+        lambda: stratified_sample(
+            docs_ds(), "doc_id", fractions=0.1, method="fast").count())
+    out["top_terms_200k"] = min2(lambda: top_terms(docs_ds(), k=50).count())
+
     esch = pq.read_schema(f"{sf_dir}/embeddings.parquet")
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet",
