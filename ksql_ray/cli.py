@@ -1,9 +1,20 @@
-"""Migration CLI: ``python -m ksql_ray.cli <create|up|down|auto> ...``.
+"""CLI: ``python -m ksql_ray.cli <create|up|down|auto|stream> ...``.
 
 The reference's cobra CLI (cmd/cli/main.go:5, internal/root.go:14-31,
 up.go:17-37) drives migrations against a remote ksqlDB; ours drives the
 local catalog + Parquet relations. Environment fallback mirrors
 KSQL_DB_URL: ``KSQL_RAY_STATE_DIR`` selects the migration state dir.
+
+``stream`` is the cluster job entrypoint (the north-rule's ``ray job
+submit`` shape): it owns the Ray session (``RAY_ADDRESS`` or ``auto``
+inside a cluster), runs the headline windowed-aggregate + stream-table
+join over a directory of transcript Parquet micro-batches, and prints
+one JSON summary line. On a real cluster::
+
+    ray job submit --working-dir . -- python -m ksql_ray.cli stream \\
+        --input s3://bucket/transcripts --meta s3://bucket/conv_meta.parquet \\
+        --sink /mnt/out --partitions 256 --checkpoint-dir /mnt/ckpt \\
+        --checkpoint-every 4 --resume
 """
 
 from __future__ import annotations
@@ -36,7 +47,30 @@ def main(argv: list[str] | None = None) -> int:
     a = sub.add_parser("auto", help="apply all pending migrations in a dir")
     a.add_argument("dir")
 
+    s = sub.add_parser(
+        "stream", help="run the headline streaming job (ray-job entrypoint)")
+    s.add_argument("--input", required=True,
+                   help="directory of transcript parquet micro-batch files")
+    s.add_argument("--meta", default=None,
+                   help="conv_meta parquet for the stream-table join "
+                        "(omit to aggregate without the join)")
+    s.add_argument("--sink", required=True, help="committed-output directory")
+    s.add_argument("--partitions", type=int, default=16)
+    s.add_argument("--files-per-epoch", type=int, default=8)
+    s.add_argument("--window-min", type=int, default=1)
+    s.add_argument("--lateness-s", type=int, default=300)
+    s.add_argument("--checkpoint-dir", default=None)
+    s.add_argument("--checkpoint-every", type=int, default=0,
+                   help="checkpoint state stores every K epochs")
+    s.add_argument("--resume", action="store_true",
+                   help="resume from the newest checkpoint in --checkpoint-dir")
+    s.add_argument("--max-inflight", type=int, default=2,
+                   help="pipelined epochs in flight")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "stream":
+        return _run_stream(args)
 
     if args.cmd == "create":
         os.makedirs(args.dir, exist_ok=True)
@@ -65,6 +99,105 @@ def main(argv: list[str] | None = None) -> int:
     except KsqlRayError as ex:
         print(f"error: {ex}", file=sys.stderr)
         return 1
+    return 0
+
+
+def _run_stream(args) -> int:
+    """Headline windowed-aggregate (+ optional stream-table join) job.
+
+    Owns the Ray session (per the repo contract only CLI entry points,
+    bench.py and the test fixture call ``ray.init``): connects to the
+    cluster named by ``RAY_ADDRESS`` — which ``ray job submit`` sets —
+    or ``auto`` when unset.
+    """
+    import glob
+    import json
+    import time as _time
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False, ignore_reinit_error=True)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from . import (
+        Avg, Catalog, Count, F, LatestByOffset, MINUTES, Relation, Schema,
+        Select, Sum, Tumbling,
+    )
+    from .catalog import Ref
+    from .ops.text import add_quality_score, add_token_count
+    from .streaming.driver import StreamingJob
+
+    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not files:
+        print(f"error: no parquet files under {args.input}", file=sys.stderr)
+        return 1
+
+    cat = Catalog()
+    sch = pq.read_schema(files[0])
+    cat.create(Relation(
+        "transcripts", Ref.STREAM,
+        pa.schema([pa.field(f.name, f.type) for f in sch]),
+        path=args.input, timestamp_col="ts", order_cols=["ts", "turn_idx"],
+    ))
+
+    def pre_transform(batch):
+        batch = add_token_count(batch, "text", "token_count")
+        return add_quality_score(batch, "text", "quality")
+
+    pre_transform.input_columns = ["text"]
+    pre_transform.output_columns = ["token_count", "quality"]
+
+    q = Select(F("conv_id"),
+               *([F("user_tier")] if args.meta else []),
+               Count(F("turn_idx")).As("turns"),
+               Sum(F("token_count")).As("tokens"),
+               Avg(F("quality")).As("avg_quality"),
+               LatestByOffset(F("role")).As("last_role")) \
+        .From(Schema("transcripts"))
+    if args.meta:
+        msch = pq.read_schema(args.meta)
+        cat.create(Relation(
+            "conv_meta", Ref.TABLE,
+            pa.schema([pa.field(f.name, f.type) for f in msch]),
+            path=args.meta, primary_key="conv_id",
+        ))
+        q = q.Join(Schema("conv_meta"),
+                   F("transcripts.conv_id").Equal(F("conv_meta.conv_id")))
+        q = q.GroupBy(F("conv_id"), F("user_tier"))
+    else:
+        q = q.GroupBy(F("conv_id"))
+    q = q.Windowed(Tumbling(args.window_min, MINUTES)).EmitFinal()
+
+    tsch = cat.get("transcripts").schema
+    cat.get("transcripts").schema = tsch.append(
+        pa.field("token_count", pa.int64())
+    ).append(pa.field("quality", pa.float64()))
+
+    job = StreamingJob(
+        q, cat, args.sink, num_partitions=args.partitions,
+        lateness_us=args.lateness_s * 1_000_000,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume, pre_transform=pre_transform,
+    )
+    t0 = _time.perf_counter()
+    job.run(files, files_per_epoch=args.files_per_epoch,
+            max_inflight=args.max_inflight)
+    job.finish()
+    sec = _time.perf_counter() - t0
+    out = job.result()
+    last = job.metrics_log[-1]["partitions"] if job.metrics_log else []
+    print(json.dumps({
+        "files": len(files), "epochs": job.epoch + 1,
+        "sec": round(sec, 3), "rows_out": out.num_rows,
+        "rows_in": sum(m.get("rows_in", 0) for m in last),
+        "late_drops": sum(m.get("late_drops", 0) for m in last),
+        "sink": args.sink,
+    }))
     return 0
 
 
