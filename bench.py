@@ -305,6 +305,106 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def run_skew_ab(sf_dir: str, num_cpus: int) -> dict:
+    """Hot-key skew A/B (north_rule "skew handled explicitly"): the
+    fixture's Zipf(1.2) conversation sizes give the hottest conv_id
+    ~15% of ALL turns. Runs the headline job with salting off vs on and
+    reports throughput + per-partition rows_in balance. Single-node
+    work conservation hides the unsalted hot actor (other actors use
+    the idle cores); on a real N-node cluster the unsalted hot
+    partition caps whole-job throughput near 1/hot_share effective
+    partitions, while salted load is flat by construction."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ksql_ray import (
+        Avg, Catalog, Count, F, LatestByOffset, MINUTES, Relation, Schema,
+        Select, Sum, Tumbling,
+    )
+    from ksql_ray.catalog import Ref
+    from ksql_ray.fixtures import materialize_fixture_dir
+    from ksql_ray.ops.text import add_quality_score, add_token_count
+    from ksql_ray.streaming.driver import StreamingJob
+
+    n_turns = int(os.environ.get("KSQL_BENCH_TURNS", 4_000_000))
+    paths = materialize_fixture_dir(
+        f"/tmp/ksql_ray_transcripts_{n_turns}", n_turns=n_turns, seed=42,
+        n_files=256)
+    files = sorted(glob.glob(paths["transcripts"] + "/*.parquet"))
+
+    def pre_transform(batch):
+        batch = add_token_count(batch, "text", "token_count")
+        return add_quality_score(batch, "text", "quality")
+
+    pre_transform.input_columns = ["text"]
+    pre_transform.output_columns = ["token_count", "quality"]
+
+    def build_cat():
+        cat = Catalog()
+        sch = pq.read_schema(files[0])
+        cat.create(Relation(
+            "transcripts", Ref.STREAM,
+            pa.schema([pa.field(f.name, f.type) for f in sch]),
+            path=paths["transcripts"], timestamp_col="ts",
+            order_cols=["ts", "turn_idx"]))
+        msch = pq.read_schema(paths["conv_meta"])
+        cat.create(Relation(
+            "conv_meta", Ref.TABLE,
+            pa.schema([pa.field(f.name, f.type) for f in msch]),
+            path=paths["conv_meta"], primary_key="conv_id"))
+        tsch = cat.get("transcripts").schema
+        cat.get("transcripts").schema = tsch.append(
+            pa.field("token_count", pa.int64())
+        ).append(pa.field("quality", pa.float64()))
+        return cat
+
+    def make_query():
+        return (
+            Select(F("conv_id"), F("user_tier"),
+                   Count(F("turn_idx")).As("turns"),
+                   Sum(F("token_count")).As("tokens"),
+                   Avg(F("quality")).As("avg_quality"),
+                   LatestByOffset(F("role")).As("last_role"))
+            .From(Schema("transcripts"))
+            .Join(Schema("conv_meta"),
+                  F("transcripts.conv_id").Equal(F("conv_meta.conv_id")))
+            .GroupBy(F("conv_id"), F("user_tier"))
+            .Windowed(Tumbling(1, MINUTES))
+            .EmitFinal()
+        )
+
+    fpe = max(2, len(files) // 4)
+    out = {"metric": "hot-key skew A/B (salt_by_window off vs on)",
+           "turns": n_turns, "num_cpus": num_cpus, "partitions": 16}
+    for salt in (False, True):
+        best, rows = None, []
+        for trial in range(2):
+            job = StreamingJob(
+                make_query(), build_cat(),
+                f"/tmp/ksql_ray_skew_{salt}_{trial}_{os.getpid()}",
+                num_partitions=16, lateness_us=300_000_000,
+                pre_transform=pre_transform, salt_by_window=salt)
+            t0 = time.perf_counter()
+            job.run(files, files_per_epoch=fpe, max_inflight=2)
+            job.finish()
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+                last = job.metrics_log[-1]["partitions"] if job.metrics_log else []
+                rows = sorted(m.get("rows_in", 0) for m in last)
+        key = "salted" if salt else "unsalted"
+        out[key] = {
+            "sec": round(best, 2),
+            "turns_per_sec": round(n_turns / best),
+            "partition_rows_min": rows[0] if rows else 0,
+            "partition_rows_med": rows[len(rows) // 2] if rows else 0,
+            "partition_rows_max": rows[-1] if rows else 0,
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = _sf_dir()
     num_cpus = _num_cpus()
@@ -353,6 +453,11 @@ def main() -> None:
              logging_level="ERROR")
     ray.data.DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    if "--skew" in sys.argv:
+        print(json.dumps(run_skew_ab(sf_dir, num_cpus)))
+        ray.shutdown()
+        return
 
     streaming = run_streaming_headline(sf_dir, num_cpus)
     if "--single-streaming" in sys.argv:
