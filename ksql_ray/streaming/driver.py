@@ -163,7 +163,15 @@ class StateActor:
         # the raylet spawn extra workers (observed thrash at 32 cpus).
         # Each part is the FULL partial table (sorted by __part): slice
         # this partition's contiguous segment zero-copy.
-        emitted = []
+        #
+        # The epoch is the watermark barrier (Spark/ksqlDB micro-batch
+        # semantics): ALL of an epoch's partials merge in ONE state
+        # transition against the epoch-START watermark, and the watermark
+        # advances once, afterwards. Per-part advancement would late-drop
+        # intra-epoch disorder (e.g. several source streams whose files
+        # interleave at slightly different event times) and pay one state
+        # re-merge per part instead of one per epoch.
+        mine_parts = []
         for t in parts:
             if not t.num_rows:
                 continue
@@ -171,12 +179,13 @@ class StateActor:
             lo = np.searchsorted(pcol, self.part_id, side="left")
             hi = np.searchsorted(pcol, self.part_id, side="right")
             if hi > lo:
-                mine = t.slice(lo, hi - lo)
-                emitted.append(self.state.process(mine.drop_columns(["__part"])))
+                mine_parts.append(
+                    t.slice(lo, hi - lo).drop_columns(["__part"]))
         out = None
-        nonempty = [t for t in emitted if t.num_rows]
-        if nonempty:
-            out = pa.concat_tables(nonempty, promote_options="permissive")
+        if mine_parts:
+            mine = (mine_parts[0] if len(mine_parts) == 1 else
+                    pa.concat_tables(mine_parts, promote_options="permissive"))
+            out = self.state.process(mine)
         if out is not None and out.num_rows:
             final = self.finalizer(out)
             if final.num_rows:
