@@ -301,17 +301,26 @@ def _score_via_store(cands: ray.data.Dataset, store: ray.data.Dataset,
             "doc_b": pa.array(np.concatenate((b, b)).astype(np.int64)),
         })
 
+    # materialize the id-only side rows BEFORE the join: the join's
+    # aggregator actors reserve CPUs up front, and when the candidate
+    # lineage is still streaming the two stages starve each other
+    # (measured 3-5x on the 200k bench: ~10 s staged vs 33-56 s as one
+    # lazy DAG). `sides` is (key, doc_a, doc_b) only — ~24 B/row,
+    # sharded in the object store, never on the driver.
     sides = _partition_by(cands, ["doc_a", "doc_b"], num_partitions).map_groups(
         _pin(dedup_explode), batch_format="pyarrow"
-    )
+    ).materialize()
     # the hash-shuffle join spawns one aggregator ACTOR per partition,
     # each reserving a CPU — more partitions than cluster CPUs deadlocks
     # the actor pool (observed under the 4-CPU test fixture)
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     join_parts = max(2, min(num_partitions, ncpu // 2))
+    # materialize the join output for the same reason: its aggregator
+    # actors hold reserved CPUs until the join drains, starving the
+    # downstream pair shuffle when both run in one streaming plan
     joined = sides.join(
         store, "inner", join_parts, on=("key",), right_on=(id_col,)
-    )
+    ).materialize()
     return _partition_by(joined, ["doc_a", "doc_b"], num_partitions).map_groups(
         _pin(score_fn), batch_format="pyarrow"
     )
