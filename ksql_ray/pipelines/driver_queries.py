@@ -1372,6 +1372,47 @@ REGISTRY["join_cross_large"] = RawQ(
 )
 
 
+def _streaming_project_text(sf_dir: str) -> pa.Table:
+    """Stateless push-query filter/project replayed as micro-batches:
+    the input_hint's per-row invariant — per-turn TEXT equality under a
+    stable row key — gated over the `events` stream's `props` payload
+    column (each emitted row's text must be byte-equal to the source
+    row's, keyed by event_id)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.driver import StreamingProjectJob
+
+    cat = testdata_catalog(sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    n = tbl.num_rows
+    batches = [tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+               for i in range(8)]
+    out = tempfile.mkdtemp(prefix="ksql_ray_stream_projtext_")
+    try:
+        q = (Select(F("event_id"), F("user_id"), F("props"))
+             .From(Schema("events"))
+             .Where(F("event_type").Equal("click"))
+             .EmitChanges())
+        job = StreamingProjectJob(q, cat, out)
+        for b in batches:
+            job.process_epoch([b])
+        job.finish()
+        return job.result()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+REGISTRY["streaming_project_text"] = RawQ(
+    _streaming_project_text,
+    "SELECT event_id, user_id, props FROM events WHERE event_type = 'click'",
+)
+
+
 REGISTRY["ddl_migrations"] = RawQ(
     _ddl_migrations,
     "SELECT * FROM (VALUES "
