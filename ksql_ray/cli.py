@@ -66,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="resume from the newest checkpoint in --checkpoint-dir")
     s.add_argument("--max-inflight", type=int, default=2,
                    help="pipelined epochs in flight")
+    s.add_argument("--salt", action="store_true",
+                   help="salt hot keys by window id (spreads a hot "
+                        "conversation's windows across state actors)")
 
     args = p.parse_args(argv)
 
@@ -183,6 +186,7 @@ def _run_stream(args) -> int:
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         resume=args.resume, pre_transform=pre_transform,
+        salt_by_window=args.salt,
     )
     t0 = _time.perf_counter()
     job.run(files, files_per_epoch=args.files_per_epoch,
