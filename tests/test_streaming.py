@@ -103,6 +103,43 @@ def test_emit_final_emits_each_window_once(stream_catalog, fixture_dir, tmp_path
     assert len(keys) == len(set(keys)), "EMIT FINAL emitted a window twice"
 
 
+def test_epoch_is_the_watermark_barrier(stream_catalog, tmp_path):
+    """Intra-epoch disorder must NOT late-drop: two micro-batch tables in
+    ONE epoch, where the second's rows would fall behind the first's
+    watermark under per-partial advancement (e.g. several source streams
+    whose files interleave at offset event times). The watermark advances
+    at the epoch barrier, so both rows must aggregate."""
+    base = 1_700_000_000_000_000
+    minute = 60_000_000
+
+    def batch(turn_idx, ts_us):
+        return pa.table({
+            "conv_id": ["c1"],
+            "turn_idx": pa.array([turn_idx], type=pa.int32()),
+            "role": ["user"],
+            "text": [f"c1:{turn_idx} x"],
+            "tool": pa.array([None], type=pa.string()),
+            "ts": pa.array([ts_us], type=pa.timestamp("us")),
+        })
+
+    ahead = batch(0, base + 10 * minute)  # would advance wm past base
+    behind = batch(1, base)               # 10 min earlier, same epoch
+    cat = Catalog()
+    cat.create(Relation("transcripts", Ref.STREAM, ahead.schema,
+                        path="/nonexistent", timestamp_col="ts",
+                        order_cols=["ts", "turn_idx"]))
+    job = StreamingJob(_tumbling_query(), cat, str(tmp_path / "out"),
+                       num_partitions=2, lateness_us=0)
+    m = job.process_epoch([ahead, behind])
+    assert sum(p["late_drops"] for p in m) == 0
+    job.finish()
+    t = job.result()
+    ws = sorted(pc.cast(t.column("window_start"), pa.int64()).to_pylist())
+    # both windows present: the behind row survived the same-epoch merge
+    floor = lambda ts: ts - ts % minute
+    assert ws == [floor(base), floor(base + 10 * minute)]
+
+
 def test_late_rows_dropped_and_counted(stream_catalog, tmp_path):
     """Hand-made batches: second batch carries a row for a window closed
     by the first batch's watermark."""
