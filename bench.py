@@ -305,6 +305,114 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def run_multisource(sf_dir: str, num_cpus: int) -> dict:
+    """64M-turn, 4-source event-time merge (the BASELINE.md scale step,
+    reproducible): four 16M-turn fixtures (seeds 42-45) interleaved at
+    file granularity — per-file event-time spans of hours with
+    cross-source offsets of minutes, the shape that requires the
+    epoch-barrier watermark. First run generates ~19 min of fixtures
+    (~1.3 GB each, idempotent)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ksql_ray import (
+        Avg, Catalog, Count, F, LatestByOffset, MINUTES, Relation, Schema,
+        Select, Sum, Tumbling,
+    )
+    from ksql_ray.catalog import Ref
+    from ksql_ray.fixtures import materialize_fixture_dir
+    from ksql_ray.ops.text import add_quality_score, add_token_count
+    from ksql_ray.streaming.driver import StreamingJob
+
+    per_source = int(os.environ.get("KSQL_BENCH_TURNS", 16_000_000))
+    dirs = []
+    for seed in (42, 43, 44, 45):
+        tag = (f"/tmp/ksql_ray_transcripts_{per_source}" if seed == 42 else
+               f"/tmp/ksql_ray_transcripts_{per_source // 1_000_000}M_s{seed}")
+        dirs.append(materialize_fixture_dir(
+            tag, n_turns=per_source, seed=seed, n_files=256))
+    per_dir = [sorted(glob.glob(d["transcripts"] + "/*.parquet")) for d in dirs]
+    # interleave file k across sources: all four streams' event time
+    # advances together (sequential concat replays each source's whole
+    # timeline from the start — everything after source 1 would be late)
+    files = [pd_[k] for k in range(len(per_dir[0])) for pd_ in per_dir]
+    meta = dirs[0]["conv_meta"]
+    n_turns = 4 * per_source
+
+    def pre_transform(batch):
+        batch = add_token_count(batch, "text", "token_count")
+        return add_quality_score(batch, "text", "quality")
+
+    pre_transform.input_columns = ["text"]
+    pre_transform.output_columns = ["token_count", "quality"]
+
+    def build_cat():
+        cat = Catalog()
+        sch = pq.read_schema(files[0])
+        cat.create(Relation(
+            "transcripts", Ref.STREAM,
+            pa.schema([pa.field(f.name, f.type) for f in sch]),
+            path=dirs[0]["transcripts"], timestamp_col="ts",
+            order_cols=["ts", "turn_idx"]))
+        msch = pq.read_schema(meta)
+        cat.create(Relation(
+            "conv_meta", Ref.TABLE,
+            pa.schema([pa.field(f.name, f.type) for f in msch]),
+            path=meta, primary_key="conv_id"))
+        tsch = cat.get("transcripts").schema
+        cat.get("transcripts").schema = tsch.append(
+            pa.field("token_count", pa.int64())
+        ).append(pa.field("quality", pa.float64()))
+        return cat
+
+    def make_query():
+        return (
+            Select(F("conv_id"), F("user_tier"),
+                   Count(F("turn_idx")).As("turns"),
+                   Sum(F("token_count")).As("tokens"),
+                   Avg(F("quality")).As("avg_quality"),
+                   LatestByOffset(F("role")).As("last_role"))
+            .From(Schema("transcripts"))
+            .Join(Schema("conv_meta"),
+                  F("transcripts.conv_id").Equal(F("conv_meta.conv_id")))
+            .GroupBy(F("conv_id"), F("user_tier"))
+            .Windowed(Tumbling(1, MINUTES))
+            .EmitFinal()
+        )
+
+    warm = StreamingJob(make_query(), build_cat(),
+                        f"/tmp/ksql_ray_ms_warm_{os.getpid()}",
+                        num_partitions=16, lateness_us=300_000_000,
+                        pre_transform=pre_transform)
+    warm.run(files[:4], files_per_epoch=4)
+    warm.finish()
+
+    best, late, rows_out = None, 0, 0
+    for trial in range(2):
+        job = StreamingJob(make_query(), build_cat(),
+                           f"/tmp/ksql_ray_ms_t{trial}_{os.getpid()}",
+                           num_partitions=16, lateness_us=300_000_000,
+                           pre_transform=pre_transform)
+        t0 = time.perf_counter()
+        job.run(files, files_per_epoch=256, max_inflight=2)
+        job.finish()
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+            late = sum(p["late_drops"]
+                       for p in job.metrics_log[-1]["partitions"]) if job.metrics_log else 0
+            rows_out = job.result().num_rows
+    return {
+        "metric": "multi-source event-time merge (4 interleaved streams)",
+        "sources": 4, "turns": n_turns, "num_cpus": num_cpus,
+        "sec": round(best, 2), "turns_per_sec": round(n_turns / best),
+        "late_drops": late, "late_frac": round(late / n_turns, 6),
+        "rows_out": rows_out,
+    }
+
+
 def run_skew_ab(sf_dir: str, num_cpus: int) -> dict:
     """Hot-key skew A/B (north_rule "skew handled explicitly"): the
     fixture's Zipf(1.2) conversation sizes give the hottest conv_id
@@ -456,6 +564,11 @@ def main() -> None:
 
     if "--skew" in sys.argv:
         print(json.dumps(run_skew_ab(sf_dir, num_cpus)))
+        ray.shutdown()
+        return
+
+    if "--multisource" in sys.argv:
+        print(json.dumps(run_multisource(sf_dir, num_cpus)))
         ray.shutdown()
         return
 
