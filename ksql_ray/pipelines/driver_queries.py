@@ -1372,6 +1372,68 @@ REGISTRY["join_cross_large"] = RawQ(
 )
 
 
+def _streaming_emit_changes(sf_dir: str) -> pa.Table:
+    """EMIT CHANGES conformance under the hard signal: an unwindowed
+    aggregation replayed as 8 micro-batch epochs emits a changelog; the
+    LAST emitted row per key (reconstructed from the sink's
+    per-(partition, epoch) files) must equal the bounded SQL aggregate
+    (ksqlDB table-changelog semantics, ksql/select_builder.go:131-137)."""
+    import os as _os
+    import re
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.driver import StreamingJob
+
+    cat = testdata_catalog(sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    n = tbl.num_rows
+    batches = [tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+               for i in range(8)]
+    out = tempfile.mkdtemp(prefix="ksql_ray_stream_changes_")
+    try:
+        q = (Select(F("user_id"), Count(F("event_id")).As("cnt"),
+                    Sum(F("value")).As("sv"))
+             .From(Schema("events")).GroupBy(F("user_id"))
+             .EmitChanges())
+        job = StreamingJob(q, cat, out, num_partitions=4,
+                           lateness_us=1 << 60)
+        for b in batches:
+            job.process_epoch([b])
+        job.finish()
+        parts = []
+        for f in sorted(_os.listdir(out)):
+            m = re.match(r"part-\d+-epoch-(\d+)\.parquet$", f)
+            if not m:
+                continue
+            t = pq.read_table(_os.path.join(out, f))
+            parts.append(t.append_column(
+                "__epoch", pa.array([int(m.group(1))] * t.num_rows,
+                                    type=pa.int64())))
+        log = pa.concat_tables(parts, promote_options="permissive")
+        log = log.take(pc.sort_indices(log, sort_keys=[
+            ("user_id", "ascending"), ("__epoch", "ascending")]))
+        uid = log.column("user_id").to_numpy(zero_copy_only=False)
+        import numpy as np
+        last = np.ones(len(uid), dtype=bool)
+        last[:-1] = uid[:-1] != uid[1:]
+        return _round_cols(
+            log.filter(pa.array(last)).drop_columns(["__epoch"]), {"sv": 4})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+REGISTRY["streaming_emit_changes"] = RawQ(
+    _streaming_emit_changes,
+    "SELECT user_id, count(event_id) AS cnt, ROUND(sum(value), 4) AS sv "
+    "FROM events GROUP BY 1",
+)
+
+
 def _streaming_project_text(sf_dir: str) -> pa.Table:
     """Stateless push-query filter/project replayed as micro-batches:
     the input_hint's per-row invariant — per-turn TEXT equality under a
