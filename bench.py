@@ -64,11 +64,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_streaming_headline(sf_dir: str, num_cpus: int) -> dict:
-    """The BASELINE.json metric: windowed-aggregate + stream-table join
-    throughput (turns/sec) over a synthetic transcript Parquet stream."""
-    import glob
-
+def headline_parts(stream_dir: str, first_file: str, meta_path: str):
+    """Shared (build_cat, make_query, pre_transform) for the headline
+    windowed-aggregate + stream-table join — one definition for the
+    headline, skew-A/B and multi-source benches."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -77,36 +76,6 @@ def run_streaming_headline(sf_dir: str, num_cpus: int) -> dict:
         Select, Sum, Tumbling,
     )
     from ksql_ray.catalog import Ref
-    from ksql_ray.fixtures import materialize_fixture_dir
-    from ksql_ray.streaming.driver import StreamingJob
-
-    # transcript volume scales with the sf dir (sf0.1 -> 4M turns);
-    # KSQL_BENCH_TURNS overrides (the scaling run needs a compute-bound
-    # stream: per-epoch fixed costs floor small epochs)
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    n_turns = {"0.001": 5_000, "0.01": 200_000, "0.1": 4_000_000}.get(sf, 4_000_000)
-    n_turns = int(os.environ.get("KSQL_BENCH_TURNS", n_turns))
-    # many small micro-batch files so per-epoch prep parallelism covers the
-    # CPU budget (files/epoch >= cpus)
-    n_files = 256 if n_turns >= 2_000_000 else (64 if n_turns >= 500_000 else 16)
-    fdir = f"/tmp/ksql_ray_transcripts_{n_turns}"
-    paths = materialize_fixture_dir(fdir, n_turns=n_turns, seed=42, n_files=n_files)
-
-    cat = Catalog()
-    sch = pq.read_schema(sorted(glob.glob(paths["transcripts"] + "/*.parquet"))[0])
-    cat.create(Relation(
-        "transcripts", Ref.STREAM,
-        pa.schema([pa.field(f.name, f.type) for f in sch]),
-        path=paths["transcripts"], timestamp_col="ts",
-        order_cols=["ts", "turn_idx"],
-    ))
-    msch = pq.read_schema(paths["conv_meta"])
-    cat.create(Relation(
-        "conv_meta", Ref.TABLE,
-        pa.schema([pa.field(f.name, f.type) for f in msch]),
-        path=paths["conv_meta"], primary_key="conv_id",
-    ))
-
     from ksql_ray.ops.text import add_quality_score, add_token_count
 
     def pre_transform(batch):
@@ -119,6 +88,28 @@ def run_streaming_headline(sf_dir: str, num_cpus: int) -> dict:
     # (query-needed - produced) | consumed instead of reading every column
     pre_transform.input_columns = ["text"]
     pre_transform.output_columns = ["token_count", "quality"]
+
+    def build_cat():
+        cat = Catalog()
+        sch = pq.read_schema(first_file)
+        cat.create(Relation(
+            "transcripts", Ref.STREAM,
+            pa.schema([pa.field(f.name, f.type) for f in sch]),
+            path=stream_dir, timestamp_col="ts",
+            order_cols=["ts", "turn_idx"],
+        ))
+        msch = pq.read_schema(meta_path)
+        cat.create(Relation(
+            "conv_meta", Ref.TABLE,
+            pa.schema([pa.field(f.name, f.type) for f in msch]),
+            path=meta_path, primary_key="conv_id",
+        ))
+        # the aggregate schema sees the pre_transform columns
+        tsch = cat.get("transcripts").schema
+        cat.get("transcripts").schema = tsch.append(
+            pa.field("token_count", pa.int64())
+        ).append(pa.field("quality", pa.float64()))
+        return cat
 
     def make_query():
         return (
@@ -135,16 +126,34 @@ def run_streaming_headline(sf_dir: str, num_cpus: int) -> dict:
             .EmitFinal()
         )
 
-    # the aggregate schema sees the pre_transform columns
-    import pyarrow as pa_
+    return build_cat, make_query, pre_transform
 
-    tsch = cat.get("transcripts").schema
-    cat.get("transcripts").schema = tsch.append(
-        pa_.field("token_count", pa_.int64())
-    ).append(pa_.field("quality", pa_.float64()))
+
+def run_streaming_headline(sf_dir: str, num_cpus: int) -> dict:
+    """The BASELINE.json metric: windowed-aggregate + stream-table join
+    throughput (turns/sec) over a synthetic transcript Parquet stream."""
+    import glob
+
+    from ksql_ray.fixtures import materialize_fixture_dir
+    from ksql_ray.streaming.driver import StreamingJob
+
+    # transcript volume scales with the sf dir (sf0.1 -> 4M turns);
+    # KSQL_BENCH_TURNS overrides (the scaling run needs a compute-bound
+    # stream: per-epoch fixed costs floor small epochs)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_turns = {"0.001": 5_000, "0.01": 200_000, "0.1": 4_000_000}.get(sf, 4_000_000)
+    n_turns = int(os.environ.get("KSQL_BENCH_TURNS", n_turns))
+    # many small micro-batch files so per-epoch prep parallelism covers the
+    # CPU budget (files/epoch >= cpus)
+    n_files = 256 if n_turns >= 2_000_000 else (64 if n_turns >= 500_000 else 16)
+    fdir = f"/tmp/ksql_ray_transcripts_{n_turns}"
+    paths = materialize_fixture_dir(fdir, n_turns=n_turns, seed=42, n_files=n_files)
 
     out_dir = f"/tmp/ksql_ray_bench_out_{os.getpid()}"
     files = sorted(glob.glob(paths["transcripts"] + "/*.parquet"))
+    build_cat, make_query, pre_transform = headline_parts(
+        paths["transcripts"], files[0], paths["conv_meta"])
+    cat = build_cat()
     P = 16  # fixed partitioning across cluster sizes (the scaling job)
     route = os.environ.get("KSQL_STREAM_ROUTE", "p2p")
     # warm the worker pool (process spawn + imports) outside the timing
@@ -314,16 +323,7 @@ def run_multisource(sf_dir: str, num_cpus: int) -> dict:
     (~1.3 GB each, idempotent)."""
     import glob
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from ksql_ray import (
-        Avg, Catalog, Count, F, LatestByOffset, MINUTES, Relation, Schema,
-        Select, Sum, Tumbling,
-    )
-    from ksql_ray.catalog import Ref
     from ksql_ray.fixtures import materialize_fixture_dir
-    from ksql_ray.ops.text import add_quality_score, add_token_count
     from ksql_ray.streaming.driver import StreamingJob
 
     per_source = int(os.environ.get("KSQL_BENCH_TURNS", 16_000_000))
@@ -338,49 +338,9 @@ def run_multisource(sf_dir: str, num_cpus: int) -> dict:
     # advances together (sequential concat replays each source's whole
     # timeline from the start — everything after source 1 would be late)
     files = [pd_[k] for k in range(len(per_dir[0])) for pd_ in per_dir]
-    meta = dirs[0]["conv_meta"]
     n_turns = 4 * per_source
-
-    def pre_transform(batch):
-        batch = add_token_count(batch, "text", "token_count")
-        return add_quality_score(batch, "text", "quality")
-
-    pre_transform.input_columns = ["text"]
-    pre_transform.output_columns = ["token_count", "quality"]
-
-    def build_cat():
-        cat = Catalog()
-        sch = pq.read_schema(files[0])
-        cat.create(Relation(
-            "transcripts", Ref.STREAM,
-            pa.schema([pa.field(f.name, f.type) for f in sch]),
-            path=dirs[0]["transcripts"], timestamp_col="ts",
-            order_cols=["ts", "turn_idx"]))
-        msch = pq.read_schema(meta)
-        cat.create(Relation(
-            "conv_meta", Ref.TABLE,
-            pa.schema([pa.field(f.name, f.type) for f in msch]),
-            path=meta, primary_key="conv_id"))
-        tsch = cat.get("transcripts").schema
-        cat.get("transcripts").schema = tsch.append(
-            pa.field("token_count", pa.int64())
-        ).append(pa.field("quality", pa.float64()))
-        return cat
-
-    def make_query():
-        return (
-            Select(F("conv_id"), F("user_tier"),
-                   Count(F("turn_idx")).As("turns"),
-                   Sum(F("token_count")).As("tokens"),
-                   Avg(F("quality")).As("avg_quality"),
-                   LatestByOffset(F("role")).As("last_role"))
-            .From(Schema("transcripts"))
-            .Join(Schema("conv_meta"),
-                  F("transcripts.conv_id").Equal(F("conv_meta.conv_id")))
-            .GroupBy(F("conv_id"), F("user_tier"))
-            .Windowed(Tumbling(1, MINUTES))
-            .EmitFinal()
-        )
+    build_cat, make_query, pre_transform = headline_parts(
+        dirs[0]["transcripts"], files[0], dirs[0]["conv_meta"])
 
     warm = StreamingJob(make_query(), build_cat(),
                         f"/tmp/ksql_ray_ms_warm_{os.getpid()}",
@@ -424,16 +384,7 @@ def run_skew_ab(sf_dir: str, num_cpus: int) -> dict:
     partitions, while salted load is flat by construction."""
     import glob
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from ksql_ray import (
-        Avg, Catalog, Count, F, LatestByOffset, MINUTES, Relation, Schema,
-        Select, Sum, Tumbling,
-    )
-    from ksql_ray.catalog import Ref
     from ksql_ray.fixtures import materialize_fixture_dir
-    from ksql_ray.ops.text import add_quality_score, add_token_count
     from ksql_ray.streaming.driver import StreamingJob
 
     n_turns = int(os.environ.get("KSQL_BENCH_TURNS", 4_000_000))
@@ -441,47 +392,8 @@ def run_skew_ab(sf_dir: str, num_cpus: int) -> dict:
         f"/tmp/ksql_ray_transcripts_{n_turns}", n_turns=n_turns, seed=42,
         n_files=256)
     files = sorted(glob.glob(paths["transcripts"] + "/*.parquet"))
-
-    def pre_transform(batch):
-        batch = add_token_count(batch, "text", "token_count")
-        return add_quality_score(batch, "text", "quality")
-
-    pre_transform.input_columns = ["text"]
-    pre_transform.output_columns = ["token_count", "quality"]
-
-    def build_cat():
-        cat = Catalog()
-        sch = pq.read_schema(files[0])
-        cat.create(Relation(
-            "transcripts", Ref.STREAM,
-            pa.schema([pa.field(f.name, f.type) for f in sch]),
-            path=paths["transcripts"], timestamp_col="ts",
-            order_cols=["ts", "turn_idx"]))
-        msch = pq.read_schema(paths["conv_meta"])
-        cat.create(Relation(
-            "conv_meta", Ref.TABLE,
-            pa.schema([pa.field(f.name, f.type) for f in msch]),
-            path=paths["conv_meta"], primary_key="conv_id"))
-        tsch = cat.get("transcripts").schema
-        cat.get("transcripts").schema = tsch.append(
-            pa.field("token_count", pa.int64())
-        ).append(pa.field("quality", pa.float64()))
-        return cat
-
-    def make_query():
-        return (
-            Select(F("conv_id"), F("user_tier"),
-                   Count(F("turn_idx")).As("turns"),
-                   Sum(F("token_count")).As("tokens"),
-                   Avg(F("quality")).As("avg_quality"),
-                   LatestByOffset(F("role")).As("last_role"))
-            .From(Schema("transcripts"))
-            .Join(Schema("conv_meta"),
-                  F("transcripts.conv_id").Equal(F("conv_meta.conv_id")))
-            .GroupBy(F("conv_id"), F("user_tier"))
-            .Windowed(Tumbling(1, MINUTES))
-            .EmitFinal()
-        )
+    build_cat, make_query, pre_transform = headline_parts(
+        paths["transcripts"], files[0], paths["conv_meta"])
 
     fpe = max(2, len(files) // 4)
     out = {"metric": "hot-key skew A/B (salt_by_window off vs on)",
