@@ -1434,6 +1434,68 @@ REGISTRY["streaming_emit_changes"] = RawQ(
 )
 
 
+def _streaming_emit_changes_windowed(sf_dir: str) -> pa.Table:
+    """Windowed EMIT CHANGES: the changelog's last row per
+    (key, window_start) must equal the bounded per-window aggregate."""
+    import os as _os
+    import re
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..streaming.driver import StreamingJob
+
+    cat = testdata_catalog(sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    n = tbl.num_rows
+    batches = [tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+               for i in range(8)]
+    out = tempfile.mkdtemp(prefix="ksql_ray_stream_changes_w_")
+    try:
+        q = (Select(F("user_id"), Count(F("event_id")).As("cnt"))
+             .From(Schema("events")).GroupBy(F("user_id"))
+             .Windowed(Tumbling(1, HOURS))
+             .EmitChanges())
+        job = StreamingJob(q, cat, out, num_partitions=4,
+                           lateness_us=1 << 60)
+        for b in batches:
+            job.process_epoch([b])
+        job.finish()
+        parts = []
+        for f in sorted(_os.listdir(out)):
+            m = re.match(r"part-\d+-epoch-(\d+)\.parquet$", f)
+            if not m:
+                continue
+            t = pq.read_table(_os.path.join(out, f))
+            parts.append(t.append_column(
+                "__epoch", pa.array([int(m.group(1))] * t.num_rows,
+                                    type=pa.int64())))
+        log = pa.concat_tables(parts, promote_options="permissive")
+        log = log.take(pc.sort_indices(log, sort_keys=[
+            ("user_id", "ascending"), ("window_start", "ascending"),
+            ("__epoch", "ascending")]))
+        uid = log.column("user_id").to_numpy(zero_copy_only=False)
+        ws = pc.cast(log.column("window_start"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        last = np.ones(len(uid), dtype=bool)
+        last[:-1] = (uid[:-1] != uid[1:]) | (ws[:-1] != ws[1:])
+        return log.filter(pa.array(last)).drop_columns(["__epoch"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+REGISTRY["streaming_emit_changes_windowed"] = RawQ(
+    _streaming_emit_changes_windowed,
+    f"SELECT make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US}) AS window_start, "
+    f"make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US} + {HOUR_US}) AS window_end, "
+    "user_id, count(event_id) AS cnt FROM events GROUP BY 1, 2, 3",
+)
+
+
 def _streaming_project_text(sf_dir: str) -> pa.Table:
     """Stateless push-query filter/project replayed as micro-batches:
     the input_hint's per-row invariant — per-turn TEXT equality under a
