@@ -161,8 +161,10 @@ class StateActor:
         # parts arrive as top-level args so Ray resolves them BEFORE
         # scheduling this call — a blocking ray.get inside the actor makes
         # the raylet spawn extra workers (observed thrash at 32 cpus).
-        # Each part is the FULL partial table (sorted by __part): slice
-        # this partition's contiguous segment zero-copy.
+        # route="p2p": each part is already this partition's own slice
+        # (searchsorted finds the whole table). route="broadcast": each
+        # part is the FULL partial table sorted by __part; slice this
+        # partition's contiguous segment zero-copy.
         #
         # The epoch is the watermark barrier (Spark/ksqlDB micro-batch
         # semantics): ALL of an epoch's partials merge in ONE state
