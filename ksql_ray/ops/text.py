@@ -34,8 +34,11 @@ def add_token_count(batch: pa.Table, text_col: str = "text", out: str = "token_c
     Whitespace-only text counts 1 (the split of '' is [''])."""
     t = batch.column(text_col)
     counts = pc.count_substring_regex(t, r"\S+")
-    empty = pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(t)), 0)
-    counts = pc.if_else(empty, pa.scalar(1, counts.type), counts)
+    # zero \S+ runs <=> empty or whitespace-only, where the split-of-''
+    # convention yields 1 — no trim pass (the trimmed copy was a full
+    # extra allocation + scan of the text column, the prep stage's
+    # memory-bandwidth hot spot at 32 cores)
+    counts = pc.if_else(pc.equal(counts, 0), pa.scalar(1, counts.type), counts)
     return batch.append_column(out, pc.cast(counts, pa.int64()))
 
 
