@@ -195,11 +195,16 @@ def _run_stream(args) -> int:
     sec = _time.perf_counter() - t0
     out = job.result()
     last = job.metrics_log[-1]["partitions"] if job.metrics_log else []
+    wms = [m["watermark"] for m in last if m.get("watermark") is not None]
     print(json.dumps({
         "files": len(files), "epochs": job.epoch + 1,
         "sec": round(sec, 3), "rows_out": out.num_rows,
         "rows_in": sum(m.get("rows_in", 0) for m in last),
         "late_drops": sum(m.get("late_drops", 0) for m in last),
+        # north_rule operator metrics: per-partition watermark spread at
+        # end-of-stream (lag = max - min; 0 means partitions kept pace)
+        "watermark_min_us": min(wms) if wms else None,
+        "watermark_lag_us": (max(wms) - min(wms)) if wms else None,
         "sink": args.sink,
     }))
     return 0
