@@ -578,6 +578,14 @@ class StreamingJob:
         # declared `input_columns`/`output_columns` attributes, pruning is
         # disabled (the UDF is a black box).
         needed = eng._needed_columns(builder, rel, aggs)
+        # the streaming partial plan ALWAYS tracks per-key event time
+        # (__ts, for watermarks/metrics) — keep the timestamp column in
+        # the pruned read even when the query itself never names it
+        # (unwindowed EMIT CHANGES over files hit this: the bounded
+        # _needed_columns only adds ts_col for windowed queries)
+        if needed and rel.timestamp_col and rel.timestamp_col not in needed:
+            keep = set(needed) | {rel.timestamp_col}
+            needed = [n for n in rel.schema.names if n in keep]
         if pre_transform is None:
             self.columns = needed or None
         else:

@@ -279,6 +279,34 @@ def test_checkpoint_resume_exactly_once(stream_catalog, fixture_dir, tmp_path):
     assert_tables_equal(resumed, ref.result())
 
 
+def test_checkpoint_resume_emit_changes(stream_catalog, fixture_dir, tmp_path):
+    """Kill-and-resume under EMIT CHANGES: the committed changelog after
+    a restart must equal an uninterrupted run's — replayed epochs keep
+    their original sink files, resumed epochs re-emit from restored
+    state."""
+    q = (Select(F("conv_id"), Count(F("turn_idx")).As("turns"))
+         .From(Schema("transcripts")).GroupBy(F("conv_id"))
+         .EmitChanges())
+    files = _stream_files(fixture_dir)
+    out1, ck = str(tmp_path / "out1"), str(tmp_path / "ck")
+    job = StreamingJob(q, stream_catalog, out1, num_partitions=4,
+                       lateness_us=1 << 60,
+                       checkpoint_dir=ck, checkpoint_every=1)
+    job.run(files[:3])
+    job2 = StreamingJob(q, stream_catalog, out1, num_partitions=4,
+                        lateness_us=1 << 60,
+                        checkpoint_dir=ck, checkpoint_every=1, resume=True)
+    job2.run(files)
+    job2.finish()
+
+    out2 = str(tmp_path / "out2")
+    ref = StreamingJob(q, stream_catalog, out2, num_partitions=4,
+                       lateness_us=1 << 60)
+    ref.run(files)
+    ref.finish()
+    assert_tables_equal(job2.result(), ref.result())
+
+
 def test_collect_list_streaming(stream_catalog, fixture_dir, tmp_path):
     """Order-sensitive aggregate across batches: per-turn text equality
     under stable (conv_id, turn_idx) ordering (input_hint invariant)."""
