@@ -1395,15 +1395,24 @@ def _streaming_emit_changes(sf_dir: str) -> pa.Table:
     batches = [tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
                for i in range(8)]
     out = tempfile.mkdtemp(prefix="ksql_ray_stream_changes_")
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_stream_changes_in_")
     try:
+        # replay from actual parquet FILES (not in-memory tables) so the
+        # pruned-read path is under the gate too — an unwindowed job once
+        # pruned the ts column out of the file read and only the file
+        # path could catch it
+        files = []
+        for i, b in enumerate(batches):
+            p = _os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(b, p)
+            files.append(p)
         q = (Select(F("user_id"), Count(F("event_id")).As("cnt"),
                     Sum(F("value")).As("sv"))
              .From(Schema("events")).GroupBy(F("user_id"))
              .EmitChanges())
         job = StreamingJob(q, cat, out, num_partitions=4,
                            lateness_us=1 << 60)
-        for b in batches:
-            job.process_epoch([b])
+        job.run(files, files_per_epoch=1)
         job.finish()
         parts = []
         for f in sorted(_os.listdir(out)):
@@ -1425,6 +1434,7 @@ def _streaming_emit_changes(sf_dir: str) -> pa.Table:
             log.filter(pa.array(last)).drop_columns(["__epoch"]), {"sv": 4})
     finally:
         shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(fdir, ignore_errors=True)
 
 
 REGISTRY["streaming_emit_changes"] = RawQ(
