@@ -279,6 +279,31 @@ def test_checkpoint_resume_exactly_once(stream_catalog, fixture_dir, tmp_path):
     assert_tables_equal(resumed, ref.result())
 
 
+@pytest.mark.parametrize("kwargs", [
+    {"route": "broadcast"},
+    {"files_per_task": 2},
+    {"route": "broadcast", "files_per_task": 3},
+])
+def test_route_and_chunking_equivalence(stream_catalog, fixture_dir,
+                                        tmp_path, kwargs):
+    """route="broadcast" (full-partial shipping) and files_per_task>1
+    (multi-file prep tasks) are alternate physical plans — committed
+    output must be identical to the p2p/one-file default."""
+    files = _stream_files(fixture_dir)
+    ref = StreamingJob(_tumbling_query(), stream_catalog,
+                       str(tmp_path / "ref"), num_partitions=4,
+                       lateness_us=1 << 60)
+    ref.run(files)
+    ref.finish()
+    tag = "_".join(f"{k}{v}" for k, v in kwargs.items())
+    job = StreamingJob(_tumbling_query(), stream_catalog,
+                       str(tmp_path / tag), num_partitions=4,
+                       lateness_us=1 << 60, **kwargs)
+    job.run(files)
+    job.finish()
+    assert_tables_equal(job.result(), ref.result())
+
+
 def test_checkpoint_resume_emit_changes(stream_catalog, fixture_dir, tmp_path):
     """Kill-and-resume under EMIT CHANGES: the committed changelog after
     a restart must equal an uninterrupted run's — replayed epochs keep
