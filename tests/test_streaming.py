@@ -304,6 +304,32 @@ def test_route_and_chunking_equivalence(stream_catalog, fixture_dir,
     assert_tables_equal(job.result(), ref.result())
 
 
+def test_checkpoint_resume_lagging_cursor(stream_catalog, fixture_dir,
+                                          tmp_path):
+    """checkpoint_every=2 with a kill after 3 epochs: the snapshot cursor
+    LAGS the epochs already committed to the sink. Resume must replay
+    from the older state without double-writing the already-committed
+    epochs (idempotent per-(partition, epoch) files)."""
+    files = _stream_files(fixture_dir)
+    out1, ck = str(tmp_path / "out1"), str(tmp_path / "ck")
+    job = StreamingJob(_tumbling_query(), stream_catalog, out1,
+                       num_partitions=4, lateness_us=1 << 60,
+                       checkpoint_dir=ck, checkpoint_every=2)
+    job.run(files[:3])  # checkpoints after epoch 1; epochs 0-2 committed
+    job2 = StreamingJob(_tumbling_query(), stream_catalog, out1,
+                        num_partitions=4, lateness_us=1 << 60,
+                        checkpoint_dir=ck, checkpoint_every=2, resume=True)
+    job2.run(files)
+    job2.finish()
+
+    ref = StreamingJob(_tumbling_query(), stream_catalog,
+                       str(tmp_path / "out2"), num_partitions=4,
+                       lateness_us=1 << 60)
+    ref.run(files)
+    ref.finish()
+    assert_tables_equal(job2.result(), ref.result())
+
+
 def test_checkpoint_resume_emit_changes(stream_catalog, fixture_dir, tmp_path):
     """Kill-and-resume under EMIT CHANGES: the committed changelog after
     a restart must equal an uninterrupted run's — replayed epochs keep
