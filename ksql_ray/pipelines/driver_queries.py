@@ -997,15 +997,23 @@ def _stream_events(sf_dir: str, builder_fn, out_tag: str) -> pa.Table:
     n = tbl.num_rows
     batches = [tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8) for i in range(8)]
     out = tempfile.mkdtemp(prefix=f"ksql_ray_stream_{out_tag}_")
+    fdir = tempfile.mkdtemp(prefix=f"ksql_ray_stream_{out_tag}_in_")
     try:
+        # replay from parquet FILES so the pruned-read path (the one a
+        # real deployment uses) is what every streaming gate exercises
+        files = []
+        for i, b in enumerate(batches):
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(b, p)
+            files.append(p)
         job = StreamingJob(builder_fn(), cat, out, num_partitions=4,
                            lateness_us=1 << 60)
-        for b in batches:
-            job.process_epoch([b])
+        job.run(files, files_per_epoch=1)
         job.finish()
         return job.result()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(fdir, ignore_errors=True)
 
 
 def _streaming_tumbling(sf_dir: str) -> pa.Table:
