@@ -801,6 +801,87 @@ def _op_ivf_ann(sf_dir: str) -> pa.Table:
 REGISTRY["op_ivf_ann"] = RawQ(_op_ivf_ann, REGISTRY["op_ann_topk"].sql)
 
 
+# as-of join: every event gets the same user's most recent PRIOR (or
+# simultaneous) purchase event — the "attach latest profile/version as
+# of t" temporal lookup. Tie-break = greatest event_id, mirrored in the
+# oracle's ROW_NUMBER ordering.
+_ASOF_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT e.event_id,
+         p.event_id AS event_id_r, p.value AS pvalue, p.ts AS ts_r,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM events e JOIN p ON p.user_id = e.user_id AND p.ts <= e.ts
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       m.event_id_r, m.pvalue AS value, m.ts_r
+FROM events e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1"""
+
+
+def _op_asof_join(sf_dir: str) -> pa.Table:
+    from ..ops.asof import asof_join
+
+    ev = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_id", "user_id", "ts", "event_type"])
+    purchases = _read_clean(f"{sf_dir}/events.parquet").filter(
+        expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts", "value"])
+    out = asof_join(ev, purchases, on="ts", by=["user_id"],
+                    direction="backward", how="left", tiebreak="event_id",
+                    right_cols=["event_id", "value", "ts"],
+                    num_partitions=16)
+    return _collect(out)
+
+
+REGISTRY["op_asof_join"] = RawQ(_op_asof_join, _ASOF_SQL)
+
+
+# range join: every event inside the 2-hour window opened by any
+# purchase of the same user (campaign/session/incident-window join)
+_RANGE_SQL = """
+WITH p AS (
+  SELECT user_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end,
+         event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, e.ts, p.purchase_id, p.w_start, p.w_end
+FROM events e JOIN p
+  ON e.user_id = p.user_id AND e.ts BETWEEN p.w_start AND p.w_end"""
+
+
+def _op_range_join(sf_dir: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    from ..ops.asof import range_join
+
+    ev = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_id", "user_id", "ts"])
+
+    def windows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "w_start": b.column("ts"),
+            "w_end": pc.add(b.column("ts"),
+                            pa.scalar(7_200_000_000, pa.duration("us"))),
+            "purchase_id": b.column("event_id"),
+        })
+
+    win = _read_clean(f"{sf_dir}/events.parquet").map_batches(
+        windows, batch_format="pyarrow", zero_copy_batch=True)
+    out = range_join(ev, win, on="ts", right_start="w_start",
+                     right_end="w_end", by=["user_id"],
+                     bucket_width=7_200_000_000, how="inner",
+                     right_cols=["purchase_id", "w_start", "w_end"],
+                     num_partitions=16)
+    return _collect(out)
+
+
+REGISTRY["op_range_join"] = RawQ(_op_range_join, _RANGE_SQL)
+
+
 def _op_media_features(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
     import ray.data
