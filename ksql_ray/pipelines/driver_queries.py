@@ -1636,6 +1636,62 @@ REGISTRY["streaming_project_text"] = RawQ(
 )
 
 
+def _streaming_dedup(sf_dir: str) -> pa.Table:
+    """Dedup-on-ingest: the documents table + a replayed copy of every
+    7th doc (planted exact dups, arriving AFTER the originals) streamed
+    as 8 micro-batch files; first occurrence per normalized-text md5
+    survives. Oracle = the same corpus via ROW_NUMBER."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..streaming.dedup import StreamingDedupJob
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids = docs.column("doc_id")
+    dups = docs.filter(pc.equal(
+        pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7)), 0))
+    dups = dups.set_column(dups.schema.get_field_index("doc_id"), "doc_id",
+                           pc.add(dups.column("doc_id"), 1_000_000))
+    corpus = pa.concat_tables([docs, dups])
+    n = corpus.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_sdedup_in_")
+    out = tempfile.mkdtemp(prefix="ksql_ray_sdedup_out_")
+    try:
+        files = []
+        for i in range(8):
+            s = corpus.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingDedupJob(out, method="md5", num_partitions=4)
+        job.run(files, files_per_epoch=2)
+        job.finish()
+        return job.result()
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+REGISTRY["streaming_dedup"] = RawQ(
+    _streaming_dedup,
+    r"""WITH corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    ORDER BY doc_id) AS rn
+  FROM corpus) WHERE rn = 1""",
+)
+
+
 REGISTRY["ddl_migrations"] = RawQ(
     _ddl_migrations,
     "SELECT * FROM (VALUES "

@@ -1,0 +1,244 @@
+"""Streaming exact deduplication: keep the FIRST occurrence of every
+document key across an unbounded micro-batch stream (dedup-on-ingest —
+the streaming counterpart of ``ops/dedup.exact_dedup_keys``).
+
+The reference has no dedup beyond ``COLLECT_SET``/``TOPK_DISTINCT``
+(aggregates.go); this is the ingestion-side operator a training-data
+pipeline runs continuously so duplicates never reach storage.
+
+Shape (mirrors ``StreamingJob``'s physical plan, SURVEY.md §4):
+
+* stateless prep tasks fingerprint each micro-batch file (128-bit key:
+  md5 of the whitespace-normalized lowercase text — the oracle form —
+  or the vectorized ``pd.util.hash_array`` pair for the scale path),
+  hash-partition rows by fingerprint, and return P per-partition slices
+  (``num_returns=P`` point-to-point routing: actor p fetches only its
+  own slice);
+* P ``DedupStateActor``s hold the seen-key set for their partition as
+  an LSM-style list of SORTED uint64-pair runs: membership is one
+  ``np.searchsorted`` per run (vectorized over the whole batch), each
+  epoch appends its new keys as one pre-sorted run, and runs compact
+  geometrically — per-epoch cost stays O(batch log state), never a
+  re-sort of the full state. State memory is 16 B/key/partition, spread
+  across the cluster by P.
+* surviving rows go to the idempotent two-phase sink as one
+  (partition, epoch) Parquet file; replays of committed epochs are
+  skipped by the sink, and a from-scratch replay recomputes bit-equal
+  output (processing is deterministic in (epoch, file, row) order).
+
+First-occurrence order is TOTAL and deterministic: (epoch, file index
+within the stream, row index within the file) — two copies of a key in
+the same epoch keep the earlier (file, row); a copy in a later epoch is
+dropped by the state check. Null text rows share one key (SQL
+``PARTITION BY md5(text)`` groups NULLs together — same semantics).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from .driver import _split_by_part, limit_worker_threads
+from .sink import TwoPhaseSink
+
+_WS = r"\s+"
+_INTERNAL = ["__fp0", "__fp1", "__ord", "__part"]
+_MAX_ROWS_PER_FILE = 1 << 40
+_COMPACT_RUNS = 12
+
+
+def _fingerprint_u64(texts: pa.ChunkedArray | pa.Array,
+                     method: str) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit fingerprint of normalized text as two uint64 arrays.
+    Nulls map to the (0, 0) sentinel so all null-text rows share one
+    key."""
+    t = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        pc.utf8_lower(texts), _WS, " "))
+    arr = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+    if method == "fast":
+        import pandas as pd
+
+        np_t = arr.fill_null("").to_numpy(zero_copy_only=False)
+        a = pd.util.hash_array(np_t, hash_key="ksql_ray_fprint0").astype(np.uint64)
+        b = pd.util.hash_array(np_t, hash_key="ksql_ray_fprint1").astype(np.uint64)
+    elif method == "md5":
+        # oracle form; per-row md5 is the declared cost of SQL-equality
+        # (the fast path above is the scale path, same dedup semantics)
+        vals = arr.to_pylist()
+        a = np.zeros(len(vals), dtype=np.uint64)
+        b = np.zeros(len(vals), dtype=np.uint64)
+        for i, v in enumerate(vals):
+            if v is None:
+                continue
+            d = hashlib.md5(v.encode("utf-8")).digest()
+            a[i] = int.from_bytes(d[:8], "big")
+            b[i] = int.from_bytes(d[8:], "big")
+    else:
+        raise ValueError("method must be 'md5' or 'fast'")
+    null_mask = np.asarray(arr.is_null())
+    a[null_mask] = 0
+    b[null_mask] = 0
+    return a, b
+
+
+@ray.remote
+def _dedup_prep(inputs, columns, text_col: str, method: str,
+                num_partitions: int, file_seq0: int):
+    """Read -> fingerprint -> hash-partition one epoch's files; returns
+    P per-partition slices (invoked with ``num_returns=P``)."""
+    limit_worker_threads()
+    tables = []
+    for i, x in enumerate(inputs):
+        batch = x if isinstance(x, pa.Table) else pq.read_table(
+            x, columns=columns)
+        a, b = _fingerprint_u64(batch.column(text_col), method)
+        n = batch.num_rows
+        if n >= _MAX_ROWS_PER_FILE:
+            raise ValueError("micro-batch file exceeds 2^40 rows")
+        ordv = ((file_seq0 + i) << 40) + np.arange(n, dtype=np.int64)
+        batch = batch.append_column("__fp0", pa.array(a.view(np.int64)))
+        batch = batch.append_column("__fp1", pa.array(b.view(np.int64)))
+        batch = batch.append_column("__ord", pa.array(ordv))
+        batch = batch.append_column("__part", pa.array(
+            (a % np.uint64(num_partitions)).astype(np.int64)))
+        tables.append(batch)
+    out = tables[0] if len(tables) == 1 else pa.concat_tables(
+        tables, promote_options="permissive")
+    slices = _split_by_part(out, num_partitions)
+    return slices[0] if num_partitions == 1 else tuple(slices)
+
+
+@ray.remote
+class DedupStateActor:
+    """One fingerprint-hash partition of the seen-key set + its own
+    sink writer."""
+
+    def __init__(self, part_id: int, sink_dir: str):
+        limit_worker_threads()
+        self.part_id = part_id
+        self.sink = TwoPhaseSink(sink_dir)
+        # LSM-style sorted runs of (fp0, fp1) uint64 pairs
+        self.runs: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def _seen(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        dup = np.zeros(len(a), dtype=bool)
+        for ra, rb in self.runs:
+            lo = np.searchsorted(ra, a, "left")
+            hi = np.searchsorted(ra, a, "right")
+            one = np.flatnonzero((hi - lo == 1) & ~dup)
+            dup[one] |= rb[lo[one]] == b[one]
+            # fp0 collisions between DISTINCT 128-bit keys inside one run
+            # are ~n^2/2^64 — the loop below runs essentially never
+            for j in np.flatnonzero((hi - lo > 1) & ~dup):
+                seg = rb[lo[j]:hi[j]]
+                k = np.searchsorted(seg, b[j])
+                dup[j] = k < len(seg) and seg[k] == b[j]
+        return dup
+
+    def _add_run(self, na: np.ndarray, nb: np.ndarray) -> None:
+        if len(na):
+            self.runs.append((na, nb))
+        if len(self.runs) > _COMPACT_RUNS:
+            ca = np.concatenate([r[0] for r in self.runs])
+            cb = np.concatenate([r[1] for r in self.runs])
+            o = np.lexsort((cb, ca))
+            self.runs = [(ca[o], cb[o])]
+
+    def process(self, epoch: int, *parts) -> dict:
+        tbls = [p for p in parts if p is not None and p.num_rows]
+        if not tbls:
+            return {"rows_in": 0, "rows_out": 0, "state_keys": sum(
+                len(r[0]) for r in self.runs)}
+        tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(
+            tbls, promote_options="permissive")
+        a = tbl.column("__fp0").to_numpy(zero_copy_only=False).view(np.uint64)
+        b = tbl.column("__fp1").to_numpy(zero_copy_only=False).view(np.uint64)
+        ordv = tbl.column("__ord").to_numpy(zero_copy_only=False)
+        dup = self._seen(a, b)
+        # intra-epoch keep-first: (fp, arrival) sort, first of each key
+        # segment survives; the kept keys come out already (fp0,fp1)-sorted
+        order = np.lexsort((ordv, b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        keep_sorted = first & ~dup[order]
+        self._add_run(a_s[keep_sorted].copy(), b_s[keep_sorted].copy())
+        keep_idx = order[keep_sorted]
+        keep_idx = keep_idx[np.argsort(ordv[keep_idx], kind="stable")]
+        out = tbl.take(pa.array(keep_idx)).drop_columns(_INTERNAL)
+        if out.num_rows:
+            self.sink.write(self.part_id, epoch, out)
+        return {"rows_in": tbl.num_rows, "rows_out": int(len(keep_idx)),
+                "state_keys": sum(len(r[0]) for r in self.runs)}
+
+
+class StreamingDedupJob:
+    """Continuous exact dedup over a micro-batch Parquet stream.
+
+    Epochs are processed in order (first-occurrence state is inherently
+    sequential); prep within an epoch fans out per the task, and the
+    actor layer is the same P-way hash-partitioned shape as
+    ``StreamingJob`` — on a multi-node cluster each partition's slice
+    routes point-to-point to its actor.
+    """
+
+    def __init__(self, out_dir: str, *, text_col: str = "text",
+                 method: str = "md5", columns: list[str] | None = None,
+                 num_partitions: int = 8):
+        if method not in ("md5", "fast"):
+            raise ValueError("method must be 'md5' or 'fast'")
+        self.text_col = text_col
+        self.method = method
+        self.columns = list(columns) if columns else None
+        if self.columns and text_col not in self.columns:
+            self.columns.append(text_col)
+        self.P = num_partitions
+        self.sink = TwoPhaseSink(out_dir)
+        self.actors = [DedupStateActor.remote(p, out_dir)
+                       for p in range(num_partitions)]
+        self.epoch = -1
+        self._file_seq = 0
+        self.metrics: list[dict] = []
+
+    def process_epoch(self, files_or_tables: Sequence) -> dict:
+        self.epoch += 1
+        prep = _dedup_prep.options(num_returns=self.P).remote(
+            list(files_or_tables), self.columns, self.text_col,
+            self.method, self.P, self._file_seq)
+        self._file_seq += len(files_or_tables)
+        parts = [prep] if self.P == 1 else list(prep)
+        stats = ray.get([self.actors[p].process.remote(self.epoch, parts[p])
+                         for p in range(self.P)])
+        m = {"epoch": self.epoch,
+             "rows_in": sum(s["rows_in"] for s in stats),
+             "rows_out": sum(s["rows_out"] for s in stats),
+             "state_keys": sum(s["state_keys"] for s in stats)}
+        self.metrics.append(m)
+        self.sink.commit_epoch(self.epoch)
+        return m
+
+    def run(self, files: Sequence[str], files_per_epoch: int = 4) -> None:
+        batch: list = []
+        for f in files:
+            batch.append(f)
+            if len(batch) >= files_per_epoch:
+                self.process_epoch(batch)
+                batch = []
+        if batch:
+            self.process_epoch(batch)
+
+    def finish(self) -> dict:
+        return {"epochs": self.epoch + 1,
+                "rows_in": sum(m["rows_in"] for m in self.metrics),
+                "rows_out": sum(m["rows_out"] for m in self.metrics),
+                "state_keys": self.metrics[-1]["state_keys"]
+                if self.metrics else 0}
+
+    def result(self) -> pa.Table:
+        return self.sink.read_committed()
