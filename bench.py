@@ -261,6 +261,63 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
             docs_ds(), "doc_id", fractions=0.1, method="fast").count())
     out["top_terms_200k"] = min2(lambda: top_terms(docs_ds(), k=50).count())
 
+    # temporal joins over the same 200k-turn corpus: every turn gets its
+    # conversation's latest prior user turn (as-of) / all turns inside
+    # the 60 s window opened by each user turn (range)
+    from ksql_ray.ops.asof import asof_join, range_join
+
+    def turns_ds(cols):
+        return ray.data.read_parquet(paths["transcripts"], columns=cols)
+
+    def user_turns(cols):
+        return ray.data.read_parquet(
+            paths["transcripts"], columns=cols + ["role"]
+        ).filter(expr="role == 'user'").drop_columns(["role"])
+
+    out["asof_join_200k"] = min2(lambda: asof_join(
+        turns_ds(["conv_id", "turn_idx", "ts"]),
+        user_turns(["conv_id", "turn_idx", "ts"]),
+        on="ts", by=["conv_id"], how="left", tiebreak="turn_idx",
+        right_cols=["turn_idx", "ts"], num_partitions=32).count())
+
+    def windows60(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "w_start": batch.column("ts"),
+            "w_end": pc.add(batch.column("ts"),
+                            pa.scalar(60_000_000, pa.duration("us"))),
+        })
+
+    out["range_join_200k"] = min2(lambda: range_join(
+        turns_ds(["conv_id", "turn_idx", "ts"]),
+        user_turns(["conv_id", "ts"]).map_batches(
+            windows60, batch_format="pyarrow", zero_copy_batch=True),
+        on="ts", right_start="w_start", right_end="w_end", by=["conv_id"],
+        bucket_width=60_000_000, how="inner",
+        right_cols=["w_start"], num_partitions=32).count())
+
+    # streaming dedup-on-ingest over the 16 micro-batch files (fast
+    # 128-bit fingerprints — the scale path; md5 is the oracle form)
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ksql_ray.streaming.dedup import StreamingDedupJob
+
+    tfiles = sorted(_glob.glob(paths["transcripts"] + "/*.parquet"))
+
+    def _sdedup():
+        outd = _tempfile.mkdtemp(prefix="ksql_bench_sdedup_")
+        try:
+            job = StreamingDedupJob(outd, method="fast", num_partitions=8,
+                                    columns=["conv_id", "turn_idx", "text"])
+            job.run(tfiles, files_per_epoch=16)
+            job.finish()
+        finally:
+            _shutil.rmtree(outd, ignore_errors=True)
+
+    out["streaming_dedup_200k"] = min2(_sdedup)
+
     esch = pq.read_schema(f"{sf_dir}/embeddings.parquet")
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet",

@@ -208,13 +208,21 @@ class StreamingDedupJob:
 
     def process_epoch(self, files_or_tables: Sequence) -> dict:
         self.epoch += 1
-        prep = _dedup_prep.options(num_returns=self.P).remote(
-            list(files_or_tables), self.columns, self.text_col,
-            self.method, self.P, self._file_seq)
-        self._file_seq += len(files_or_tables)
-        parts = [prep] if self.P == 1 else list(prep)
-        stats = ray.get([self.actors[p].process.remote(self.epoch, parts[p])
-                         for p in range(self.P)])
+        # one prep task per file: fingerprinting is the epoch's compute,
+        # so it fans out across the cluster; each task returns P slices
+        # routed point-to-point (actor p fetches only its own slices)
+        preps = []
+        for f in files_or_tables:
+            preps.append(_dedup_prep.options(num_returns=self.P).remote(
+                [f], self.columns, self.text_col, self.method, self.P,
+                self._file_seq))
+            self._file_seq += 1
+        parts = ([[r] for r in preps] if self.P == 1
+                 else [list(r) for r in preps])
+        stats = ray.get([
+            self.actors[p].process.remote(
+                self.epoch, *[parts[i][p] for i in range(len(preps))])
+            for p in range(self.P)])
         m = {"epoch": self.epoch,
              "rows_in": sum(s["rows_in"] for s in stats),
              "rows_out": sum(s["rows_out"] for s in stats),
