@@ -70,10 +70,29 @@ def main(argv: list[str] | None = None) -> int:
                    help="salt hot keys by window id (spreads a hot "
                         "conversation's windows across state actors)")
 
+    dd = sub.add_parser(
+        "dedup", help="streaming exact dedup-on-ingest (ray-job entrypoint)")
+    dd.add_argument("--input", required=True,
+                    help="directory of parquet micro-batch files")
+    dd.add_argument("--sink", required=True, help="committed-output directory")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--method", default="fast", choices=["fast", "md5"],
+                    help="fingerprint: vectorized 128-bit (scale path) or "
+                         "md5 (SQL-oracle form)")
+    dd.add_argument("--columns", default=None,
+                    help="comma-separated passthrough columns (default all)")
+    dd.add_argument("--partitions", type=int, default=16)
+    dd.add_argument("--files-per-epoch", type=int, default=8)
+    dd.add_argument("--checkpoint-dir", default=None)
+    dd.add_argument("--checkpoint-every", type=int, default=0)
+    dd.add_argument("--resume", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "stream":
         return _run_stream(args)
+    if args.cmd == "dedup":
+        return _run_dedup(args)
 
     if args.cmd == "create":
         os.makedirs(args.dir, exist_ok=True)
@@ -102,6 +121,42 @@ def main(argv: list[str] | None = None) -> int:
     except KsqlRayError as ex:
         print(f"error: {ex}", file=sys.stderr)
         return 1
+    return 0
+
+
+def _run_dedup(args) -> int:
+    """Streaming exact dedup job (owns the Ray session, one JSON summary
+    line — the same ``ray job submit`` shape as ``stream``)."""
+    import glob
+    import json
+    import time as _time
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False, ignore_reinit_error=True)
+    from .streaming.dedup import StreamingDedupJob
+
+    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not files:
+        print(f"error: no parquet files under {args.input}", file=sys.stderr)
+        return 1
+    cols = args.columns.split(",") if args.columns else None
+    t0 = _time.perf_counter()
+    job = StreamingDedupJob(
+        args.sink, text_col=args.text_col, method=args.method, columns=cols,
+        num_partitions=args.partitions, checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
+    job.run(files, files_per_epoch=args.files_per_epoch)
+    m = job.finish()
+    print(json.dumps({
+        "files": len(files), "epochs": m["epochs"],
+        "sec": round(_time.perf_counter() - t0, 3),
+        "rows_in": m["rows_in"], "rows_out": m["rows_out"],
+        "state_keys": m["state_keys"], "sink": args.sink,
+    }))
+    ray.shutdown()
     return 0
 
 

@@ -117,7 +117,10 @@ def _dedup_prep(inputs, columns, text_col: str, method: str,
 @ray.remote
 class DedupStateActor:
     """One fingerprint-hash partition of the seen-key set + its own
-    sink writer."""
+    sink writer. Checkpoints are INCREMENTAL: only keys added since the
+    last checkpoint are written (the full seen-set never re-ships —
+    unlike aggregate state it grows monotonically forever), so a
+    checkpoint costs O(new keys), not O(state)."""
 
     def __init__(self, part_id: int, sink_dir: str):
         limit_worker_threads()
@@ -125,6 +128,7 @@ class DedupStateActor:
         self.sink = TwoPhaseSink(sink_dir)
         # LSM-style sorted runs of (fp0, fp1) uint64 pairs
         self.runs: list[tuple[np.ndarray, np.ndarray]] = []
+        self._pending: list[tuple[np.ndarray, np.ndarray]] = []
 
     def _seen(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         dup = np.zeros(len(a), dtype=bool)
@@ -168,7 +172,10 @@ class DedupStateActor:
         first = np.ones(len(order), dtype=bool)
         first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
         keep_sorted = first & ~dup[order]
-        self._add_run(a_s[keep_sorted].copy(), b_s[keep_sorted].copy())
+        na, nb = a_s[keep_sorted].copy(), b_s[keep_sorted].copy()
+        self._add_run(na, nb)
+        if len(na):
+            self._pending.append((na, nb))
         keep_idx = order[keep_sorted]
         keep_idx = keep_idx[np.argsort(ordv[keep_idx], kind="stable")]
         out = tbl.take(pa.array(keep_idx)).drop_columns(_INTERNAL)
@@ -176,6 +183,50 @@ class DedupStateActor:
             self.sink.write(self.part_id, epoch, out)
         return {"rows_in": tbl.num_rows, "rows_out": int(len(keep_idx)),
                 "state_keys": sum(len(r[0]) for r in self.runs)}
+
+    def checkpoint(self, epoch: int, ckpt_dir: str) -> None:
+        """Persist the keys added since the last checkpoint (two-phase,
+        idempotent by filename)."""
+        import os
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+        final = os.path.join(
+            ckpt_dir, f"keys-{self.part_id:04d}-epoch-{epoch:06d}.parquet")
+        if not os.path.exists(final):
+            a = (np.concatenate([p[0] for p in self._pending])
+                 if self._pending else np.empty(0, np.uint64))
+            b = (np.concatenate([p[1] for p in self._pending])
+                 if self._pending else np.empty(0, np.uint64))
+            tmp = final + ".tmp"
+            pq.write_table(pa.table({
+                "fp0": pa.array(a.view(np.int64)),
+                "fp1": pa.array(b.view(np.int64))}), tmp)
+            import os as _os
+
+            _os.replace(tmp, final)
+        self._pending = []
+
+    def restore(self, ckpt_dir: str, upto_epoch: int) -> int:
+        """Rebuild the seen-set from every checkpointed increment
+        <= ``upto_epoch``; returns the number of restored keys."""
+        import glob
+        import os
+
+        parts = []
+        for p in sorted(glob.glob(os.path.join(
+                ckpt_dir, f"keys-{self.part_id:04d}-epoch-*.parquet"))):
+            e = int(p.rsplit("-epoch-", 1)[1].split(".")[0])
+            if e <= upto_epoch:
+                parts.append(pq.read_table(p))
+        self.runs, self._pending = [], []
+        if not parts:
+            return 0
+        t = pa.concat_tables(parts)
+        a = t.column("fp0").to_numpy(zero_copy_only=False).view(np.uint64)
+        b = t.column("fp1").to_numpy(zero_copy_only=False).view(np.uint64)
+        o = np.lexsort((b, a))
+        self.runs = [(a[o], b[o])]
+        return int(len(a))
 
 
 class StreamingDedupJob:
@@ -190,7 +241,11 @@ class StreamingDedupJob:
 
     def __init__(self, out_dir: str, *, text_col: str = "text",
                  method: str = "md5", columns: list[str] | None = None,
-                 num_partitions: int = 8):
+                 num_partitions: int = 8, checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 0, resume: bool = False):
+        import json
+        import os
+
         if method not in ("md5", "fast"):
             raise ValueError("method must be 'md5' or 'fast'")
         self.text_col = text_col
@@ -202,12 +257,33 @@ class StreamingDedupJob:
         self.sink = TwoPhaseSink(out_dir)
         self.actors = [DedupStateActor.remote(p, out_dir)
                        for p in range(num_partitions)]
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
         self.epoch = -1
         self._file_seq = 0
+        self._resume_cursor = -1
         self.metrics: list[dict] = []
+        cursor = (os.path.join(checkpoint_dir, "checkpoint.json")
+                  if checkpoint_dir else None)
+        if resume and cursor and os.path.exists(cursor):
+            with open(cursor) as f:
+                doc = json.load(f)
+            self._resume_cursor = doc["epoch"]
+            self._restored_keys = sum(ray.get(
+                [a.restore.remote(checkpoint_dir, doc["epoch"])
+                 for a in self.actors]))
+            # the caller re-feeds the stream from the start: epochs <=
+            # cursor only advance the deterministic file counter (their
+            # keys are restored; their sink files already exist)
 
     def process_epoch(self, files_or_tables: Sequence) -> dict:
         self.epoch += 1
+        if self.epoch <= self._resume_cursor:
+            self._file_seq += len(files_or_tables)
+            m = {"epoch": self.epoch, "rows_in": 0, "rows_out": 0,
+                 "state_keys": None, "skipped": True}
+            self.metrics.append(m)
+            return m
         # one prep task per file: fingerprinting is the epoch's compute,
         # so it fans out across the cluster; each task returns P slices
         # routed point-to-point (actor p fetches only its own slices)
@@ -229,6 +305,21 @@ class StreamingDedupJob:
              "state_keys": sum(s["state_keys"] for s in stats)}
         self.metrics.append(m)
         self.sink.commit_epoch(self.epoch)
+        if (self.checkpoint_dir and self.checkpoint_every
+                and (self.epoch + 1) % self.checkpoint_every == 0):
+            import json
+            import os
+
+            ray.get([a.checkpoint.remote(self.epoch, self.checkpoint_dir)
+                     for a in self.actors])
+            cursor = os.path.join(self.checkpoint_dir, "checkpoint.json")
+            tmp = cursor + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"epoch": self.epoch,
+                           "file_seq": self._file_seq}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, cursor)
         return m
 
     def run(self, files: Sequence[str], files_per_epoch: int = 4) -> None:
@@ -242,11 +333,13 @@ class StreamingDedupJob:
             self.process_epoch(batch)
 
     def finish(self) -> dict:
+        keys = next((m["state_keys"] for m in reversed(self.metrics)
+                     if m["state_keys"] is not None),
+                    getattr(self, "_restored_keys", 0))
         return {"epochs": self.epoch + 1,
                 "rows_in": sum(m["rows_in"] for m in self.metrics),
                 "rows_out": sum(m["rows_out"] for m in self.metrics),
-                "state_keys": self.metrics[-1]["state_keys"]
-                if self.metrics else 0}
+                "state_keys": keys}
 
     def result(self) -> pa.Table:
         return self.sink.read_committed()

@@ -71,3 +71,25 @@ def test_stream_checkpoint_resume(fix, capsys):
 def test_stream_no_files_errors(fix, capsys, tmp_path):
     assert main(["stream", "--input", str(tmp_path), "--sink",
                  str(tmp_path / "s")]) == 1
+
+
+def test_dedup_cli_and_resume(fix, capsys):
+    d, paths = fix
+    sink, ckpt = str(d / "dsink"), str(d / "dckpt")
+
+    def run(*extra):
+        assert main(["dedup", "--input", paths["transcripts"],
+                     "--sink", sink, "--partitions", "4",
+                     "--files-per-epoch", "2", "--checkpoint-dir", ckpt,
+                     *extra]) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    r1 = run("--checkpoint-every", "1")
+    assert r1["rows_in"] == N_TURNS
+    # the fixture has no duplicate texts, so everything passes through
+    assert r1["rows_out"] == r1["state_keys"] == N_TURNS
+    r2 = run("--resume")
+    assert r2["rows_in"] == 0 and r2["rows_out"] == 0
+    assert r2["state_keys"] == N_TURNS
+    from ksql_ray.streaming.sink import TwoPhaseSink
+    assert TwoPhaseSink(sink).read_committed().num_rows == N_TURNS

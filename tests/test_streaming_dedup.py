@@ -108,6 +108,44 @@ def test_replay_idempotent(ray_session):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_checkpoint_kill_and_resume(ray_session):
+    tbl = _corpus()
+    n = tbl.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_dedup_ck_in_")
+    out = tempfile.mkdtemp(prefix="ksql_dedup_ck_out_")
+    ck = tempfile.mkdtemp(prefix="ksql_dedup_ck_state_")
+    try:
+        files = []
+        for i in range(8):
+            s = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"f{i}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        # straight run for the expected answer (separate sink)
+        ref_out = tempfile.mkdtemp(prefix="ksql_dedup_ck_ref_")
+        ref = StreamingDedupJob(ref_out, num_partitions=4)
+        ref.run(files, files_per_epoch=2)
+        expected = sorted(ref.result().column("doc_id").to_pylist())
+        shutil.rmtree(ref_out, ignore_errors=True)
+        # "killed" run: first 2 of 4 epochs, checkpointing every epoch
+        job = StreamingDedupJob(out, num_partitions=4, checkpoint_dir=ck,
+                                checkpoint_every=1)
+        job.run(files[:4], files_per_epoch=2)
+        # resumed run re-feeds the FULL stream; committed epochs replay
+        # with rows_in 0 and the state picks up where the cursor left off
+        job2 = StreamingDedupJob(out, num_partitions=4, checkpoint_dir=ck,
+                                 checkpoint_every=1, resume=True)
+        job2.run(files, files_per_epoch=2)
+        m = job2.finish()
+        assert [x["rows_in"] for x in job2.metrics[:2]] == [0, 0]
+        got = sorted(job2.result().column("doc_id").to_pylist())
+        assert got == expected
+        assert m["state_keys"] == len(expected)
+    finally:
+        for d in (fdir, out, ck):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_run_compaction(ray_session):
     # >12 epochs forces at least one LSM compaction; dedup still exact
     rng = np.random.default_rng(5)
