@@ -246,10 +246,16 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     r_needed = right.select_columns(list(dict.fromkeys(right_cols + internal)))
     r_sel_schema = _arrow_schema(r_needed)
     # internal (non-payload) right columns keep a __r_ prefix so they
-    # never clash and are dropped from the output
+    # never clash and are dropped from the output — EXCEPT by-keys,
+    # which are coalesced into the left-named column (equal by join
+    # definition): the shuffle ships one key column, not two half-null
+    # ones
     rename_all = dict(rename)
     for c in internal:
         rename_all[c] = "__r_" + c
+    for lk, rk in zip(by, right_by):
+        if rk not in right_cols:
+            rename_all[rk] = lk
     key_types = {lk: l_schema.field(lk).type for lk in by}
     ensure_stats_actor()
 
@@ -393,6 +399,9 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     rename_all = dict(rename)
     for c in internal:
         rename_all[c] = "__r_" + c
+    for lk, rk in zip(by, right_by):  # coalesce by-keys (see asof_join)
+        if rk not in right_cols:
+            rename_all[rk] = lk
     key_types = {lk: l_schema.field(lk).type for lk in by}
     width = int(bucket_width)
     ensure_stats_actor()
