@@ -276,14 +276,15 @@ class StreamingDedupJob:
             # cursor only advance the deterministic file counter (their
             # keys are restored; their sink files already exist)
 
-    def process_epoch(self, files_or_tables: Sequence) -> dict:
+    def _submit_epoch(self, files_or_tables: Sequence):
+        """Submit one epoch without waiting. Per-actor task-queue order
+        serializes epochs inside each state actor, so several epochs can
+        be in flight (prep of epoch e+1 overlaps state work of epoch e)
+        while first-occurrence semantics stay exactly sequential."""
         self.epoch += 1
         if self.epoch <= self._resume_cursor:
             self._file_seq += len(files_or_tables)
-            m = {"epoch": self.epoch, "rows_in": 0, "rows_out": 0,
-                 "state_keys": None, "skipped": True}
-            self.metrics.append(m)
-            return m
+            return (self.epoch, None, None)
         # one prep task per file: fingerprinting is the epoch's compute,
         # so it fans out across the cluster; each task returns P slices
         # routed point-to-point (actor p fetches only its own slices)
@@ -295,42 +296,69 @@ class StreamingDedupJob:
             self._file_seq += 1
         parts = ([[r] for r in preps] if self.P == 1
                  else [list(r) for r in preps])
-        stats = ray.get([
-            self.actors[p].process.remote(
-                self.epoch, *[parts[i][p] for i in range(len(preps))])
-            for p in range(self.P)])
-        m = {"epoch": self.epoch,
+        acks = [self.actors[p].process.remote(
+            self.epoch, *[parts[i][p] for i in range(len(preps))])
+            for p in range(self.P)]
+        ckpt = None
+        if (self.checkpoint_dir and self.checkpoint_every
+                and (self.epoch + 1) % self.checkpoint_every == 0):
+            # enqueued right behind process: the snapshot reflects
+            # exactly this epoch
+            ckpt = [a.checkpoint.remote(self.epoch, self.checkpoint_dir)
+                    for a in self.actors]
+        return (self.epoch, acks, ckpt)
+
+    def _drain_epoch(self, pending) -> dict:
+        import json
+        import os
+
+        epoch, acks, ckpt = pending
+        if acks is None:  # skipped on resume
+            m = {"epoch": epoch, "rows_in": 0, "rows_out": 0,
+                 "state_keys": None, "skipped": True}
+            self.metrics.append(m)
+            return m
+        stats = ray.get(acks)
+        m = {"epoch": epoch,
              "rows_in": sum(s["rows_in"] for s in stats),
              "rows_out": sum(s["rows_out"] for s in stats),
              "state_keys": sum(s["state_keys"] for s in stats)}
         self.metrics.append(m)
-        self.sink.commit_epoch(self.epoch)
-        if (self.checkpoint_dir and self.checkpoint_every
-                and (self.epoch + 1) % self.checkpoint_every == 0):
-            import json
-            import os
-
-            ray.get([a.checkpoint.remote(self.epoch, self.checkpoint_dir)
-                     for a in self.actors])
+        self.sink.commit_epoch(epoch)
+        if ckpt is not None:
+            ray.get(ckpt)
             cursor = os.path.join(self.checkpoint_dir, "checkpoint.json")
             tmp = cursor + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"epoch": self.epoch,
-                           "file_seq": self._file_seq}, f)
+                json.dump({"epoch": epoch, "file_seq": self._file_seq}, f)
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, cursor)
         return m
 
-    def run(self, files: Sequence[str], files_per_epoch: int = 4) -> None:
+    def process_epoch(self, files_or_tables: Sequence) -> dict:
+        return self._drain_epoch(self._submit_epoch(files_or_tables))
+
+    def run(self, files: Sequence[str], files_per_epoch: int = 4,
+            max_inflight: int = 2) -> None:
+        from collections import deque
+
+        pending: deque = deque()
         batch: list = []
+
+        def flush(limit: int) -> None:
+            while len(pending) > limit:
+                self._drain_epoch(pending.popleft())
+
         for f in files:
             batch.append(f)
             if len(batch) >= files_per_epoch:
-                self.process_epoch(batch)
+                pending.append(self._submit_epoch(batch))
                 batch = []
+                flush(max_inflight - 1)
         if batch:
-            self.process_epoch(batch)
+            pending.append(self._submit_epoch(batch))
+        flush(0)
 
     def finish(self) -> dict:
         keys = next((m["state_keys"] for m in reversed(self.metrics)
