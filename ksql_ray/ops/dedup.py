@@ -487,7 +487,11 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     if verify not in ("exact", "est"):
         raise ValueError("verify must be 'exact' or 'est'")
     with_shingles = verify == "exact"
-    sig_dtype = np.uint64 if verify == "exact" else np.uint32
+    # uint32 lanes in BOTH modes: per-lane truncation collision is 2^-32
+    # (est bias ~1e-9) and the packed signature is the verify join's
+    # fattest column — halving it cut the exact-mode store join + pair
+    # shuffle measurably (stage-timed at 200k docs)
+    sig_dtype = np.uint32
 
     # the store feeds TWO consumers (bucket branch + verify join);
     # materialize once so its lineage is not recomputed per consumer —
