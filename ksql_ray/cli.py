@@ -133,7 +133,8 @@ def _run_dedup(args) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
                  include_dashboard=False, ignore_reinit_error=True)
     from .streaming.dedup import StreamingDedupJob
@@ -156,7 +157,8 @@ def _run_dedup(args) -> int:
         "rows_in": m["rows_in"], "rows_out": m["rows_out"],
         "state_keys": m["state_keys"], "sink": args.sink,
     }))
-    ray.shutdown()
+    if owns_session:  # never tear down a caller's (e.g. pytest's) session
+        ray.shutdown()
     return 0
 
 
