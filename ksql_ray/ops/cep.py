@@ -1,0 +1,211 @@
+"""Distributed CEP sequence-pattern matching over Ray Datasets.
+
+The north-star brief calls the engine a "structured-streaming / CEP
+engine"; the reference exposes no pattern verb (its builder stops at
+joins + windows, ksql/select_builder.go), so this is the CEP surface —
+the shape of SQL MATCH_RECOGNIZE / Flink CEP, re-expressed Ray-Data
+first: detect an ordered sequence of per-row predicates (``steps``)
+inside each partition key, ordered by event time, optionally bounded by
+a ``within`` horizon.
+
+Semantics (deterministic, SQL-oracle-able)
+------------------------------------------
+* Rows of one key are ordered by ``(order_by, tiebreak)``.
+* A match ATTEMPT starts at every row satisfying step 1 (overlapping
+  matches allowed — "per-start emission"; this is LEAD/(correlated
+  min)-equivalent SQL, so the driver gate can bit-check it).
+* ``contiguity="strict"``: step k must hold on the start row's k-th
+  successor (MATCH_RECOGNIZE with no gaps).
+* ``contiguity="skip"`` (skip-till-next-match): step k+1 binds to the
+  FIRST row strictly after the step-k row that satisfies it.
+* ``within``: time(last step) - time(start) <= within (int, time-column
+  units — e.g. microseconds for timestamp[us]).
+* Output: one row per completed match — the partition keys + each
+  step's ``order_by`` value (``<step>_<order_by>``) + each step's
+  requested ``measures`` columns (``<step>_<col>``).
+
+Scale shape
+-----------
+ONE hash shuffle on the partition keys (same ``groupby("__part")``
+pattern as ``ops/asof.py``); the per-partition match is fully
+vectorized — one ``np.lexsort`` + per-step boolean masks + one
+``np.searchsorted`` chain per step ("skip") or shifted-mask ANDs
+("strict"). No Python loop over rows, keys, or match attempts; the
+only loop is over the K pattern steps.
+
+Partitioning assumption (custom-operator mandate): correctness needs
+only that equal partition keys co-locate — guaranteed by the hash
+shuffle at any cluster size. A hot key concentrates its rows in one
+partition; patterns are key-local so the key cannot be salted — cap
+skew by splitting hot keys upstream (e.g. sessionize first).
+
+Ties: rows of one key with equal ``(order_by, tiebreak)`` have no
+defined order; pass a ``tiebreak`` column that makes the tuple unique
+(the driver gate uses ``event_id``) for reproducible output.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..expr import Expr
+from .asof import _arrow_schema, _as_i8, _pin
+
+
+def _mask_of(pred, tbl: pa.Table) -> np.ndarray:
+    """Evaluate a step predicate (Expr or callable) to a bool ndarray;
+    SQL three-valued NULL collapses to False (a NULL predicate row can
+    never bind a step — same rule as WHERE)."""
+    m = pred.eval(tbl) if isinstance(pred, Expr) else pred(tbl)
+    if isinstance(m, (pa.Array, pa.ChunkedArray)):
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        m = m.fill_null(False).to_numpy(zero_copy_only=False)
+    return np.asarray(m, dtype=bool)
+
+
+def match_pattern(
+    ds: ray.data.Dataset,
+    *,
+    partition_by: Sequence[str],
+    order_by: str,
+    steps: Sequence[tuple[str, "Expr | Callable[[pa.Table], np.ndarray]"]],
+    contiguity: str = "skip",
+    within: int | None = None,
+    tiebreak: str | None = None,
+    measures: Sequence[str] | None = None,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Emit one row per completed pattern match (see module docstring).
+
+    ``steps``: ordered ``(name, predicate)`` pairs; a predicate is a
+    ksql_ray ``Expr`` (e.g. ``F("event_type").Equal("view")``) or any
+    callable ``pa.Table -> bool array``. Step names must be unique
+    valid identifiers (they prefix the output columns).
+    """
+    if contiguity not in ("strict", "skip"):
+        raise ValueError("contiguity must be 'strict' or 'skip'")
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("a pattern needs at least 2 steps")
+    names = [n for n, _ in steps]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate step names: {names}")
+    partition_by = list(partition_by)
+    if not partition_by:
+        raise ValueError("partition_by is required (patterns are key-local)")
+    measures = list(measures or [])
+    schema = _arrow_schema(ds)
+    for c in [*partition_by, order_by, *measures,
+              *([tiebreak] if tiebreak else [])]:
+        if c not in schema.names:
+            raise ValueError(f"unknown column {c!r}")
+
+    from ..exec.groupby import hash_partition_ids
+
+    @_pin
+    def tag(batch: pa.Table) -> pa.Table:
+        # drop pandas metadata: the shuffle reducer's schema-dedup hash
+        # chokes on dict-valued metadata (harmless but log-spamming)
+        batch = batch.replace_schema_metadata(None)
+        part = hash_partition_ids(batch, partition_by, num_partitions)
+        return batch.append_column("__part", pa.array(part, type=pa.int64()))
+
+    K = len(steps)
+    preds = [p for _, p in steps]
+
+    @_pin
+    def merge(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        n = group.num_rows
+        out_schema = _out_schema()
+        if n == 0:
+            return out_schema.empty_table()
+        t, t_ok = _as_i8(group.column(order_by))
+        # joint key codes: dictionary-encode each key col (exact)
+        gid = np.zeros(n, dtype=np.int64)
+        for k in partition_by:
+            col = group.column(k)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            codes = col.dictionary_encode().indices.fill_null(-1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            gid = gid * (int(codes.max()) + 1 if n else 1) + codes
+        if tiebreak:
+            tb, _ = _as_i8(group.column(tiebreak))
+            order = np.lexsort((tb, t, gid))
+        else:
+            order = np.lexsort((t, gid))
+        sg = group.take(pa.array(order))
+        gid, t, t_ok = gid[order], t[order], t_ok[order]
+        masks = [(_mask_of(p, sg) & t_ok) for p in preds]
+        starts = np.flatnonzero(masks[0])
+        if contiguity == "strict":
+            idxs = [starts]
+            cur = starts
+            for k in range(1, K):
+                cur = cur + 1
+                keep = cur < n
+                keep[keep] &= masks[k][cur[keep]] & (gid[cur[keep]]
+                                                     == gid[cur[keep] - k])
+                idxs = [a[keep] for a in idxs]
+                cur = cur[keep] + 0
+                idxs.append(cur)
+        else:  # skip-till-next-match
+            idxs = [starts]
+            cur = starts
+            sgid = gid[starts]
+            for k in range(1, K):
+                pk = np.flatnonzero(masks[k])
+                if len(pk) == 0:
+                    idxs = [a[:0] for a in idxs]
+                    cur, sgid = cur[:0], sgid[:0]
+                    idxs.append(cur)
+                    continue
+                j = np.searchsorted(pk, cur, side="right")
+                keep = j < len(pk)
+                nxt = pk[np.minimum(j, len(pk) - 1)]
+                keep &= gid[nxt] == sgid
+                idxs = [a[keep] for a in idxs]
+                cur, sgid = nxt[keep], sgid[keep]
+                idxs.append(cur)
+        first, last = idxs[0], idxs[-1]
+        if within is not None:
+            keep = (t[last] - t[first]) <= int(within)
+            idxs = [a[keep] for a in idxs]
+            first = idxs[0]
+        cols: dict[str, pa.Array] = {}
+        f_take = pa.array(first)
+        for k in partition_by:
+            cols[k] = sg.column(k).take(f_take)
+        for name, idx in zip(names, idxs):
+            take = pa.array(idx)
+            cols[f"{name}_{order_by}"] = sg.column(order_by).take(take)
+            for m in measures:
+                cols[f"{name}_{m}"] = sg.column(m).take(take)
+        return pa.table(cols, schema=out_schema)
+
+    def _out_schema() -> pa.Schema:
+        fields = [schema.field(k) for k in partition_by]
+        for name in names:
+            fields.append(pa.field(f"{name}_{order_by}",
+                                   schema.field(order_by).type))
+            for m in measures:
+                fields.append(pa.field(f"{name}_{m}", schema.field(m).type))
+        return pa.schema(fields)
+
+    if all(isinstance(p, Expr) for p in preds):
+        # prune at the read: only key/time/measure/predicate columns shuffle
+        keep_cols = list(dict.fromkeys(
+            [*partition_by, order_by, *measures,
+             *([tiebreak] if tiebreak else []),
+             *[c for p in preds for c in p.columns()]]))
+        ds = ds.select_columns(keep_cols)
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")

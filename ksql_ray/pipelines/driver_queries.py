@@ -882,6 +882,63 @@ def _op_range_join(sf_dir: str) -> pa.Table:
 REGISTRY["op_range_join"] = RawQ(_op_range_join, _RANGE_SQL)
 
 
+# CEP pattern matching (ops/cep.py): the view -> click -> purchase
+# funnel per user, completing within 24 h. Two contiguity modes, each
+# with its own exact SQL form: skip-till-next-match == "first matching
+# row after" (LATERAL ... ORDER BY ... LIMIT 1), strict == consecutive
+# rows (LEAD over the same (ts, event_id) ordering).
+_CEP_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events)
+SELECT v.user_id,
+       v.ts AS v_ts, v.event_id AS v_event_id,
+       c.c_ts, c.c_event_id, p.p_ts, p.p_event_id
+FROM (SELECT * FROM e WHERE event_type = 'view') v
+CROSS JOIN LATERAL (
+  SELECT x.ts AS c_ts, x.event_id AS c_event_id FROM e x
+  WHERE x.user_id = v.user_id AND x.event_type = 'click'
+    AND (x.ts > v.ts OR (x.ts = v.ts AND x.event_id > v.event_id))
+  ORDER BY x.ts, x.event_id LIMIT 1) c
+CROSS JOIN LATERAL (
+  SELECT y.ts AS p_ts, y.event_id AS p_event_id FROM e y
+  WHERE y.user_id = v.user_id AND y.event_type = 'purchase'
+    AND (y.ts > c.c_ts OR (y.ts = c.c_ts AND y.event_id > c.c_event_id))
+  ORDER BY y.ts, y.event_id LIMIT 1) p
+WHERE epoch_us(p.p_ts) - epoch_us(v.ts) <= 86400000000"""
+
+_CEP_STRICT_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         lead(event_type, 1) OVER w AS et1,
+         lead(ts, 1) OVER w AS ts1, lead(event_id, 1) OVER w AS id1,
+         lead(event_type, 2) OVER w AS et2,
+         lead(ts, 2) OVER w AS ts2, lead(event_id, 2) OVER w AS id2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, ts AS v_ts, event_id AS v_event_id,
+       ts1 AS c_ts, id1 AS c_event_id, ts2 AS p_ts, id2 AS p_event_id
+FROM s WHERE event_type = 'view' AND et1 = 'click' AND et2 = 'purchase'
+  AND epoch_us(ts2) - epoch_us(ts) <= 86400000000"""
+
+
+def _cep(sf_dir: str, contiguity: str) -> pa.Table:
+    from ..expr import F
+    from ..ops.cep import match_pattern
+
+    ds = _read_clean(f"{sf_dir}/events.parquet")
+    out = match_pattern(
+        ds, partition_by=["user_id"], order_by="ts",
+        steps=[("v", F("event_type").Equal("view")),
+               ("c", F("event_type").Equal("click")),
+               ("p", F("event_type").Equal("purchase"))],
+        contiguity=contiguity, within=86_400_000_000,
+        tiebreak="event_id", measures=["event_id"], num_partitions=16)
+    return _collect(out)
+
+
+REGISTRY["op_cep_funnel"] = RawQ(lambda sf: _cep(sf, "skip"), _CEP_FUNNEL_SQL)
+REGISTRY["op_cep_strict"] = RawQ(lambda sf: _cep(sf, "strict"), _CEP_STRICT_SQL)
+
+
 def _op_media_features(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
     import ray.data
