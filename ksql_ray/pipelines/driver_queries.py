@@ -939,6 +939,48 @@ REGISTRY["op_cep_funnel"] = RawQ(lambda sf: _cep(sf, "skip"), _CEP_FUNNEL_SQL)
 REGISTRY["op_cep_strict"] = RawQ(lambda sf: _cep(sf, "strict"), _CEP_STRICT_SQL)
 
 
+# winnowing rolling-hash fingerprints (ops/fingerprint.py): word-3-gram
+# md5 hashes (15 hex digits -> BIGINT, the SQL-expressible oracle form;
+# hash="fast" is the vectorized scale path, pinned by pytest), window-4
+# rightmost-min selection; a doc with 1..3 grams contributes its single
+# all-grams window
+_WINNOW_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), grams AS (
+  SELECT doc_id,
+         unnest(range(1, len(t) - 1)) - 1 AS pos,
+         unnest(list_transform(range(1, len(t) - 1),
+           i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                                1, 15))::BIGINT)) AS h
+  FROM toks WHERE len(t) >= 3
+), gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+wins AS (
+  SELECT doc_id, unnest(range(0, greatest(n - 3, 1))) AS j FROM gc
+), winmin AS (
+  SELECT w.doc_id, w.j, min(g.h) AS hmin
+  FROM wins w JOIN grams g ON g.doc_id = w.doc_id AND g.pos BETWEEN w.j AND w.j + 3
+  GROUP BY 1, 2
+), sel AS (
+  SELECT m.doc_id, max(g.pos) AS pos, m.hmin AS h
+  FROM winmin m JOIN grams g
+    ON g.doc_id = m.doc_id AND g.h = m.hmin AND g.pos BETWEEN m.j AND m.j + 3
+  GROUP BY m.doc_id, m.j, m.hmin
+)
+SELECT DISTINCT doc_id, pos, h FROM sel"""
+
+
+def _op_winnow(sf_dir: str) -> pa.Table:
+    from ..ops.fingerprint import winnow_fingerprints
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    return _collect(winnow_fingerprints(ds, k=3, window=4, hash="md5"))
+
+
+REGISTRY["op_winnow_fingerprint"] = RawQ(_op_winnow, _WINNOW_SQL)
+
+
 def _op_media_features(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
     import ray.data
