@@ -1791,6 +1791,76 @@ SELECT doc_id, text, lang, source, n_chars FROM (
 )
 
 
+def _streaming_neardup(sf_dir: str) -> pa.Table:
+    """NEAR-dup-on-ingest (streaming/neardup.py): documents (>= 3
+    tokens, mirroring the _NGRAM_JACCARD_SQL gram rule) streamed as 8
+    micro-batch files in doc_id order; the greedy first occurrence of
+    every near-dup cluster survives. The fixture's planted pairs have
+    J >= 0.9 with J <= 0.3 background, so the engine's est rule (shared
+    LSH band + >= 70% minhash-lane agreement) and the oracle's exact
+    Jaccard >= 0.5 both land exactly on the planted pairs; the pairs
+    are disjoint (no chains), so greedy == "no earlier similar doc"
+    (general chain semantics are pinned by test_streaming_neardup.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.neardup import StreamingNearDupJob
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    t = pc.utf8_trim_whitespace(pc.fill_null(docs.column("text"), ""))
+    docs = docs.filter(
+        pc.greater_equal(pc.count_substring_regex(t, r"\S+"), 3))
+    docs = docs.sort_by("doc_id")
+    n = docs.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_sndup_in_")
+    out = tempfile.mkdtemp(prefix="ksql_ray_sndup_out_")
+    try:
+        files = []
+        for i in range(8):
+            s = docs.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingNearDupJob(out, tau=0.7, num_partitions=4)
+        job.run(files, files_per_epoch=2)
+        job.finish()
+        return job.result()
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+REGISTRY["streaming_neardup"] = RawQ(
+    _streaming_neardup,
+    r"""WITH toks AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dropped AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+)
+SELECT doc_id, text, lang, source, n_chars FROM toks
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""",
+)
+
+
 REGISTRY["ddl_migrations"] = RawQ(
     _ddl_migrations,
     "SELECT * FROM (VALUES "

@@ -1,0 +1,451 @@
+"""Streaming MinHash-LSH NEAR-duplicate suppression on ingest: keep the
+first occurrence of every near-dup cluster across an unbounded
+micro-batch stream (the streaming counterpart of
+``ops/dedup.minhash_dedup_pairs``; exact-key streaming dedup lives in
+``streaming/dedup.py``). The reference has no dedup operator at all
+(``ksql/aggregates.go`` stops at COLLECT_SET / TOPK_DISTINCT); this is
+the ingestion-side near-dup filter a training-data pipeline runs
+continuously so boilerplate never reaches storage.
+
+Semantics (greedy first-occurrence, deterministic): documents carry a
+total arrival order (epoch, file, row). A document is DROPPED iff it is
+near-similar to some ALREADY-KEPT document; else it is kept and its LSH
+buckets are installed. Near-similar = the pair shares at least one LSH
+band bucket AND their full minhash signatures agree on >= ``tau`` of
+the lanes (the ``verify="est"`` rule of the bounded op; E[agreement] =
+Jaccard, so at 64 lanes the default tau=0.7 separates J >= 0.9 planted
+dups from J <= 0.5 background by > 4 sigma in both directions —
+thresholds must sit inside the corpus's similarity gap, like the
+embedding op). Chain-aware: a doc similar ONLY to already-dropped docs
+survives, exactly as if docs were processed one at a time.
+
+Physical shape (epoch-pipelined, mirrors ``StreamingDedupJob``):
+
+* prep tasks (one per file) tokenize -> word-n-gram shingles -> minhash
+  signature (uint32 lanes) -> per-band bucket keys, and hash-partition
+  the (band-bucket key, ord, packed-sig) records by key into P
+  point-to-point slices (``num_returns=P+1``; the extra return is the
+  raw row table, kept aside for the sink writer — it never transits the
+  state actors). A doc ships its packed signature once per band (bands
+  x lanes x 4 B — the documented cost of bucket-local verification; the
+  alternative, a sharded sig-store join per epoch, costs two more actor
+  round-trips per epoch). Records are emitted ord-major so every slice
+  arrives ord-sorted and the actor needs only ONE stable single-key
+  argsort per epoch (a 2-key lexsort measured ~5x slower).
+* P ``NearDupBucketActor``s hold their key partition of the kept-doc
+  LSH index as LSM-style SORTED runs of (key, signature) — membership
+  is one ``np.searchsorted`` per run vectorized over the whole batch,
+  each epoch appends one pre-sorted run, runs compact geometrically.
+  ``probe`` (read-only) returns per-doc dup-vs-state verdicts plus
+  verified intra-epoch candidate pairs; ``insert`` installs the epoch's
+  surviving records. Per-actor task-queue order serializes
+  probe(e) -> insert(e) -> probe(e+1), so epochs pipeline without the
+  driver blocking.
+* ``_resolve`` (one small task per epoch) applies the greedy rule over
+  the per-actor verdicts; docs in no candidate pair resolve vectorized,
+  the Python loop touches only pair-involved docs (actual near-dups).
+* writer tasks (one per file) filter surviving rows and write one
+  (file-in-epoch, epoch) Parquet via the idempotent two-phase sink.
+
+Caps are never silent: bucket membership probing and intra-epoch pair
+generation are star-capped (``star_cap``) and every truncated record is
+counted in the epoch metrics.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..ops.dedup import _minhash_signatures, _word_ngram_hashes
+from .driver import _split_by_part, limit_worker_threads
+from .sink import TwoPhaseSink
+
+_MAX_ROWS_PER_FILE = 1 << 40
+_COMPACT_RUNS = 12
+_CMP_CHUNK = 1 << 20  # comparisons per vectorized chunk (bounds temps)
+
+
+def _pack_u32(mat: np.ndarray) -> pa.Array:
+    """(n, L) uint32 -> fixed_size_binary(L*4)."""
+    n, L = mat.shape
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(L * 4), n,
+        [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())])
+
+
+def _unpack_u32(col, L: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = col.offset * L
+    buf = col.buffers()[1]
+    return np.frombuffer(buf, dtype=np.uint32)[off: off + len(col) * L] \
+        .reshape(len(col), L)
+
+
+def _in_sorted(sorted_vals: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Boolean membership of x in a SORTED array, vectorized."""
+    if not len(sorted_vals):
+        return np.zeros(len(x), dtype=bool)
+    pos = np.searchsorted(sorted_vals, x)
+    clipped = np.minimum(pos, len(sorted_vals) - 1)
+    return (pos < len(sorted_vals)) & (sorted_vals[clipped] == x)
+
+
+def _agree_hits(sig_a: np.ndarray, idx_a: np.ndarray, sig_b: np.ndarray,
+                idx_b: np.ndarray, tau: float) -> np.ndarray:
+    """Positions i where mean(sig_a[idx_a[i]] == sig_b[idx_b[i]]) >= tau.
+    Chunked so the (comparisons x lanes) boolean temp stays bounded."""
+    out = []
+    for s in range(0, len(idx_a), _CMP_CHUNK):
+        e = min(len(idx_a), s + _CMP_CHUNK)
+        agree = (sig_a[idx_a[s:e]] == sig_b[idx_b[s:e]]).mean(axis=1)
+        hit = np.flatnonzero(agree >= tau)
+        if len(hit):
+            out.append(s + hit)
+    return (np.concatenate(out) if out
+            else np.empty(0, dtype=np.int64))
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (counts int64, sum = total)."""
+    total = int(counts.sum())
+    prefix = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return np.arange(total, dtype=np.int64) - np.repeat(prefix, counts)
+
+
+@ray.remote
+def _neardup_prep(inputs, columns, text_col: str, ngram: int,
+                  num_hashes: int, bands: int, seed: int,
+                  num_partitions: int, file_seq0: int):
+    """Read -> minhash -> band-bucket records for one epoch's files.
+    Returns P key-partition slices + the raw row table (invoked with
+    ``num_returns=P+1``) — the multi-node dispatch point: actor p
+    fetches ONLY slice p."""
+    limit_worker_threads()
+    rows_per_band = num_hashes // bands
+    tables, recs = [], []
+    for i, x in enumerate(inputs):
+        batch = x if isinstance(x, pa.Table) else pq.read_table(
+            x, columns=columns)
+        n = batch.num_rows
+        if n >= _MAX_ROWS_PER_FILE:
+            raise ValueError("micro-batch file exceeds 2^40 rows")
+        ordv = ((file_seq0 + i) << 40) + np.arange(n, dtype=np.int64)
+        flat, offsets = _word_ngram_hashes(batch.column(text_col), ngram)
+        sig = (_minhash_signatures(flat, offsets, num_hashes, seed)
+               & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        # band-bucket key per (row, band), band id mixed in so the same
+        # bucket value in different bands never collides
+        band_sig = sig.reshape(n, bands, rows_per_band).astype(np.uint64)
+        bucket = np.zeros((n, bands), dtype=np.uint64)
+        for r in range(rows_per_band):
+            bucket = bucket * np.uint64(0x100000001B3) + band_sig[:, :, r]
+        # ord-major flattening: records sorted by (row, band), so every
+        # partition slice leaves here ord-ascending (see module doc)
+        band_ids = np.tile(np.arange(bands, dtype=np.uint64), n)
+        key = (band_ids * np.uint64(0x9E3779B97F4A7C15)) ^ bucket.reshape(-1)
+        part = (key % np.uint64(num_partitions)).astype(np.int64)
+        rec = pa.table({
+            "__key": pa.array(key.view(np.int64)),
+            "__ord": pa.array(np.repeat(ordv, bands)),
+            "__sig": _pack_u32(np.repeat(sig, bands, axis=0)),
+            "__part": pa.array(part),
+        })
+        recs.append(rec)
+        tables.append(batch.append_column("__ord", pa.array(ordv)))
+    rec_all = recs[0] if len(recs) == 1 else pa.concat_tables(recs)
+    slices = _split_by_part(rec_all, num_partitions)
+    slices = [s.drop_columns(["__part"]) for s in slices]
+    rows = tables[0] if len(tables) == 1 else pa.concat_tables(
+        tables, promote_options="permissive")
+    return (*slices, rows) if num_partitions > 1 else (slices[0], rows)
+
+
+@ray.remote
+class NearDupBucketActor:
+    """One key-hash partition of the kept-doc LSH index, stored as
+    LSM-style sorted runs of (band-bucket key, uint32 signature)."""
+
+    def __init__(self, part_id: int, num_hashes: int, tau: float,
+                 star_cap: int):
+        limit_worker_threads()
+        self.part_id = part_id
+        self.L = num_hashes
+        self.tau = tau
+        self.cap = star_cap
+        # sorted runs: (keys u64 asc, sigs (m, L) u32); within equal
+        # keys, arrival order (stable sorts everywhere) — so star caps
+        # deterministically prefer the EARLIEST kept members
+        self.runs: list[tuple[np.ndarray, np.ndarray]] = []
+        self._stash: pa.Table | None = None
+
+    def _gather(self, tbl: pa.Table):
+        key = tbl.column("__key").to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        ordv = tbl.column("__ord").to_numpy(zero_copy_only=False)
+        sig = _unpack_u32(tbl.column("__sig"), self.L)
+        return key, ordv, sig
+
+    @staticmethod
+    def _key_sort(key: np.ndarray, ordv: np.ndarray):
+        """(key, ord)-sorted permutation. Slices arrive ord-ascending
+        (ord-major prep + stable partition split), so a single stable
+        argsort by key suffices; fall back to lexsort if a caller feeds
+        unordered records."""
+        if np.all(ordv[1:] >= ordv[:-1]):
+            return np.argsort(key, kind="stable")
+        return np.lexsort((ordv, key))
+
+    def probe(self, epoch: int, *parts) -> dict:
+        """Read-only: per-ord dup-vs-KEPT-state verdicts + verified
+        intra-epoch candidate pairs. Stashes records for ``insert``."""
+        tbls = [p for p in parts if p is not None and p.num_rows]
+        if not tbls:
+            self._stash = None
+            return {"ords": np.empty(0, np.int64),
+                    "dup": np.empty(0, bool),
+                    "pairs": np.empty((0, 2), np.int64), "capped": 0}
+        tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
+        self._stash = tbl
+        key, ordv, sig = self._gather(tbl)
+        n = len(key)
+        order = self._key_sort(key, ordv)
+        k_s, o_s, sig_s = key[order], ordv[order], sig[order]
+        dup = np.zeros(n, dtype=bool)
+        capped = 0
+        # --- vs state: per run, one searchsorted + one flat comparison
+        for rk, rsig in self.runs:
+            lo = np.searchsorted(rk, k_s, "left")
+            hi = np.searchsorted(rk, k_s, "right")
+            raw = hi - lo
+            over = raw > self.cap
+            capped += int(np.count_nonzero(over))
+            cnt = np.minimum(raw, self.cap)
+            cnt[dup] = 0  # already condemned: skip further comparisons
+            total = int(cnt.sum())
+            if not total:
+                continue
+            rec_rep = np.repeat(np.arange(n), cnt)
+            mem_idx = np.repeat(lo, cnt) + _ragged_arange(cnt)
+            hits = _agree_hits(sig_s, rec_rep, rsig, mem_idx, self.tau)
+            dup[rec_rep[hits]] = True
+        # --- intra-epoch: each record vs the (<= cap) earliest records
+        # of its bucket, all buckets in one flat comparison
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = k_s[1:] != k_s[:-1]
+        seg_start = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        within = np.arange(n, dtype=np.int64) - seg_start[seg_id]
+        over = within >= self.cap
+        capped += int(np.count_nonzero(over))
+        wcnt = np.where(over, 0, within)
+        total = int(wcnt.sum())
+        if total:
+            j_idx = np.repeat(np.arange(n), wcnt)
+            i_idx = np.repeat(seg_start[seg_id], wcnt) + _ragged_arange(wcnt)
+            hits = _agree_hits(sig_s, i_idx, sig_s, j_idx, self.tau)
+            e_o, l_o = o_s[i_idx[hits]], o_s[j_idx[hits]]
+            real = e_o != l_o  # same doc via colliding band keys: drop
+            pairs = np.stack([e_o[real], l_o[real]], axis=1)
+        else:
+            pairs = np.empty((0, 2), np.int64)
+        # any-band verdict per doc (a doc probes this actor once per
+        # band whose key routes here)
+        u_ord, inv = np.unique(o_s, return_inverse=True)
+        u_dup = np.zeros(len(u_ord), dtype=bool)
+        np.maximum.at(u_dup, inv, dup)
+        return {"ords": u_ord, "dup": u_dup, "pairs": pairs,
+                "capped": capped}
+
+    def insert(self, epoch: int, kept_ords: np.ndarray) -> dict:
+        """Install the epoch's surviving records as one pre-sorted run."""
+        tbl, self._stash = self._stash, None
+        if tbl is None or tbl.num_rows == 0:
+            return {"state_records": self._count()}
+        key, ordv, sig = self._gather(tbl)
+        keep = _in_sorted(np.asarray(kept_ords, dtype=np.int64), ordv)
+        key, ordv, sig = key[keep], ordv[keep], sig[keep]
+        order = self._key_sort(key, ordv)
+        k_s, o_s, sig_s = key[order], ordv[order], sig[order]
+        # defensive (key, ord) dedupe — duplicates can only arise from
+        # band-key hash collisions within one doc
+        first = np.ones(len(k_s), dtype=bool)
+        first[1:] = (k_s[1:] != k_s[:-1]) | (o_s[1:] != o_s[:-1])
+        if len(k_s) and first.all():
+            k_n, sig_n = k_s.copy(), sig_s.copy()
+        else:
+            k_n, sig_n = k_s[first].copy(), sig_s[first].copy()
+        if len(k_n):
+            self.runs.append((k_n, sig_n))
+        if len(self.runs) > _COMPACT_RUNS:
+            ck = np.concatenate([r[0] for r in self.runs])
+            cs = np.concatenate([r[1] for r in self.runs])
+            o = np.argsort(ck, kind="stable")  # run order = arrival order
+            self.runs = [(ck[o], cs[o])]
+        return {"state_records": self._count()}
+
+    def _count(self) -> int:
+        return sum(len(r[0]) for r in self.runs)
+
+
+@ray.remote
+def _resolve(*probe_results) -> np.ndarray:
+    """Greedy first-occurrence resolution for one epoch; returns the
+    SORTED kept ords. Docs in no candidate pair resolve vectorized; the
+    Python loop walks only pair-involved docs in arrival order."""
+    limit_worker_threads()
+    rs = list(probe_results)
+    all_ords = np.unique(np.concatenate(
+        [np.asarray(r["ords"], np.int64) for r in rs]
+        + [np.asarray(r["pairs"], np.int64).reshape(-1) for r in rs]))
+    dup_state = np.zeros(len(all_ords), dtype=bool)
+    for r in rs:
+        if len(r["ords"]):
+            idx = np.searchsorted(all_ords, r["ords"])
+            np.maximum.at(dup_state, idx, r["dup"])
+    pairs = (np.concatenate([np.asarray(r["pairs"], np.int64)
+                             for r in rs if len(r["pairs"])])
+             if any(len(r["pairs"]) for r in rs)
+             else np.empty((0, 2), np.int64))
+    kept = ~dup_state
+    if len(pairs):
+        pairs = np.unique(pairs, axis=0)
+        by_later: dict[int, list[int]] = {}
+        for e, l in pairs:
+            by_later.setdefault(int(l), []).append(int(e))
+        kept_map = dict(zip(all_ords.tolist(), kept.tolist()))
+        # arrival order = ord order; a doc is dropped iff some EARLIER
+        # KEPT doc is near it (chain-aware: near-only-to-dropped survives)
+        for o in sorted(by_later):
+            if kept_map.get(o, False) and any(
+                    kept_map.get(e, False) for e in by_later[o]):
+                kept_map[o] = False
+        kept = np.fromiter((kept_map[o] for o in all_ords.tolist()),
+                           dtype=bool, count=len(all_ords))
+    return all_ords[kept]
+
+
+@ray.remote
+def _write_survivors(rows: pa.Table, kept_ords: np.ndarray, sink_dir: str,
+                     part_id: int, epoch: int) -> dict:
+    limit_worker_threads()
+    ordv = rows.column("__ord").to_numpy(zero_copy_only=False)
+    keep = _in_sorted(np.asarray(kept_ords, dtype=np.int64), ordv)
+    out = rows.filter(pa.array(keep)).drop_columns(["__ord"])
+    if out.num_rows:
+        TwoPhaseSink(sink_dir).write(part_id, epoch, out)
+    return {"rows_in": rows.num_rows, "rows_out": out.num_rows}
+
+
+class StreamingNearDupJob:
+    """Continuous near-dup suppression over a micro-batch Parquet
+    stream. See the module docstring for semantics and physical shape.
+
+    Epoch boundaries do NOT affect the result: the greedy rule is
+    defined over the total (epoch, file, row) arrival order, and the
+    probe/resolve/insert protocol implements exactly that order, so any
+    files_per_epoch chunking of the same file sequence keeps the same
+    documents (property-tested)."""
+
+    def __init__(self, out_dir: str, *, text_col: str = "text",
+                 columns: list[str] | None = None, ngram: int = 3,
+                 num_hashes: int = 64, bands: int = 16, tau: float = 0.7,
+                 seed: int = 42, star_cap: int = 128,
+                 num_partitions: int = 8):
+        if num_hashes % bands:
+            raise ValueError("bands must divide num_hashes")
+        if not 0.0 < tau <= 1.0:
+            raise ValueError("tau must be in (0, 1]")
+        self.text_col = text_col
+        self.columns = list(columns) if columns else None
+        if self.columns and text_col not in self.columns:
+            self.columns.append(text_col)
+        self.ngram, self.L, self.bands = ngram, num_hashes, bands
+        self.seed = seed
+        self.P = num_partitions
+        self.out_dir = out_dir
+        self.sink = TwoPhaseSink(out_dir)
+        self.actors = [
+            NearDupBucketActor.remote(p, num_hashes, tau, star_cap)
+            for p in range(num_partitions)]
+        self.epoch = -1
+        self._file_seq = 0
+        self.metrics: list[dict] = []
+
+    def _submit_epoch(self, files_or_tables: Sequence):
+        """Submit one epoch without waiting: per-actor task-queue order
+        serializes probe(e) -> insert(e) -> probe(e+1), so epochs
+        pipeline (prep of e+1 overlaps state work of e) while the greedy
+        order stays exactly sequential."""
+        self.epoch += 1
+        preps, rows_refs = [], []
+        for f in files_or_tables:
+            out = _neardup_prep.options(num_returns=self.P + 1).remote(
+                [f], self.columns, self.text_col, self.ngram, self.L,
+                self.bands, self.seed, self.P, self._file_seq)
+            preps.append(out[: self.P])
+            rows_refs.append(out[self.P])
+            self._file_seq += 1
+        probes = [self.actors[p].probe.remote(
+            self.epoch, *[preps[i][p] for i in range(len(preps))])
+            for p in range(self.P)]
+        kept_ref = _resolve.remote(*probes)
+        ins = [a.insert.remote(self.epoch, kept_ref) for a in self.actors]
+        writes = [_write_survivors.remote(
+            rows_refs[i], kept_ref, self.out_dir, i, self.epoch)
+            for i in range(len(rows_refs))]
+        return (self.epoch, probes, ins, writes)
+
+    def _drain_epoch(self, pending) -> dict:
+        epoch, probes, ins, writes = pending
+        pr = ray.get(probes)
+        st = ray.get(ins)
+        wr = ray.get(writes)
+        m = {"epoch": epoch,
+             "rows_in": sum(w["rows_in"] for w in wr),
+             "rows_out": sum(w["rows_out"] for w in wr),
+             "capped": sum(p["capped"] for p in pr),
+             "state_records": sum(s["state_records"] for s in st)}
+        self.metrics.append(m)
+        self.sink.commit_epoch(epoch)
+        return m
+
+    def process_epoch(self, files_or_tables: Sequence) -> dict:
+        return self._drain_epoch(self._submit_epoch(files_or_tables))
+
+    def run(self, files: Sequence[str], files_per_epoch: int = 4,
+            max_inflight: int = 2) -> None:
+        from collections import deque
+
+        pending: deque = deque()
+        batch: list = []
+
+        def flush(limit: int) -> None:
+            while len(pending) > limit:
+                self._drain_epoch(pending.popleft())
+
+        for f in files:
+            batch.append(f)
+            if len(batch) >= files_per_epoch:
+                pending.append(self._submit_epoch(batch))
+                batch = []
+                flush(max_inflight - 1)
+        if batch:
+            pending.append(self._submit_epoch(batch))
+        flush(0)
+
+    def finish(self) -> dict:
+        return {"epochs": self.epoch + 1,
+                "rows_in": sum(m["rows_in"] for m in self.metrics),
+                "rows_out": sum(m["rows_out"] for m in self.metrics),
+                "capped": sum(m["capped"] for m in self.metrics),
+                "state_records": (self.metrics[-1]["state_records"]
+                                  if self.metrics else 0)}
+
+    def result(self) -> pa.Table:
+        return self.sink.read_committed()
