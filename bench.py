@@ -318,6 +318,23 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["streaming_dedup_200k"] = min2(_sdedup)
 
+    # streaming NEAR-dup-on-ingest (MinHash-LSH greedy first-occurrence)
+    # over the same 256 micro-batch files, 4 files/epoch (64 pipelined
+    # epochs — the natural continuous-ingest shape)
+    from ksql_ray.streaming.neardup import StreamingNearDupJob
+
+    def _sneardup():
+        outd = _tempfile.mkdtemp(prefix="ksql_bench_sndup_")
+        try:
+            job = StreamingNearDupJob(outd, num_partitions=8,
+                                      columns=["conv_id", "turn_idx", "text"])
+            job.run(tfiles, files_per_epoch=4)
+            job.finish()
+        finally:
+            _shutil.rmtree(outd, ignore_errors=True)
+
+    out["streaming_neardup_200k"] = min2(_sneardup)
+
     esch = pq.read_schema(f"{sf_dir}/embeddings.parquet")
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet",
