@@ -87,12 +87,37 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--checkpoint-every", type=int, default=0)
     dd.add_argument("--resume", action="store_true")
 
+    nd = sub.add_parser(
+        "neardup",
+        help="streaming MinHash-LSH near-dup suppression (ray-job "
+             "entrypoint): greedy first occurrence of every near-dup "
+             "cluster survives")
+    nd.add_argument("--input", required=True,
+                    help="directory of parquet micro-batch files")
+    nd.add_argument("--sink", required=True, help="committed-output directory")
+    nd.add_argument("--text-col", default="text")
+    nd.add_argument("--columns", default=None,
+                    help="comma-separated passthrough columns (default all)")
+    nd.add_argument("--ngram", type=int, default=3)
+    nd.add_argument("--num-hashes", type=int, default=64)
+    nd.add_argument("--bands", type=int, default=16)
+    nd.add_argument("--tau", type=float, default=0.7,
+                    help="minhash-lane agreement threshold (~Jaccard)")
+    nd.add_argument("--star-cap", type=int, default=128)
+    nd.add_argument("--partitions", type=int, default=16)
+    nd.add_argument("--files-per-epoch", type=int, default=8)
+    nd.add_argument("--checkpoint-dir", default=None)
+    nd.add_argument("--checkpoint-every", type=int, default=0)
+    nd.add_argument("--resume", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "stream":
         return _run_stream(args)
     if args.cmd == "dedup":
         return _run_dedup(args)
+    if args.cmd == "neardup":
+        return _run_neardup(args)
 
     if args.cmd == "create":
         os.makedirs(args.dir, exist_ok=True)
@@ -156,6 +181,48 @@ def _run_dedup(args) -> int:
         "sec": round(_time.perf_counter() - t0, 3),
         "rows_in": m["rows_in"], "rows_out": m["rows_out"],
         "state_keys": m["state_keys"], "sink": args.sink,
+    }))
+    if owns_session:  # never tear down a caller's (e.g. pytest's) session
+        ray.shutdown()
+    return 0
+
+
+def _run_neardup(args) -> int:
+    """Streaming MinHash-LSH near-dup job (owns the Ray session, one
+    JSON summary line — the same ``ray job submit`` shape as
+    ``stream``/``dedup``)."""
+    import glob
+    import json
+    import time as _time
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False, ignore_reinit_error=True)
+    from .streaming.neardup import StreamingNearDupJob
+
+    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not files:
+        print(f"error: no parquet files under {args.input}", file=sys.stderr)
+        return 1
+    cols = args.columns.split(",") if args.columns else None
+    t0 = _time.perf_counter()
+    job = StreamingNearDupJob(
+        args.sink, text_col=args.text_col, columns=cols, ngram=args.ngram,
+        num_hashes=args.num_hashes, bands=args.bands, tau=args.tau,
+        star_cap=args.star_cap, num_partitions=args.partitions,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
+    job.run(files, files_per_epoch=args.files_per_epoch)
+    m = job.finish()
+    print(json.dumps({
+        "files": len(files), "epochs": m["epochs"],
+        "sec": round(_time.perf_counter() - t0, 3),
+        "rows_in": m["rows_in"], "rows_out": m["rows_out"],
+        "capped": m["capped"], "state_records": m["state_records"],
+        "sink": args.sink,
     }))
     if owns_session:  # never tear down a caller's (e.g. pytest's) session
         ray.shutdown()

@@ -182,6 +182,7 @@ class NearDupBucketActor:
         # keys, arrival order (stable sorts everywhere) — so star caps
         # deterministically prefer the EARLIEST kept members
         self.runs: list[tuple[np.ndarray, np.ndarray]] = []
+        self._pending: list[tuple[np.ndarray, np.ndarray]] = []
         self._stash: pa.Table | None = None
 
     def _gather(self, tbl: pa.Table):
@@ -289,12 +290,62 @@ class NearDupBucketActor:
             k_n, sig_n = k_s[first].copy(), sig_s[first].copy()
         if len(k_n):
             self.runs.append((k_n, sig_n))
+            self._pending.append((k_n, sig_n))
         if len(self.runs) > _COMPACT_RUNS:
             ck = np.concatenate([r[0] for r in self.runs])
             cs = np.concatenate([r[1] for r in self.runs])
             o = np.argsort(ck, kind="stable")  # run order = arrival order
             self.runs = [(ck[o], cs[o])]
         return {"state_records": self._count()}
+
+    def checkpoint(self, epoch: int, ckpt_dir: str) -> None:
+        """Persist the (key, sig) records added since the last
+        checkpoint (INCREMENTAL — the index grows monotonically, so the
+        full state never re-ships; two-phase, idempotent by filename)."""
+        import os
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+        final = os.path.join(
+            ckpt_dir, f"runs-{self.part_id:04d}-epoch-{epoch:06d}.parquet")
+        if not os.path.exists(final):
+            if self._pending:
+                k = np.concatenate([p[0] for p in self._pending])
+                s = np.concatenate([p[1] for p in self._pending])
+            else:
+                k = np.empty(0, np.uint64)
+                s = np.empty((0, self.L), np.uint32)
+            tmp = final + ".tmp"
+            pq.write_table(pa.table({
+                "key": pa.array(k.view(np.int64)),
+                "sig": _pack_u32(s)}), tmp)
+            os.replace(tmp, final)
+        self._pending = []
+
+    def restore(self, ckpt_dir: str, upto_epoch: int) -> int:
+        """Rebuild the index from every checkpointed increment
+        <= ``upto_epoch``; returns the number of restored records.
+        Increments are replayed in epoch order, so the stable key sort
+        reproduces arrival order within equal keys (deterministic star
+        caps)."""
+        import glob
+        import os
+
+        parts = []
+        for p in sorted(glob.glob(os.path.join(
+                ckpt_dir, f"runs-{self.part_id:04d}-epoch-*.parquet"))):
+            e = int(p.rsplit("-epoch-", 1)[1].split(".")[0])
+            if e <= upto_epoch:
+                parts.append(pq.read_table(p))
+        self.runs, self._pending, self._stash = [], [], None
+        if not parts:
+            return 0
+        t = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        k = t.column("key").to_numpy(zero_copy_only=False).view(np.uint64)
+        s = _unpack_u32(t.column("sig"), self.L)
+        o = np.argsort(k, kind="stable")
+        if len(k):
+            self.runs = [(k[o].copy(), s[o].copy())]
+        return int(len(k))
 
     def _count(self) -> int:
         return sum(len(r[0]) for r in self.runs)
@@ -368,7 +419,11 @@ class StreamingNearDupJob:
                  columns: list[str] | None = None, ngram: int = 3,
                  num_hashes: int = 64, bands: int = 16, tau: float = 0.7,
                  seed: int = 42, star_cap: int = 128,
-                 num_partitions: int = 8):
+                 num_partitions: int = 8, checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 0, resume: bool = False):
+        import json
+        import os
+
         if num_hashes % bands:
             raise ValueError("bands must divide num_hashes")
         if not 0.0 < tau <= 1.0:
@@ -385,9 +440,25 @@ class StreamingNearDupJob:
         self.actors = [
             NearDupBucketActor.remote(p, num_hashes, tau, star_cap)
             for p in range(num_partitions)]
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
         self.epoch = -1
         self._file_seq = 0
+        self._resume_cursor = -1
+        self._restored_records = 0
         self.metrics: list[dict] = []
+        cursor = (os.path.join(checkpoint_dir, "checkpoint.json")
+                  if checkpoint_dir else None)
+        if resume and cursor and os.path.exists(cursor):
+            with open(cursor) as f:
+                doc = json.load(f)
+            self._resume_cursor = doc["epoch"]
+            self._restored_records = sum(ray.get(
+                [a.restore.remote(checkpoint_dir, doc["epoch"])
+                 for a in self.actors]))
+            # the caller re-feeds the stream from the start: epochs <=
+            # cursor only advance the deterministic file counter (their
+            # index records are restored; sink files already committed)
 
     def _submit_epoch(self, files_or_tables: Sequence):
         """Submit one epoch without waiting: per-actor task-queue order
@@ -395,6 +466,9 @@ class StreamingNearDupJob:
         pipeline (prep of e+1 overlaps state work of e) while the greedy
         order stays exactly sequential."""
         self.epoch += 1
+        if self.epoch <= self._resume_cursor:
+            self._file_seq += len(files_or_tables)
+            return (self.epoch, None, None, None, None)
         preps, rows_refs = [], []
         for f in files_or_tables:
             out = _neardup_prep.options(num_returns=self.P + 1).remote(
@@ -411,10 +485,25 @@ class StreamingNearDupJob:
         writes = [_write_survivors.remote(
             rows_refs[i], kept_ref, self.out_dir, i, self.epoch)
             for i in range(len(rows_refs))]
-        return (self.epoch, probes, ins, writes)
+        ckpt = None
+        if (self.checkpoint_dir and self.checkpoint_every
+                and (self.epoch + 1) % self.checkpoint_every == 0):
+            # enqueued right behind insert: the snapshot reflects
+            # exactly this epoch (actor task-queue order)
+            ckpt = [a.checkpoint.remote(self.epoch, self.checkpoint_dir)
+                    for a in self.actors]
+        return (self.epoch, probes, ins, writes, ckpt)
 
     def _drain_epoch(self, pending) -> dict:
-        epoch, probes, ins, writes = pending
+        import json
+        import os
+
+        epoch, probes, ins, writes, ckpt = pending
+        if probes is None:  # skipped on resume
+            m = {"epoch": epoch, "rows_in": 0, "rows_out": 0, "capped": 0,
+                 "state_records": None, "skipped": True}
+            self.metrics.append(m)
+            return m
         pr = ray.get(probes)
         st = ray.get(ins)
         wr = ray.get(writes)
@@ -425,6 +514,15 @@ class StreamingNearDupJob:
              "state_records": sum(s["state_records"] for s in st)}
         self.metrics.append(m)
         self.sink.commit_epoch(epoch)
+        if ckpt is not None:
+            ray.get(ckpt)
+            cursor = os.path.join(self.checkpoint_dir, "checkpoint.json")
+            tmp = cursor + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"epoch": epoch, "file_seq": self._file_seq}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, cursor)
         return m
 
     def process_epoch(self, files_or_tables: Sequence) -> dict:
@@ -452,12 +550,14 @@ class StreamingNearDupJob:
         flush(0)
 
     def finish(self) -> dict:
+        recs = next((m["state_records"] for m in reversed(self.metrics)
+                     if m["state_records"] is not None),
+                    self._restored_records)
         return {"epochs": self.epoch + 1,
                 "rows_in": sum(m["rows_in"] for m in self.metrics),
                 "rows_out": sum(m["rows_out"] for m in self.metrics),
                 "capped": sum(m["capped"] for m in self.metrics),
-                "state_records": (self.metrics[-1]["state_records"]
-                                  if self.metrics else 0)}
+                "state_records": recs}
 
     def result(self) -> pa.Table:
         return self.sink.read_committed()

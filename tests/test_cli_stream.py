@@ -93,3 +93,25 @@ def test_dedup_cli_and_resume(fix, capsys):
     assert r2["state_keys"] == N_TURNS
     from ksql_ray.streaming.sink import TwoPhaseSink
     assert TwoPhaseSink(sink).read_committed().num_rows == N_TURNS
+
+
+def test_neardup_cli_and_resume(fix, capsys):
+    d, paths = fix
+    sink, ckpt = str(d / "nsink"), str(d / "nckpt")
+
+    def run(*extra):
+        assert main(["neardup", "--input", paths["transcripts"],
+                     "--sink", sink, "--partitions", "4",
+                     "--files-per-epoch", "2", "--checkpoint-dir", ckpt,
+                     *extra]) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    r1 = run("--checkpoint-every", "1")
+    assert r1["rows_in"] == N_TURNS
+    # templated transcript text: most turns near-dup an earlier one
+    assert 0 < r1["rows_out"] < N_TURNS
+    r2 = run("--resume")
+    assert r2["rows_in"] == 0 and r2["rows_out"] == 0
+    assert r2["state_records"] == r1["state_records"]
+    from ksql_ray.streaming.sink import TwoPhaseSink
+    assert TwoPhaseSink(sink).read_committed().num_rows == r1["rows_out"]

@@ -163,6 +163,39 @@ def test_star_cap_counted_never_silent(ray_session):
     assert 0 in _kept_ids(res)  # first occurrence always survives
 
 
+def test_checkpoint_resume_matches_single_run(ray_session, tmp_path):
+    """Kill-and-resume: job1 processes a prefix with incremental
+    checkpoints; job2 resumes and re-feeds the whole stream (prefix
+    epochs skipped, index restored) — the combined sink must equal a
+    single uninterrupted run."""
+    docs = _make_corpus(seed=13)
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    files = []
+    n = tbl.num_rows
+    for i in range(6):
+        p = str(tmp_path / f"f{i:02d}.parquet")
+        pq.write_table(tbl.slice(i * n // 6, (i + 1) * n // 6 - i * n // 6), p)
+        files.append(p)
+    cfg = dict(ngram=NGRAM, num_hashes=L, bands=BANDS, tau=TAU, seed=SEED,
+               star_cap=1024, num_partitions=3)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    job1 = StreamingNearDupJob(out, checkpoint_dir=ckpt,
+                               checkpoint_every=1, **cfg)
+    job1.run(files[:4], files_per_epoch=2)  # epochs 0-1, then "crash"
+    pre = job1.finish()
+    job2 = StreamingNearDupJob(out, checkpoint_dir=ckpt, checkpoint_every=1,
+                               resume=True, **cfg)
+    job2.run(files, files_per_epoch=2)  # re-feed from the start
+    m = job2.finish()
+    assert m["rows_in"] == n - pre["rows_in"]  # prefix epochs skipped
+    fresh = str(tmp_path / "fresh")
+    job3 = StreamingNearDupJob(fresh, **cfg)
+    job3.run(files, files_per_epoch=2)
+    assert _kept_ids(job2.result()) == _kept_ids(job3.result())
+    assert m["state_records"] == job3.finish()["state_records"]
+
+
 def test_replay_is_idempotent(ray_session):
     docs = _make_corpus(seed=5, n_base=40, n_dups=8)
     out = tempfile.mkdtemp(prefix="ksql_ndup_replay_")
