@@ -677,6 +677,60 @@ def _op_ngram_jaccard(sf_dir: str) -> pa.Table:
 REGISTRY["op_ngram_jaccard"] = RawQ(_op_ngram_jaccard, _NGRAM_JACCARD_SQL)
 
 
+def _op_dup_clusters(sf_dir: str) -> pa.Table:
+    """Transitive duplicate-cluster resolution: near-dup pairs ->
+    connected components (alternating large-star/small-star) -> every
+    doc labeled with its component's min doc_id + a keep flag."""
+    import ray.data
+
+    from ..ops.components import dedup_by_components
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    docs = _read_clean(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(_min3_tokens(docs), threshold=0.5)
+    return _collect(dedup_by_components(docs, pairs))
+
+
+# connected components in SQL: the pair set (same CTE chain as
+# _NGRAM_JACCARD_SQL) fed through a recursive min-label propagation —
+# reach(node) enumerates every label reachable over undirected edges,
+# min() collapses each component to its smallest doc_id; singleton docs
+# label themselves via the LEFT JOIN coalesce.
+_DUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+), cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(cc.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id"""
+
+
+REGISTRY["op_dup_clusters"] = RawQ(_op_dup_clusters, _DUP_CLUSTERS_SQL)
+
+
 def _op_simhash_dedup(sf_dir: str) -> pa.Table:
     import ray.data
 

@@ -1,0 +1,94 @@
+"""connected_components / dedup_by_components vs a pure-Python union-find."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+from hypothesis import given, settings, strategies as st
+
+from ksql_ray.ops.components import connected_components, dedup_by_components
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id label per component
+    labels = {}
+    for v in range(n_nodes):
+        r = find(v)
+        labels.setdefault(r, []).append(v)
+    return {v: min(members) for r, members in labels.items() for v in members}
+
+
+def _cc(edges, **kw):
+    a = [e[0] for e in edges]
+    b = [e[1] for e in edges]
+    ds = ray.data.from_arrow(pa.table({"doc_a": pa.array(a, pa.int64()),
+                                       "doc_b": pa.array(b, pa.int64())}))
+    out = connected_components(ds, **kw).to_pandas()
+    if len(out) == 0:
+        return {}
+    return dict(zip(out["node"], out["cluster_id"]))
+
+
+def test_chain_and_star(ray_session):
+    got = _cc([(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_self_loops_and_duplicates(ray_session):
+    got = _cc([(5, 5), (1, 2), (2, 1), (1, 2)])
+    assert got == {1: 1, 2: 1}
+
+
+def test_empty_pairs(ray_session):
+    assert _cc([]) == {}
+
+
+def test_two_cliques_bridged(ray_session):
+    clique1 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    clique2 = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    got = _cc(clique1 + clique2 + [(4, 10)])
+    assert all(got[v] == 0 for v in list(range(5)) + list(range(10, 15)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=1, max_size=120))
+def test_property_vs_union_find(ray_session, edges):
+    expected = _union_find(41, edges)
+    touched = {v for e in edges if e[0] != e[1] for v in e}
+    got = _cc(edges, num_partitions=4)
+    assert set(got) == touched
+    for v in touched:
+        assert got[v] == expected[v], (v, edges)
+
+
+def test_dedup_by_components_singletons(ray_session):
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4, 7, 9], pa.int64()),
+         "text": ["a"] * 6}))
+    pairs = ray.data.from_arrow(pa.table({"doc_a": pa.array([2, 3], pa.int64()),
+                                          "doc_b": pa.array([3, 4], pa.int64())}))
+    out = dedup_by_components(docs, pairs).to_pandas().sort_values("doc_id")
+    assert list(out["cluster_id"]) == [1, 2, 2, 2, 7, 9]
+    assert list(out["is_canonical"]) == [True, True, False, False, True, True]
+
+
+def test_dedup_by_components_empty_pairs(ray_session):
+    docs = ray.data.from_arrow(pa.table({"doc_id": pa.array([3, 1], pa.int64())}))
+    pairs = ray.data.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                          "doc_b": pa.array([], pa.int64())}))
+    out = dedup_by_components(docs, pairs).to_pandas().sort_values("doc_id")
+    assert list(out["cluster_id"]) == [1, 3]
+    assert list(out["is_canonical"]) == [True, True]
