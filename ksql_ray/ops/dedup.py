@@ -130,14 +130,17 @@ _P3 = np.uint64(0x165667B19E3779F9)
 _GRAM_PRIMES = (_P1, _P2, _P3, np.uint64(0x27D4EB2F165667C5), np.uint64(0x85EBCA6B27D4EB4F))
 
 
-def _word_ngram_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+def _word_ngram_hashes(texts, n: int = 3,
+                       whole_doc_short: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """All word n-gram hashes per doc, flattened: (hashes, per-doc offsets).
 
     Fully vectorized: tokens hashed with the cython ``pd.util.hash_array``
     over the FLATTENED token stream, n-grams combined with shifted
     multiply-xor under uint64 wraparound — no per-gram Python loop (the
     original per-byte FNV loop dominated the 200k-doc dedup bench).
-    Docs with fewer than n tokens contribute one whole-doc gram."""
+    Docs with fewer than n tokens contribute one whole-doc gram, unless
+    ``whole_doc_short=False`` (strict n-gram semantics: short docs get
+    zero grams — what SQL ``list_transform(range(...))`` produces)."""
     import pandas as pd
 
     if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
@@ -174,6 +177,8 @@ def _word_ngram_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     gram_counts = np.maximum(tok_counts - n + 1, 0)
     # short docs (1..n-1 tokens): one whole-doc gram via xor-reduce
     short = (tok_counts > 0) & (tok_counts < n)
+    if not whole_doc_short:
+        short = np.zeros_like(short)
     short_grams = np.empty(0, dtype=np.uint64)
     if short.any():
         starts = np.minimum(tok_off[:-1], max(total - 1, 0))

@@ -731,6 +731,56 @@ FROM documents d LEFT JOIN cc ON cc.node = d.doc_id"""
 REGISTRY["op_dup_clusters"] = RawQ(_op_dup_clusters, _DUP_CLUSTERS_SQL)
 
 
+def _op_contamination(sf_dir: str) -> pa.Table:
+    """GPT-3-style benchmark decontamination: docs with doc_id % 10 == 0
+    stand in for the held-out benchmark suite; every remaining training
+    doc is flagged if it shares any 5-token span with the benchmark."""
+    import numpy as np
+    import ray.data
+
+    from ..ops.decontam import contamination
+
+    docs = _read_clean(f"{sf_dir}/documents.parquet")
+
+    def mod_filter(want_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            is_bench = (ids % 10) == 0
+            return batch.filter(pa.array(is_bench if want_bench else ~is_bench))
+        return f
+
+    bench = docs.map_batches(mod_filter(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    train = docs.map_batches(mod_filter(False), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return _collect(contamination(train, bench, n=5))
+
+
+_CONTAMINATION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+), tg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 3),
+                               i -> array_to_string(t[i:i+4], ' '))) AS g
+  FROM toks WHERE doc_id % 10 != 0 AND len(t) >= 5
+), bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(t) - 3),
+                                        i -> array_to_string(t[i:i+4], ' '))) AS g
+  FROM toks WHERE doc_id % 10 = 0 AND len(t) >= 5
+), hits AS (
+  SELECT doc_id, count(*) AS matched FROM tg JOIN bg USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.matched, 0) AS matched_grams,
+       coalesce(h.matched, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 10 != 0"""
+
+
+REGISTRY["op_contamination"] = RawQ(_op_contamination, _CONTAMINATION_SQL)
+
+
 def _op_simhash_dedup(sf_dir: str) -> pa.Table:
     import ray.data
 
