@@ -781,6 +781,66 @@ WHERE d.doc_id % 10 != 0"""
 REGISTRY["op_contamination"] = RawQ(_op_contamination, _CONTAMINATION_SQL)
 
 
+def _op_kmeans(sf_dir: str) -> pa.Table:
+    """Distributed Lloyd k-means over the embeddings table: k=8 seeds
+    from the 8 smallest vec_ids, 3 iterations, centroids rounded to 4 dp
+    each update (the determinism contract that makes the unrolled-SQL
+    oracle bit-equal — see ops/cluster.py)."""
+    import ray.data
+
+    from ..ops.cluster import kmeans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return _collect(kmeans(ds, k=8, iters=3, round_dp=4))
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64, dp: int = 4) -> str:
+    """Unrolled Lloyd iterations as chained CTEs: assignment = row_number
+    over (dist, cl), update = per-dimension ROUND(avg(), dp) with empty
+    clusters keeping the previous centroid via LEFT JOIN + coalesce."""
+    avg_list = ", ".join(f"round(avg(e.embedding[{i}]), {dp})"
+                         for i in range(1, dim + 1))
+    parts = [f"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), {dp})) AS c
+  FROM e ORDER BY vec_id LIMIT {k}
+)"""]
+    for t in range(iters):
+        parts.append(f""", d{t} AS (
+  SELECT e.vec_id, c.cl,
+         list_sum(list_transform(range(1, {dim + 1}),
+                  i -> (e.embedding[i] - c.c[i]) * (e.embedding[i] - c.c[i]))) AS dist
+  FROM e CROSS JOIN c{t} c
+), a{t} AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM d{t}) WHERE rn = 1
+), u{t + 1} AS (
+  SELECT a.cl, [{avg_list}] AS c
+  FROM e JOIN a{t} a USING (vec_id) GROUP BY a.cl
+), c{t + 1} AS (
+  SELECT c{t}.cl, coalesce(u{t + 1}.c, c{t}.c) AS c
+  FROM c{t} LEFT JOIN u{t + 1} USING (cl)
+)""")
+    parts.append(f""", df AS (
+  SELECT e.vec_id, c.cl,
+         list_sum(list_transform(range(1, {dim + 1}),
+                  i -> (e.embedding[i] - c.c[i]) * (e.embedding[i] - c.c[i]))) AS dist
+  FROM e CROSS JOIN c{iters} c
+)
+SELECT vec_id, cl AS cluster FROM (
+  SELECT vec_id, cl,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+  FROM df) WHERE rn = 1""")
+    return "".join(parts)
+
+
+REGISTRY["op_kmeans"] = RawQ(_op_kmeans, _kmeans_sql())
+
+
 def _op_simhash_dedup(sf_dir: str) -> pa.Table:
     import ray.data
 

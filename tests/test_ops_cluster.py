@@ -1,0 +1,75 @@
+"""kmeans() vs a single-process numpy Lloyd with the same contract."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ksql_ray.ops.cluster import kmeans
+
+
+def _np_kmeans(ids, mat, k, iters, dp=6):
+    def rnd(m):
+        s = 10.0 ** dp
+        return np.floor(m * s + np.where(m >= 0, 0.5, -0.5)) / s
+
+    order = np.argsort(ids, kind="stable")
+    cents = rnd(mat[order[:k]].astype(np.float64))
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        new = cents.copy()
+        for c in range(k):
+            if (a == c).any():
+                new[c] = rnd(mat[a == c].mean(axis=0))
+        cents = new
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return dict(zip(ids, np.argmin(d2, axis=1)))
+
+
+def _ds(ids, mat):
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }))
+
+
+def test_vs_numpy_lloyd(ray_session):
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(200, 16)).astype(np.float32)
+    # plant 4 obvious blobs so the clustering is stable
+    mat[:50] += 8; mat[50:100] -= 8; mat[100:150, 0] += 20
+    ids = np.arange(200, dtype=np.int64)
+    got = kmeans(_ds(ids, mat), k=4, iters=3).to_pandas()
+    want = _np_kmeans(ids, mat.astype(np.float64), 4, 3)
+    assert dict(zip(got["vec_id"], got["cluster"])) == want
+
+
+def test_unsorted_ids_seed(ray_session):
+    # seed = vectors of the k SMALLEST ids, not the first k rows
+    mat = np.array([[10.0], [0.0], [20.0], [0.5]], dtype=np.float32)
+    ids = np.array([5, 1, 9, 2], dtype=np.int64)  # smallest ids: 1, 2
+    got = kmeans(_ds(ids, mat), k=2, iters=2).to_pandas()
+    m = dict(zip(got["vec_id"], got["cluster"]))
+    # seeds are vecs of ids 1 (0.0) and 2 (0.5): 0.0/0.5 cluster together
+    # after the first update, 10/20 go to the other centroid
+    assert m[1] == m[2] == 0 and m[5] == m[9] == 1
+
+
+def test_k_exceeds_rows(ray_session):
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans(_ds(np.array([1, 2]), np.zeros((2, 3), np.float32)),
+               k=5, iters=1).materialize()
+
+
+def test_empty_cluster_keeps_centroid(ray_session):
+    # duplicate seed vectors: every tie breaks to cluster 0, so cluster 1
+    # is empty after iter 1 and must KEEP its centroid (0.0), not NaN out.
+    # iter 1: all -> c0, c0 = mean(0,0,5,6) = 2.75, c1 stays 0.
+    # iter 2: the two 0-points re-join c1; c0 = 5.5, c1 = 0.
+    mat = np.array([[0.0], [0.0], [5.0], [6.0]], dtype=np.float32)
+    ids = np.array([1, 2, 3, 4], dtype=np.int64)
+    got = kmeans(_ds(ids, mat), k=2, iters=2).to_pandas()
+    m = dict(zip(got["vec_id"], got["cluster"]))
+    assert m == {1: 1, 2: 1, 3: 0, 4: 0}
