@@ -841,6 +841,31 @@ SELECT vec_id, cl AS cluster FROM (
 REGISTRY["op_kmeans"] = RawQ(_op_kmeans, _kmeans_sql())
 
 
+def _op_pack_shards(sf_dir: str) -> pa.Table:
+    """Token-budget shard packing: two-phase distributed prefix sum in
+    ascending doc_id order, shard = floor(exclusive_prefix / 1000)."""
+    from ..ops.pack import pack_shards
+
+    docs = _read_clean(f"{sf_dir}/documents.parquet")
+    return _collect(pack_shards(docs, budget=1000))
+
+
+_PACK_SHARDS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 1000) AS BIGINT) AS shard_id
+FROM t"""
+
+
+REGISTRY["op_pack_shards"] = RawQ(_op_pack_shards, _PACK_SHARDS_SQL)
+
+
 def _op_simhash_dedup(sf_dir: str) -> pa.Table:
     import ray.data
 
