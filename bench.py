@@ -261,6 +261,41 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
             docs_ds(), "doc_id", fractions=0.1, method="fast").count())
     out["top_terms_200k"] = min2(lambda: top_terms(docs_ds(), k=50).count())
 
+    # transitive cluster resolution over the near-dup pair graph (pairs
+    # materialized once outside the timer: the bench isolates the
+    # large-star/small-star + label-join cost, not the LSH)
+    from ksql_ray.ops.components import dedup_by_components
+
+    cc_pairs = minhash_dedup_pairs(
+        docs_ds(), threshold=0.8, verify="est").materialize()
+    cc_docs = docs_ds().drop_columns(["text"]).materialize()
+    out["dup_clusters_200k"] = min2(
+        lambda: dedup_by_components(cc_docs, cc_pairs).count())
+
+    # benchmark decontamination: every 97th doc stands in for the
+    # benchmark suite (~2k docs), 13-gram spans as in the GPT-3 method
+    from ksql_ray.ops.decontam import contamination
+
+    def _mod_split(want_bench):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 97) == 0
+            return batch.filter(pa.array(m if want_bench else ~m))
+        return f
+
+    out["contamination_200k"] = min2(lambda: contamination(
+        docs_ds().map_batches(_mod_split(False), batch_format="pyarrow",
+                              zero_copy_batch=True),
+        docs_ds().map_batches(_mod_split(True), batch_format="pyarrow",
+                              zero_copy_batch=True),
+        n=13, concurrency=(1, 16)).count())
+
+    # token-budget shard packing (two-phase distributed prefix sum)
+    from ksql_ray.ops.pack import pack_shards
+
+    out["pack_shards_200k"] = min2(
+        lambda: pack_shards(docs_ds(), budget=100_000).count())
+
     # temporal joins over the same 200k-turn corpus: every turn gets its
     # conversation's latest prior user turn (as-of) / all turns inside
     # the 60 s window opened by each user turn (range)
@@ -378,6 +413,14 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
             ray.data.read_parquet(vec_path), list(range(16)), qm2, k=10,
             n_planes=8, n_tables=4, probe_radius=1,
         ).count())
+
+    # distributed k-means over the same 100k x 64d vectors (broadcast
+    # centroids + scatter-add partials; no shuffle)
+    from ksql_ray.ops.cluster import kmeans
+
+    out["kmeans_100k_k16"] = min2(
+        lambda: kmeans(ray.data.read_parquet(vec_path), k=16, iters=3,
+                       concurrency=(1, 16)).count())
 
     # "no silent caps": star-capped jumbo buckets and dropped store-join
     # segments across all dedup runs above (recall impact is quantifiable
