@@ -33,13 +33,14 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
 from .dedup import _pin
 from .vectors import pack_u64_rows, unpack_u64, vecs_np
 
-__all__ = ["kmeans"]
+__all__ = ["kmeans", "semdedup"]
 
 
 def _round_half_away(m: np.ndarray, dp: int) -> np.ndarray:
@@ -106,13 +107,11 @@ class _PartialSums:
         })
 
 
-def kmeans(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
-           id_col: str = "vec_id", vec_col: str = "embedding",
-           round_dp: int = 6, concurrency=(1, 8)) -> ray.data.Dataset:
-    """-> (id_col, cluster) after ``iters`` Lloyd iterations from the
-    deterministic k-smallest-id seed. The final assignment pass streams;
-    only k×d partials and centroids ever leave a task."""
-    proj = ds.select_columns([id_col, vec_col]).materialize()
+def _lloyd(proj: ray.data.Dataset, k: int, iters: int, id_col: str,
+           vec_col: str, round_dp: int, concurrency) -> np.ndarray:
+    """Run ``iters`` Lloyd iterations over a MATERIALIZED (id, vector)
+    projection; return the final k×d centroid matrix. Shared by
+    :func:`kmeans` and :func:`semdedup`."""
     cents = _round_half_away(_seed_centroids(proj, k, id_col, vec_col), round_dp)
     d = cents.shape[1]
 
@@ -141,7 +140,17 @@ def kmeans(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
         new[nonempty] = _round_half_away(
             sums[nonempty] / counts[nonempty, None], round_dp)
         cents = new
+    return cents
 
+
+def kmeans(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           round_dp: int = 6, concurrency=(1, 8)) -> ray.data.Dataset:
+    """-> (id_col, cluster) after ``iters`` Lloyd iterations from the
+    deterministic k-smallest-id seed. The final assignment pass streams;
+    only k×d partials and centroids ever leave a task."""
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+    cents = _lloyd(proj, k, iters, id_col, vec_col, round_dp, concurrency)
     cref = ray.put(cents)
 
     class _FinalAssign:
@@ -162,3 +171,106 @@ def kmeans(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
 
     return proj.map_batches(_FinalAssign, batch_format="pyarrow",
                             concurrency=concurrency, max_restarts=0)
+
+
+def semdedup(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
+             tau: float = 0.4, id_col: str = "vec_id",
+             vec_col: str = "embedding", round_dp: int = 6,
+             concurrency=(1, 8), num_partitions: int = 16,
+             max_cluster_pairwise: int = 8192) -> ray.data.Dataset:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means the
+    embedding space, then within each cluster drop every vector whose
+    cosine similarity to a LOWER-id vector of the same cluster is
+    >= ``tau``. -> (id_col, cluster, keep) with one row per input vector.
+
+    Scale shape: the Lloyd loop is the shuffle-free broadcast/partial-
+    reduce of :func:`kmeans`; the dedup pass is ONE hash shuffle on
+    ``cluster`` (each cluster lands whole in one partition) followed by a
+    per-cluster pairwise cosine — a float64 matmul over normalized rows.
+    Per-cluster cost is O(|c|^2·d); clusters larger than
+    ``max_cluster_pairwise`` get pairwise over their lowest-id members
+    only (the tail is kept unconditionally) and are COUNTED to the stats
+    actor (``semdedup.capped_clusters``/``capped_members`` — no silent
+    caps). At 10^9+ docs, raise k so |c| ~ corpus/k stays under the cap.
+
+    Determinism contract (what lets the unrolled-Lloyd DuckDB oracle be
+    bit-equal): same seed/tie/rounding rules as :func:`kmeans`, cosine =
+    dot of float64-normalized rows (matches ``list_inner_product/(na*nb)``
+    at the gate's 6-dp rounding), keep-rule ties broken by id order.
+    """
+    from .dedup import _pin
+    from .stats import ensure_stats_actor, record_stats
+    from .vectors import normalize_rows
+
+    ensure_stats_actor()
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+    cents = _lloyd(proj, k, iters, id_col, vec_col, round_dp, concurrency)
+    cref = ray.put(cents)
+
+    class _AssignPack:
+        """(id, cluster, normalized vector packed as binary) per row."""
+
+        def __init__(self):
+            from ..streaming.driver import limit_worker_threads
+
+            limit_worker_threads()
+            self.cents = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = vecs_np(batch.column(vec_col))
+            a = (_assign(emb, self.cents) if emb.size
+                 else np.empty(0, dtype=np.int64))
+            return pa.table({
+                id_col: batch.column(id_col),
+                "cluster": pa.array(a.astype(np.int64), type=pa.int64()),
+                "vec": pack_u64_rows(normalize_rows(emb.astype(np.float64))),
+            })
+
+    assigned = proj.map_batches(_AssignPack, batch_format="pyarrow",
+                                concurrency=concurrency, max_restarts=0)
+
+    id_type = proj.schema().base_schema.field(id_col).type
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], type=id_type),
+            "cluster": pa.array([], type=pa.int64()),
+            "keep": pa.array([], type=pa.bool_()),
+        })
+        if group.num_rows == 0:
+            return empty
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        tbl = group.take(pc.sort_indices(group, sort_keys=[
+            ("cluster", "ascending"), (id_col, "ascending")]))
+        cl = tbl.column("cluster").to_numpy(zero_copy_only=False)
+        flat, _ = unpack_u64(tbl.column("vec"), dtype=np.float64)
+        m = flat.reshape(len(cl), -1)
+        keep = np.ones(len(cl), dtype=bool)
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        ends = np.r_[starts[1:], len(cl)]
+        capped_clusters = capped_members = 0
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if n > max_cluster_pairwise:
+                capped_clusters += 1
+                capped_members += int(n - max_cluster_pairwise)
+                e = s + max_cluster_pairwise
+            sims = m[s:e] @ m[s:e].T
+            # rows sorted by id: drop i iff some j<i in-cluster has cos>=tau
+            keep[s:e] = ~(np.tril(sims >= tau, k=-1).any(axis=1))
+        if capped_clusters:
+            record_stats("semdedup", capped_clusters=capped_clusters,
+                         capped_members=capped_members)
+        return pa.table({
+            id_col: tbl.column(id_col),
+            "cluster": tbl.column("cluster"),
+            "keep": pa.array(keep),
+        })
+
+    from .dedup import _partition_by
+
+    return _partition_by(assigned, ["cluster"], num_partitions).map_groups(
+        _pin(per_partition), batch_format="pyarrow")

@@ -795,10 +795,10 @@ def _op_kmeans(sf_dir: str) -> pa.Table:
     return _collect(kmeans(ds, k=8, iters=3, round_dp=4))
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64, dp: int = 4) -> str:
-    """Unrolled Lloyd iterations as chained CTEs: assignment = row_number
-    over (dist, cl), update = per-dimension ROUND(avg(), dp) with empty
-    clusters keeping the previous centroid via LEFT JOIN + coalesce."""
+def _lloyd_ctes(k: int = 8, iters: int = 3, dim: int = 64, dp: int = 4) -> str:
+    """Unrolled Lloyd iterations as chained CTEs ending in
+    ``asg(vec_id, cl)`` — the final cluster assignment. Shared by the
+    op_kmeans and op_semdedup oracles."""
     avg_list = ", ".join(f"round(avg(e.embedding[{i}]), {dp})"
                          for i in range(1, dim + 1))
     parts = [f"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -830,15 +830,58 @@ c0 AS (
          list_sum(list_transform(range(1, {dim + 1}),
                   i -> (e.embedding[i] - c.c[i]) * (e.embedding[i] - c.c[i]))) AS dist
   FROM e CROSS JOIN c{iters} c
-)
-SELECT vec_id, cl AS cluster FROM (
-  SELECT vec_id, cl,
-         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
-  FROM df) WHERE rn = 1""")
+), asg AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM df) WHERE rn = 1
+)""")
     return "".join(parts)
 
 
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64, dp: int = 4) -> str:
+    return _lloyd_ctes(k, iters, dim, dp) + \
+        "\nSELECT vec_id, cl AS cluster FROM asg"
+
+
 REGISTRY["op_kmeans"] = RawQ(_op_kmeans, _kmeans_sql())
+
+
+def _op_semdedup(sf_dir: str) -> pa.Table:
+    """SemDeDup over the embeddings table: same k-means determinism
+    contract as op_kmeans (k=8, 3 iterations, 4-dp centroids), then
+    within-cluster cosine >= 0.4 drops the higher id of each pair
+    (ops/cluster.py semdedup; cosine formula identical to the
+    op_embedding_neardup gate, so 0.4 sits in the same fixture band)."""
+    import ray.data
+
+    from ..ops.cluster import semdedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return _collect(semdedup(ds, k=8, iters=3, tau=0.4, round_dp=4))
+
+
+def _semdedup_sql(tau: float = 0.4, k: int = 8, iters: int = 3,
+                  dim: int = 64, dp: int = 4) -> str:
+    return _lloyd_ctes(k, iters, dim, dp) + f""", m AS (
+  SELECT a.vec_id, a.cl,
+         list_transform(e.embedding, x -> x::DOUBLE) AS emb
+  FROM asg a JOIN e USING (vec_id)
+), mm AS (
+  SELECT vec_id, cl, emb,
+         sqrt(list_sum(list_transform(emb, x -> x*x))) AS nm FROM m
+), dup AS (
+  SELECT b.vec_id
+  FROM mm a JOIN mm b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  WHERE list_inner_product(a.emb, b.emb) / (a.nm * b.nm) >= {tau}
+  GROUP BY 1
+)
+SELECT mm.vec_id, mm.cl AS cluster, dup.vec_id IS NULL AS keep
+FROM mm LEFT JOIN dup ON mm.vec_id = dup.vec_id"""
+
+
+REGISTRY["op_semdedup"] = RawQ(_op_semdedup, _semdedup_sql())
 
 
 def _op_pack_shards(sf_dir: str) -> pa.Table:

@@ -73,3 +73,65 @@ def test_empty_cluster_keeps_centroid(ray_session):
     got = kmeans(_ds(ids, mat), k=2, iters=2).to_pandas()
     m = dict(zip(got["vec_id"], got["cluster"]))
     assert m == {1: 1, 2: 1, 3: 0, 4: 0}
+
+
+def _np_semdedup(ids, mat, k, iters, tau, dp=6):
+    """Brute-force reference: numpy Lloyd clusters, then within-cluster
+    cosine >= tau drops the higher id of each pair."""
+    asg = _np_kmeans(ids, mat.astype(np.float64), k, iters, dp)
+    norm = mat.astype(np.float64)
+    norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+    keep = {}
+    order = np.argsort(ids, kind="stable")
+    for i in order:
+        dropped = any(
+            asg[ids[j]] == asg[ids[i]]
+            and ids[j] < ids[i]
+            and float(norm[i] @ norm[j]) >= tau
+            for j in order
+        )
+        keep[ids[i]] = not dropped
+    return asg, keep
+
+
+def test_semdedup_vs_numpy(ray_session):
+    from ksql_ray.ops.cluster import semdedup
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(120, 12)).astype(np.float32)
+    mat[:40] += 6; mat[40:80] -= 6  # 3 stable blobs
+    # plant near-dups INSIDE blobs: copies with small noise.
+    # tau=0.995 sits between the within-blob cosine band (~0.97: blob
+    # members are near-parallel after the +-6 shift) and the copies (~1)
+    mat[25] = mat[5] + rng.normal(scale=0.01, size=12).astype(np.float32)
+    mat[70] = mat[50] + rng.normal(scale=0.01, size=12).astype(np.float32)
+    mat[110] = mat[90] + rng.normal(scale=0.01, size=12).astype(np.float32)
+    ids = np.arange(120, dtype=np.int64)
+    got = semdedup(_ds(ids, mat), k=3, iters=3, tau=0.995).to_pandas()
+    asg, keep = _np_semdedup(ids, mat, 3, 3, 0.995)
+    assert dict(zip(got["vec_id"], got["cluster"])) == asg
+    assert dict(zip(got["vec_id"], got["keep"])) == keep
+    # the planted copies (higher ids) must be dropped
+    g = dict(zip(got["vec_id"], got["keep"]))
+    assert not g[25] and not g[70] and not g[110]
+    assert g[5] and g[50] and g[90]
+
+
+def test_semdedup_cap_counted(ray_session):
+    """Clusters above max_cluster_pairwise keep the tail unconditionally
+    and count to the stats actor — no silent caps."""
+    from ksql_ray.ops.cluster import semdedup
+    from ksql_ray.ops.stats import collect_op_stats
+
+    # one blob of 10 identical vectors -> all in one cluster
+    mat = np.tile(np.array([[1.0, 2.0, 3.0]], dtype=np.float32), (10, 1))
+    ids = np.arange(10, dtype=np.int64)
+    got = semdedup(_ds(ids, mat), k=1, iters=1, tau=0.9,
+                   max_cluster_pairwise=4).to_pandas()
+    g = dict(zip(got["vec_id"], got["keep"]))
+    # pairwise ran over ids 0..3: 1..3 dropped vs 0; tail 4..9 kept
+    assert g[0] and not g[1] and not g[2] and not g[3]
+    assert all(g[i] for i in range(4, 10))
+    stats = collect_op_stats(reset=False)
+    assert stats.get("semdedup.capped_clusters", 0) >= 1
+    assert stats.get("semdedup.capped_members", 0) >= 6
