@@ -422,6 +422,35 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         lambda: kmeans(ray.data.read_parquet(vec_path), k=16, iters=3,
                        concurrency=(1, 16)).count())
 
+    # SemDeDup over the same vectors (the 1000 planted pairs sit at
+    # cosine ~0.95+): Lloyd loop + one cluster shuffle + per-cluster
+    # pairwise cosine
+    from ksql_ray.ops.cluster import semdedup
+
+    out["semdedup_100k_k16"] = min2(
+        lambda: semdedup(ray.data.read_parquet(vec_path), k=16, iters=3,
+                         tau=0.9, concurrency=(1, 16)).count())
+
+    # span-level exact dedup over the 200k transcript-derived docs
+    # (templated text -> heavy chunk overlap; exercises the rebuild)
+    from ksql_ray.ops.spans import chunk_dedup
+
+    out["chunk_dedup_200k"] = min2(
+        lambda: chunk_dedup(docs_ds(), width=8).count())
+
+    # PQ train+encode+ADC-search over the 100k vectors (the 32x-
+    # compressed scan path: codes are 8 bytes/vector here)
+    from ksql_ray.ops.pq import pq_encode, pq_topk, pq_train
+
+    def _pq():
+        vds = ray.data.read_parquet(vec_path)
+        cents = pq_train(vds, m=8, k=16, iters=2, concurrency=(1, 16))
+        codes = pq_encode(vds, cents, pack=True,
+                          concurrency=(1, 16)).materialize()
+        pq_topk(codes, cents, list(range(16)), qm2, k=10).count()
+
+    out["pq_train_encode_search_100k"] = min2(_pq)
+
     # "no silent caps": star-capped jumbo buckets and dropped store-join
     # segments across all dedup runs above (recall impact is quantifiable
     # from these — a zero here means no cap fired at this scale)

@@ -83,8 +83,11 @@ def unpack_u64(col, dtype=np.uint64) -> tuple[np.ndarray, np.ndarray]:
     if n == 0:
         return np.empty(0, dtype=dtype), np.empty(0, dtype=np.int64)
     bufs = col.buffers()
+    if bufs[1] is None:  # all-null column: no offsets/data buffers
+        return np.empty(0, dtype=dtype), np.zeros(n, dtype=np.int64)
     offs = np.frombuffer(bufs[1], dtype=off_dtype)[col.offset : col.offset + n + 1]
-    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None
+            else np.empty(0, dtype=np.uint8))
     flat = data[offs[0] : offs[-1]].copy().view(dtype)
     counts = (np.diff(offs) // np.dtype(dtype).itemsize).astype(np.int64)
     return flat, counts

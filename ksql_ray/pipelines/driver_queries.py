@@ -884,6 +884,116 @@ FROM mm LEFT JOIN dup ON mm.vec_id = dup.vec_id"""
 REGISTRY["op_semdedup"] = RawQ(_op_semdedup, _semdedup_sql())
 
 
+def _op_chunk_dedup(sf_dir: str) -> pa.Table:
+    """Span-level exact dedup over documents: 8-token chunks, global
+    first-occurrence-by-(doc_id, chunk_idx) keep rule, text rebuilt from
+    surviving chunks (ops/spans.py chunk_dedup). The fixture's 25
+    planted near-dup pairs share long token runs, so their aligned
+    chunks duplicate and dup_chunks > 0 exercises the rebuild path."""
+    import ray.data
+
+    from ..ops.spans import chunk_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return _collect(chunk_dedup(ds, width=8))
+
+
+def _chunk_dedup_sql(w: int = 8) -> str:
+    return rf"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(ceil(len(t) / {w}.0) AS BIGINT))) AS chunk_idx
+  FROM toks
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(t[chunk_idx*{w}+1 : chunk_idx*{w}+{w}], ' ') AS chunk
+  FROM idx
+), ranked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, chunk_idx) = 1 AS keep
+  FROM chunks
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       count(*) FILTER (WHERE NOT keep) AS dup_chunks,
+       coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                FILTER (WHERE keep), '') AS clean_text
+FROM ranked GROUP BY doc_id"""
+
+
+REGISTRY["op_chunk_dedup"] = RawQ(_op_chunk_dedup, _chunk_dedup_sql())
+
+
+def _op_pq_encode(sf_dir: str) -> pa.Table:
+    """Product-quantization codes over the embeddings table: m=4
+    subspaces of 16 dims, k=4 codes each, 2 Lloyd iterations, 4-dp
+    centroids — the same determinism contract as op_kmeans, per
+    subspace (ops/pq.py). Output is the oracle-comparable unpacked
+    form (c0..c3); pack=True is the m-bytes/vector storage form."""
+    import ray.data
+
+    from ..ops.pq import pq_encode, pq_train
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cents = pq_train(ds, m=4, k=4, iters=2, round_dp=4)
+    return _collect(pq_encode(ds, cents, pack=False))
+
+
+def _pq_sql(m: int = 4, k: int = 4, iters: int = 2, dim: int = 64,
+            dp: int = 4) -> str:
+    """Per-subspace unrolled Lloyd: the op_kmeans oracle replicated for
+    each of the m dimension slices, joined on vec_id at the end."""
+    sd = dim // m
+    parts = ["WITH e AS (SELECT vec_id, embedding FROM embeddings)"]
+    for s in range(m):
+        lo = s * sd
+        avg_list = ", ".join(f"round(avg(e.embedding[{lo + i}]), {dp})"
+                             for i in range(1, sd + 1))
+        dist = (f"list_sum(list_transform(range(1, {sd + 1}), "
+                f"i -> (e.embedding[{lo} + i] - c.c[i]) * "
+                f"(e.embedding[{lo} + i] - c.c[i])))")
+        parts.append(f""", s{s}c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+         list_transform(range({lo + 1}, {lo + sd + 1}),
+                        i -> round(CAST(embedding[i] AS DOUBLE), {dp})) AS c
+  FROM e ORDER BY vec_id LIMIT {k}
+)""")
+        for t in range(iters):
+            parts.append(f""", s{s}d{t} AS (
+  SELECT e.vec_id, c.cl, {dist} AS dist FROM e CROSS JOIN s{s}c{t} c
+), s{s}a{t} AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM s{s}d{t}) WHERE rn = 1
+), s{s}u{t + 1} AS (
+  SELECT a.cl, [{avg_list}] AS c
+  FROM e JOIN s{s}a{t} a USING (vec_id) GROUP BY a.cl
+), s{s}c{t + 1} AS (
+  SELECT s{s}c{t}.cl, coalesce(s{s}u{t + 1}.c, s{s}c{t}.c) AS c
+  FROM s{s}c{t} LEFT JOIN s{s}u{t + 1} USING (cl)
+)""")
+        parts.append(f""", s{s}df AS (
+  SELECT e.vec_id, c.cl, {dist} AS dist FROM e CROSS JOIN s{s}c{iters} c
+), s{s}asg AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM s{s}df) WHERE rn = 1
+)""")
+    sel = ", ".join(f"s{s}asg.cl AS c{s}" for s in range(m))
+    joins = " ".join(f"JOIN s{s}asg USING (vec_id)" for s in range(m))
+    parts.append(f"\nSELECT e.vec_id, {sel} FROM e {joins}")
+    return "".join(parts)
+
+
+REGISTRY["op_pq_encode"] = RawQ(_op_pq_encode, _pq_sql())
+
+
 def _op_pack_shards(sf_dir: str) -> pa.Table:
     """Token-budget shard packing: two-phase distributed prefix sum in
     ascending doc_id order, shard = floor(exclusive_prefix / 1000)."""
