@@ -370,6 +370,30 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["streaming_neardup_200k"] = min2(_sneardup)
 
+    # streaming CEP over the same 256 micro-batch files: the
+    # user -> tool -> assistant turn funnel per conversation, partials
+    # carried across 64 pipelined epochs
+    from ksql_ray.expr import F as _F
+    from ksql_ray.streaming.cep import StreamingCEPJob
+
+    def _scep():
+        outd = _tempfile.mkdtemp(prefix="ksql_bench_scep_")
+        try:
+            job = StreamingCEPJob(
+                outd, partition_by=["conv_id"], order_by="ts",
+                steps=[("u", _F("role").Equal("user")),
+                       ("t", _F("role").Equal("tool")),
+                       ("a", _F("role").Equal("assistant"))],
+                within=3_600_000_000, tiebreak="turn_idx",
+                lateness_us=3_600_000_000, num_partitions=8,
+                input_files=tfiles)
+            job.run(tfiles, files_per_epoch=4)
+            job.finish()
+        finally:
+            _shutil.rmtree(outd, ignore_errors=True)
+
+    out["streaming_cep_200k"] = min2(_scep)
+
     esch = pq.read_schema(f"{sf_dir}/embeddings.parquet")
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet",

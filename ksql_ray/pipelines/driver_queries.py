@@ -1281,6 +1281,45 @@ REGISTRY["op_cep_funnel"] = RawQ(lambda sf: _cep(sf, "skip"), _CEP_FUNNEL_SQL)
 REGISTRY["op_cep_strict"] = RawQ(lambda sf: _cep(sf, "strict"), _CEP_STRICT_SQL)
 
 
+def _streaming_cep(sf_dir: str, contiguity: str) -> pa.Table:
+    """The same funnel run CONTINUOUSLY (streaming/cep.py): events
+    replayed in event-time order as 20 epoch micro-batches; partial
+    matches (views awaiting clicks/purchases up to 24 h later) survive
+    across epochs in actor state; the end-of-stream flush closes the
+    tail. Output must equal the bounded operator's SQL oracle exactly
+    (late_drops is asserted 0 — the replay is in order)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..expr import F
+    from ..streaming.cep import StreamingCEPJob
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by(
+        [("ts", "ascending"), ("event_id", "ascending")])
+    outd = tempfile.mkdtemp(prefix="ksql_gate_scep_")
+    job = StreamingCEPJob(
+        outd, partition_by=["user_id"], order_by="ts",
+        steps=[("v", F("event_type").Equal("view")),
+               ("c", F("event_type").Equal("click")),
+               ("p", F("event_type").Equal("purchase"))],
+        contiguity=contiguity, within=86_400_000_000,
+        tiebreak="event_id", measures=["event_id"],
+        num_partitions=8, in_schema=tbl.schema)
+    chunk = max(1, tbl.num_rows // 20)
+    for i in range(0, tbl.num_rows, chunk):
+        job.process_epoch([tbl.slice(i, chunk)])
+    fin = job.finish()
+    assert fin["late_drops"] == 0, fin
+    return job.result()
+
+
+REGISTRY["streaming_cep_funnel"] = RawQ(
+    lambda sf: _streaming_cep(sf, "skip"), _CEP_FUNNEL_SQL)
+REGISTRY["streaming_cep_strict"] = RawQ(
+    lambda sf: _streaming_cep(sf, "strict"), _CEP_STRICT_SQL)
+
+
 # winnowing rolling-hash fingerprints (ops/fingerprint.py): word-3-gram
 # md5 hashes (15 hex digits -> BIGINT, the SQL-expressible oracle form;
 # hash="fast" is the vectorized scale path, pinned by pytest), window-4
