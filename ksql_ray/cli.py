@@ -110,6 +110,35 @@ def main(argv: list[str] | None = None) -> int:
     nd.add_argument("--checkpoint-every", type=int, default=0)
     nd.add_argument("--resume", action="store_true")
 
+    ce = sub.add_parser(
+        "cep",
+        help="streaming CEP sequence-pattern matching (ray-job "
+             "entrypoint): emit a row per completed pattern, partial "
+             "matches carried across epochs")
+    ce.add_argument("--input", required=True,
+                    help="directory of parquet micro-batch files")
+    ce.add_argument("--sink", required=True, help="committed-output directory")
+    ce.add_argument("--steps", required=True,
+                    help="comma-separated name:column=value equality steps, "
+                         "e.g. 'v:event_type=view,c:event_type=click'")
+    ce.add_argument("--partition-by", required=True,
+                    help="comma-separated pattern key columns")
+    ce.add_argument("--order-by", default="ts")
+    ce.add_argument("--tiebreak", default=None)
+    ce.add_argument("--measures", default=None,
+                    help="comma-separated per-step output columns")
+    ce.add_argument("--contiguity", default="skip",
+                    choices=["skip", "strict"])
+    ce.add_argument("--within-us", type=int, default=None,
+                    help="pattern horizon (event-time µs); also bounds "
+                         "open-partial state")
+    ce.add_argument("--lateness-s", type=int, default=300)
+    ce.add_argument("--partitions", type=int, default=16)
+    ce.add_argument("--files-per-epoch", type=int, default=8)
+    ce.add_argument("--checkpoint-dir", default=None)
+    ce.add_argument("--checkpoint-every", type=int, default=0)
+    ce.add_argument("--resume", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "stream":
@@ -118,6 +147,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_dedup(args)
     if args.cmd == "neardup":
         return _run_neardup(args)
+    if args.cmd == "cep":
+        return _run_cep(args)
 
     if args.cmd == "create":
         os.makedirs(args.dir, exist_ok=True)
@@ -183,6 +214,56 @@ def _run_dedup(args) -> int:
         "state_keys": m["state_keys"], "sink": args.sink,
     }))
     if owns_session:  # never tear down a caller's (e.g. pytest's) session
+        ray.shutdown()
+    return 0
+
+
+def _run_cep(args) -> int:
+    """Streaming CEP job (owns the Ray session, one JSON summary line —
+    the same ``ray job submit`` shape as ``stream``/``dedup``)."""
+    import glob
+    import json
+    import time as _time
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False, ignore_reinit_error=True)
+    from .expr import F
+    from .streaming.cep import StreamingCEPJob
+
+    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not files:
+        print(f"error: no parquet files under {args.input}", file=sys.stderr)
+        return 1
+    steps = []
+    for part in args.steps.split(","):
+        name, cond = part.split(":", 1)
+        col, val = cond.split("=", 1)
+        steps.append((name.strip(), F(col.strip()).Equal(val.strip())))
+    t0 = _time.perf_counter()
+    job = StreamingCEPJob(
+        args.sink, partition_by=args.partition_by.split(","),
+        order_by=args.order_by, steps=steps, contiguity=args.contiguity,
+        within=args.within_us, tiebreak=args.tiebreak,
+        measures=args.measures.split(",") if args.measures else None,
+        lateness_us=args.lateness_s * 1_000_000,
+        num_partitions=args.partitions, input_files=files,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
+    job.run(files, files_per_epoch=args.files_per_epoch)
+    m = job.finish()
+    print(json.dumps({
+        "files": len(files), "epochs": m["epochs"],
+        "sec": round(_time.perf_counter() - t0, 3),
+        "rows_in": m["rows_in"], "matches_out": m["matches_out"],
+        "late_drops": m["late_drops"],
+        "expired_partials": m["expired_partials"],
+        "open_partials": m["open_partials"], "sink": args.sink,
+    }))
+    if owns_session:
         ray.shutdown()
     return 0
 

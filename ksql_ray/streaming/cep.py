@@ -400,10 +400,12 @@ class _CEPPartitionState:
         self.partials = de(doc["partials"])
         self.watermark = doc["watermark"]
         self.flushed_upto = doc["flushed_upto"]
-        self.rows_in = doc["rows_in"]
-        self.matches_out = doc["matches_out"]
-        self.late_drops = doc["late_drops"]
-        self.expired_partials = doc["expired_partials"]
+        # counters stay process-local (a resumed run reports ITS work;
+        # the pre-crash epochs' output is already committed in the sink)
+        self.rows_in = 0
+        self.matches_out = 0
+        self.late_drops = 0
+        self.expired_partials = 0
 
     def metrics(self) -> dict:
         return {"rows_in": self.rows_in, "matches_out": self.matches_out,

@@ -115,3 +115,28 @@ def test_neardup_cli_and_resume(fix, capsys):
     assert r2["state_records"] == r1["state_records"]
     from ksql_ray.streaming.sink import TwoPhaseSink
     assert TwoPhaseSink(sink).read_committed().num_rows == r1["rows_out"]
+
+
+def test_cep_cli_and_resume(fix, capsys):
+    d, paths = fix
+    sink = str(d / "sink_cep")
+    ck = str(d / "ck_cep")
+    argv = ["cep", "--input", paths["transcripts"], "--sink", sink,
+            "--steps", "u:role=user,t:role=tool,a:role=assistant",
+            "--partition-by", "conv_id", "--order-by", "ts",
+            "--tiebreak", "turn_idx", "--measures", "turn_idx",
+            "--within-us", "3600000000", "--lateness-s", "3600",
+            "--partitions", "4", "--files-per-epoch", "2",
+            "--checkpoint-dir", ck, "--checkpoint-every", "1"]
+    assert main(argv) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["rows_in"] == N_TURNS and r["late_drops"] == 0
+    assert r["matches_out"] > 0
+    from ksql_ray.streaming.sink import TwoPhaseSink
+    assert TwoPhaseSink(sink).read_committed().num_rows == r["matches_out"]
+    # resume replays from the checkpoint cursor: committed epochs skip,
+    # output is unchanged (idempotent sink)
+    assert main([*argv, "--resume"]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["rows_in"] == 0
+    assert TwoPhaseSink(sink).read_committed().num_rows == r["matches_out"]
