@@ -1,4 +1,5 @@
-"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+"""Distributed k-means (Lloyd's algorithm) and SemDeDup semantic
+deduplication over an embedding column.
 
 Corpus organization for training-data pipelines: topic bucketing,
 diversity sampling, and IVF coarse quantizers (ops/ann.py) all start
@@ -11,15 +12,21 @@ Scale shape — the canonical broadcast/partial-reduce loop, NO shuffle:
 
 - the (id, vector) projection is materialized ONCE (perf lesson #10:
   Lloyd is multi-pass, and a lazy Dataset re-executes its lineage on
-  every pass);
-- each iteration broadcasts the k×d centroid matrix (``ray.put``) and
-  runs one stateless ``map_batches`` over the corpus that emits ONE
-  (k, d+1) partial — per-cluster vector sums + counts, computed with
-  ``np.add.at`` scatter-adds — so the data that leaves a task is k×d
-  floats regardless of batch size;
+  every pass) and its BLOCK REFS drive every subsequent pass as raw
+  Ray tasks. This is the one place the engine deliberately drops below
+  the Dataset API: a Lloyd iteration is ~0.2 GFLOP of matmul, and a
+  per-iteration `map_batches` pays 1–3 s of operator/actor-pool
+  startup for it — measured 3.4 s/iteration via the Dataset operator
+  vs 0.03 s via ~2·ncpu grouped block tasks on the same 100k×64
+  input (BASELINE.md). Iteration over a materialized dataset is
+  exactly the pattern the streaming executor cannot amortize;
+- each iteration broadcasts the k×d centroid matrix (``ray.put``,
+  resolved by Ray at task dispatch — never ``ray.get`` inside) and
+  every task emits ONE (k, d+1) partial — per-cluster vector sums +
+  counts via ``np.add.at`` scatter-adds — so the data that leaves a
+  task is k×d floats regardless of input size;
 - partials are summed driver-side (k×d is tiny by contract: this op
-  targets k up to ~10^5 at d ~10^3, a few hundred MB of partials per
-  pass at 32 partitions — far below any corpus-proportional cost).
+  targets k up to ~10^5 at d ~10^3).
 
 Determinism contract (what lets the DuckDB oracle be bit-equal):
 initial centroids are the vectors of the k smallest ids; distance ties
@@ -38,7 +45,7 @@ import ray
 import ray.data
 
 from .dedup import _pin
-from .vectors import pack_u64_rows, unpack_u64, vecs_np
+from .vectors import normalize_rows, pack_u64_rows, vecs_np
 
 __all__ = ["kmeans", "semdedup"]
 
@@ -55,20 +62,36 @@ def _assign(emb: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)
 
 
-def _seed_centroids(ds: ray.data.Dataset, k: int, id_col: str,
-                    vec_col: str) -> np.ndarray:
-    """Vectors of the k smallest ids: per-batch local top-k, tiny driver
-    merge — never the full table."""
+def _task_groups(proj: ray.data.Dataset) -> list[list]:
+    """Block refs of the MATERIALIZED projection, grouped into ~2·ncpu
+    task payloads (perf lesson #4: per-task overhead dominates tiny
+    tasks — 64 two-thousand-row blocks make 64 sub-ms tasks)."""
+    blocks = proj.to_arrow_refs()
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    g = max(1, min(len(blocks), ncpu * 2))
+    return [blocks[i::g] for i in range(g)]
 
-    @_pin
-    def local_topk(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+
+@ray.remote
+def _seed_task(k: int, id_col: str, vec_col: str, *tbls) -> pa.Table:
+    from ..streaming.driver import limit_worker_threads
+
+    limit_worker_threads()
+    outs = []
+    for t in tbls:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         keep = np.argsort(ids, kind="stable")[:k]
-        return batch.take(pa.array(np.sort(keep)))
+        outs.append(t.take(pa.array(np.sort(keep))))
+    return pa.concat_tables(outs, promote_options="permissive")
 
+
+def _seed_centroids(groups: list[list], k: int, id_col: str,
+                    vec_col: str) -> np.ndarray:
+    """Vectors of the k smallest ids: per-task local top-k, tiny driver
+    merge — never the full table."""
     parts = [t for t in ray.get(
-        ds.map_batches(local_topk, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+        [_seed_task.remote(k, id_col, vec_col, *g) for g in groups])
+        if t.num_rows]
     if not parts:
         raise ValueError("kmeans: empty input")
     merged = pa.concat_tables(parts, promote_options="permissive")
@@ -79,62 +102,41 @@ def _seed_centroids(ds: ray.data.Dataset, k: int, id_col: str,
     return vecs_np(merged.column(vec_col))[order]
 
 
-class _PartialSums:
-    """Actor-pool stage: centroids fetched once per actor, one scatter-add
-    partial (cluster sums + counts) per batch."""
+@ray.remote
+def _sums_task(cents: np.ndarray, id_col: str, vec_col: str, *tbls):
+    from ..streaming.driver import limit_worker_threads
 
-    def __init__(self, cents_ref, id_col: str, vec_col: str):
-        from ..streaming.driver import limit_worker_threads
-
-        limit_worker_threads()
-        self.cents = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
-        self.id_col = id_col
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        k, d = self.cents.shape
-        emb = vecs_np(batch.column(self.vec_col))
-        sums = np.zeros((k, d), dtype=np.float64)
-        counts = np.zeros(k, dtype=np.int64)
+    limit_worker_threads()
+    k, d = cents.shape
+    sums = np.zeros((k, d), dtype=np.float64)
+    counts = np.zeros(k, dtype=np.int64)
+    for t in tbls:
+        emb = vecs_np(t.column(vec_col))
         if emb.size:
-            a = _assign(emb, self.cents)
+            a = _assign(emb, cents)
             np.add.at(sums, a, emb)
-            counts = np.bincount(a, minlength=k).astype(np.int64)
-        return pa.table({
-            "cl": np.arange(k, dtype=np.int64),
-            "s": pack_u64_rows(sums),  # float64 rows packed buffer-level
-            "n": counts,
-        })
+            counts += np.bincount(a, minlength=k)
+    return sums, counts
 
 
-def _lloyd(proj: ray.data.Dataset, k: int, iters: int, id_col: str,
-           vec_col: str, round_dp: int, concurrency) -> np.ndarray:
-    """Run ``iters`` Lloyd iterations over a MATERIALIZED (id, vector)
-    projection; return the final k×d centroid matrix. Shared by
-    :func:`kmeans` and :func:`semdedup`."""
-    cents = _round_half_away(_seed_centroids(proj, k, id_col, vec_col), round_dp)
+def _lloyd(groups: list[list], k: int, iters: int, id_col: str,
+           vec_col: str, round_dp: int) -> np.ndarray:
+    """Run ``iters`` Lloyd iterations over the grouped block refs;
+    return the final k×d centroid matrix. Shared by :func:`kmeans` and
+    :func:`semdedup`."""
+    cents = _round_half_away(
+        _seed_centroids(groups, k, id_col, vec_col), round_dp)
     d = cents.shape[1]
 
     for _ in range(iters):
         cref = ray.put(cents)
-        parts = proj.map_batches(
-            _PartialSums,
-            fn_constructor_kwargs={"cents_ref": cref, "id_col": id_col,
-                                   "vec_col": vec_col},
-            batch_format="pyarrow", concurrency=concurrency,
-            max_restarts=0,
-        )
+        res = ray.get([_sums_task.remote(cref, id_col, vec_col, *g)
+                       for g in groups])
         sums = np.zeros((k, d), dtype=np.float64)
         counts = np.zeros(k, dtype=np.int64)
-        for t in ray.get(parts.to_arrow_refs()):
-            if not t.num_rows:
-                continue
-            cl = t.column("cl").to_numpy(zero_copy_only=False)
-            n = t.column("n").to_numpy(zero_copy_only=False)
-            flat, _ = unpack_u64(t.column("s"), dtype=np.float64)
-            s = flat.reshape(len(cl), d)
-            np.add.at(sums, cl, s)
-            np.add.at(counts, cl, n)
+        for s, n in res:
+            sums += s
+            counts += n
         nonempty = counts > 0
         new = cents.copy()  # empty clusters keep their previous centroid
         new[nonempty] = _round_half_away(
@@ -143,40 +145,48 @@ def _lloyd(proj: ray.data.Dataset, k: int, iters: int, id_col: str,
     return cents
 
 
+@ray.remote
+def _assign_task(cents: np.ndarray, id_col: str, vec_col: str,
+                 pack_vecs: bool, *tbls) -> pa.Table:
+    from ..streaming.driver import limit_worker_threads
+
+    limit_worker_threads()
+    outs = []
+    for t in tbls:
+        emb = vecs_np(t.column(vec_col))
+        a = (_assign(emb, cents) if emb.size
+             else np.empty(0, dtype=np.int64))
+        cols = {
+            id_col: t.column(id_col),
+            "cluster": pa.array(a.astype(np.int64), type=pa.int64()),
+        }
+        if pack_vecs:
+            cols["vec"] = pack_u64_rows(
+                normalize_rows(emb.astype(np.float64)))
+        outs.append(pa.table(cols))
+    return pa.concat_tables(outs, promote_options="permissive")
+
+
 def kmeans(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
            id_col: str = "vec_id", vec_col: str = "embedding",
-           round_dp: int = 6, concurrency=(1, 8)) -> ray.data.Dataset:
+           round_dp: int = 6, concurrency=None) -> ray.data.Dataset:
     """-> (id_col, cluster) after ``iters`` Lloyd iterations from the
-    deterministic k-smallest-id seed. The final assignment pass streams;
-    only k×d partials and centroids ever leave a task."""
+    deterministic k-smallest-id seed. Only k×d partials and centroids
+    ever leave a task. ``concurrency`` is accepted for API stability
+    and ignored (parallelism = ~2·ncpu grouped block tasks)."""
     proj = ds.select_columns([id_col, vec_col]).materialize()
-    cents = _lloyd(proj, k, iters, id_col, vec_col, round_dp, concurrency)
+    groups = _task_groups(proj)
+    cents = _lloyd(groups, k, iters, id_col, vec_col, round_dp)
     cref = ray.put(cents)
-
-    class _FinalAssign:
-        def __init__(self):
-            from ..streaming.driver import limit_worker_threads
-
-            limit_worker_threads()
-            self.cents = ray.get(cref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = vecs_np(batch.column(vec_col))
-            a = (_assign(emb, self.cents) if emb.size
-                 else np.empty(0, dtype=np.int64))
-            return pa.table({
-                id_col: batch.column(id_col),
-                "cluster": pa.array(a.astype(np.int64), type=pa.int64()),
-            })
-
-    return proj.map_batches(_FinalAssign, batch_format="pyarrow",
-                            concurrency=concurrency, max_restarts=0)
+    refs = [_assign_task.remote(cref, id_col, vec_col, False, *g)
+            for g in groups]
+    return ray.data.from_arrow_refs(refs)
 
 
 def semdedup(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
              tau: float = 0.4, id_col: str = "vec_id",
              vec_col: str = "embedding", round_dp: int = 6,
-             concurrency=(1, 8), num_partitions: int = 16,
+             concurrency=None, num_partitions: int = 16,
              max_cluster_pairwise: int = 8192) -> ray.data.Dataset:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means the
     embedding space, then within each cluster drop every vector whose
@@ -198,36 +208,18 @@ def semdedup(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
     dot of float64-normalized rows (matches ``list_inner_product/(na*nb)``
     at the gate's 6-dp rounding), keep-rule ties broken by id order.
     """
-    from .dedup import _pin
+    from .dedup import _partition_by
     from .stats import ensure_stats_actor, record_stats
-    from .vectors import normalize_rows
+    from .vectors import unpack_u64
 
     ensure_stats_actor()
     proj = ds.select_columns([id_col, vec_col]).materialize()
-    cents = _lloyd(proj, k, iters, id_col, vec_col, round_dp, concurrency)
+    groups = _task_groups(proj)
+    cents = _lloyd(groups, k, iters, id_col, vec_col, round_dp)
     cref = ray.put(cents)
-
-    class _AssignPack:
-        """(id, cluster, normalized vector packed as binary) per row."""
-
-        def __init__(self):
-            from ..streaming.driver import limit_worker_threads
-
-            limit_worker_threads()
-            self.cents = ray.get(cref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = vecs_np(batch.column(vec_col))
-            a = (_assign(emb, self.cents) if emb.size
-                 else np.empty(0, dtype=np.int64))
-            return pa.table({
-                id_col: batch.column(id_col),
-                "cluster": pa.array(a.astype(np.int64), type=pa.int64()),
-                "vec": pack_u64_rows(normalize_rows(emb.astype(np.float64))),
-            })
-
-    assigned = proj.map_batches(_AssignPack, batch_format="pyarrow",
-                                concurrency=concurrency, max_restarts=0)
+    assigned = ray.data.from_arrow_refs(
+        [_assign_task.remote(cref, id_col, vec_col, True, *g)
+         for g in groups])
 
     id_type = proj.schema().base_schema.field(id_col).type
 
@@ -269,8 +261,6 @@ def semdedup(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
             "cluster": tbl.column("cluster"),
             "keep": pa.array(keep),
         })
-
-    from .dedup import _partition_by
 
     return _partition_by(assigned, ["cluster"], num_partitions).map_groups(
         _pin(per_partition), batch_format="pyarrow")

@@ -19,8 +19,8 @@ Scale shape:
 * **train** is the :mod:`ops.cluster` broadcast/partial-reduce Lloyd
   loop run over ALL ``m`` subspaces at once — one pass per iteration
   (not per subspace), each task emitting an (m·k, sub_d+1) partial;
-* **encode** is one stateless ``map_batches``: m small matmuls per
-  batch, codes out — corpus floats never cross the wire;
+* **encode** is one stateless pass of raw block tasks: m small
+  matmuls per task, codes out — corpus floats never cross the wire;
 * **search** broadcasts the (n_q, m, k) ADC lookup tables once
   (``ray.put``, resolved per actor in ``__init__``), per batch gathers
   LUT[s, code] and sums over s (pure numpy fancy-indexing), emits
@@ -40,8 +40,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .cluster import _assign, _round_half_away, _seed_centroids
-from .dedup import _pin
+from .cluster import _assign, _round_half_away, _seed_centroids, _task_groups
 from .vectors import pack_u64_rows, unpack_u64, vecs_np
 
 __all__ = ["pq_train", "pq_encode", "pq_topk"]
@@ -54,44 +53,38 @@ def _split_subspaces(d: int, m: int) -> list[tuple[int, int]]:
     return [(s * sd, (s + 1) * sd) for s in range(m)]
 
 
-class _PQPartialSums:
-    """One Lloyd partial per batch covering every subspace: per-subspace
-    scatter-add sums + counts, (m*k, sub_d) packed rows out."""
+@ray.remote
+def _pq_sums_task(cents: np.ndarray, vec_col: str, *tbls):
+    """One Lloyd partial per task covering every subspace: per-subspace
+    scatter-add sums + counts (raw task over materialized block refs —
+    same rationale as ops.cluster._sums_task)."""
+    from ..streaming.driver import limit_worker_threads
 
-    def __init__(self, cents_ref):
-        from ..streaming.driver import limit_worker_threads
-
-        limit_worker_threads()
-        c = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
-        self.cents = c["cents"]  # (m, k, sd)
-        self.vec_col = c["vec_col"]
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m, k, sd = self.cents.shape
-        emb = vecs_np(batch.column(self.vec_col))
-        sums = np.zeros((m * k, sd), dtype=np.float64)
-        counts = np.zeros(m * k, dtype=np.int64)
+    limit_worker_threads()
+    m, k, sd = cents.shape
+    sums = np.zeros((m * k, sd), dtype=np.float64)
+    counts = np.zeros(m * k, dtype=np.int64)
+    for t in tbls:
+        emb = vecs_np(t.column(vec_col))
         if emb.size:
             for s in range(m):
                 sub = emb[:, s * sd:(s + 1) * sd]
-                a = _assign(sub, self.cents[s])
+                a = _assign(sub, cents[s])
                 np.add.at(sums, s * k + a, sub)
-                counts[s * k:(s + 1) * k] = np.bincount(a, minlength=k)
-        return pa.table({
-            "cell": np.arange(m * k, dtype=np.int64),
-            "s": pack_u64_rows(sums),
-            "n": counts,
-        })
+                counts[s * k:(s + 1) * k] += np.bincount(a, minlength=k)
+    return sums, counts
 
 
 def pq_train(ds: ray.data.Dataset, m: int = 8, k: int = 16,
              iters: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding", round_dp: int = 4,
              concurrency=(1, 8)) -> np.ndarray:
-    """-> (m, k, sub_d) float64 codebooks."""
+    """-> (m, k, sub_d) float64 codebooks. ``concurrency`` is accepted
+    for API stability and ignored (parallelism = ~2·ncpu block tasks)."""
     # materialized: Lloyd is multi-pass (perf lesson #10)
     proj = ds.select_columns([id_col, vec_col]).materialize()
-    seed = _seed_centroids(proj, k, id_col, vec_col)  # (k, d)
+    groups = _task_groups(proj)
+    seed = _seed_centroids(groups, k, id_col, vec_col)  # (k, d)
     d = seed.shape[1]
     spans = _split_subspaces(d, m)
     sd = d // m
@@ -99,27 +92,45 @@ def pq_train(ds: ray.data.Dataset, m: int = 8, k: int = 16,
         np.stack([seed[:, lo:hi] for lo, hi in spans]), round_dp)  # (m,k,sd)
 
     for _ in range(iters):
-        cref = ray.put({"cents": cents, "vec_col": vec_col})
-        parts = proj.map_batches(
-            _PQPartialSums, fn_constructor_kwargs={"cents_ref": cref},
-            batch_format="pyarrow", concurrency=concurrency, max_restarts=0,
-        )
+        cref = ray.put(cents)
+        res = ray.get([_pq_sums_task.remote(cref, vec_col, *g)
+                       for g in groups])
         sums = np.zeros((m * k, sd), dtype=np.float64)
         counts = np.zeros(m * k, dtype=np.int64)
-        for t in ray.get(parts.to_arrow_refs()):
-            if not t.num_rows:
-                continue
-            cell = t.column("cell").to_numpy(zero_copy_only=False)
-            n = t.column("n").to_numpy(zero_copy_only=False)
-            flat, _ = unpack_u64(t.column("s"), dtype=np.float64)
-            np.add.at(sums, cell, flat.reshape(len(cell), sd))
-            np.add.at(counts, cell, n)
+        for su, n in res:
+            sums += su
+            counts += n
         flatc = cents.reshape(m * k, sd).copy()
         nonempty = counts > 0
         flatc[nonempty] = _round_half_away(
             sums[nonempty] / counts[nonempty, None], round_dp)
         cents = flatc.reshape(m, k, sd)
     return cents
+
+
+@ray.remote
+def _pq_encode_task(cents: np.ndarray, id_col: str, vec_col: str,
+                    pack: bool, *tbls) -> pa.Table:
+    from ..streaming.driver import limit_worker_threads
+
+    limit_worker_threads()
+    m, k, sd = cents.shape
+    outs = []
+    for t in tbls:
+        emb = vecs_np(t.column(vec_col))
+        n = t.num_rows
+        codes = np.zeros((n, m), dtype=np.int64)
+        if emb.size:
+            for s in range(m):
+                codes[:, s] = _assign(emb[:, s * sd:(s + 1) * sd], cents[s])
+        cols = {id_col: t.column(id_col)}
+        if pack:
+            cols["codes"] = pack_u64_rows(codes.astype(np.uint8))
+        else:
+            for s in range(m):
+                cols[f"c{s}"] = pa.array(codes[:, s])
+        outs.append(pa.table(cols))
+    return pa.concat_tables(outs, promote_options="permissive")
 
 
 def pq_encode(ds: ray.data.Dataset, cents: np.ndarray,
@@ -133,34 +144,11 @@ def pq_encode(ds: ray.data.Dataset, cents: np.ndarray,
     if pack and k > 256:
         raise ValueError("pq: packed codes need k <= 256")
     cref = ray.put(cents)
-
-    class _Encode:
-        def __init__(self):
-            from ..streaming.driver import limit_worker_threads
-
-            limit_worker_threads()
-            self.cents = ray.get(cref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = vecs_np(batch.column(vec_col))
-            n = batch.num_rows
-            codes = np.zeros((n, m), dtype=np.int64)
-            if emb.size:
-                for s in range(m):
-                    codes[:, s] = _assign(emb[:, s * sd:(s + 1) * sd],
-                                          self.cents[s])
-            cols = {id_col: batch.column(id_col)}
-            if pack:
-                byte_rows = codes.astype(np.uint8)
-                cols["codes"] = pack_u64_rows(byte_rows)
-            else:
-                for s in range(m):
-                    cols[f"c{s}"] = pa.array(codes[:, s])
-            return pa.table(cols)
-
-    return ds.select_columns([id_col, vec_col]).map_batches(
-        _Encode, batch_format="pyarrow", concurrency=concurrency,
-        max_restarts=0)
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+    groups = _task_groups(proj)
+    return ray.data.from_arrow_refs(
+        [_pq_encode_task.remote(cref, id_col, vec_col, pack, *g)
+         for g in groups])
 
 
 class _ADCTopK:
