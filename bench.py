@@ -475,6 +475,20 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["pq_train_encode_search_100k"] = min2(_pq)
 
+    # IVF-PQ: coarse quantizer + residual codes, multi-probe ADC scan
+    # touching ~nprobe/nlist of the corpus
+    from ksql_ray.ops.pq import ivfpq_build, ivfpq_topk
+
+    def _ivfpq():
+        vds = ray.data.read_parquet(vec_path)
+        codes, coarse, cents = ivfpq_build(vds, nlist=64, m=8, k=16,
+                                           coarse_iters=2, pq_iters=1)
+        codes = codes.materialize()
+        ivfpq_topk(codes, coarse, cents, list(range(16)), qm2, k=10,
+                   nprobe=8).count()
+
+    out["ivfpq_100k_16q"] = min2(_ivfpq)
+
     # "no silent caps": star-capped jumbo buckets and dropped store-join
     # segments across all dedup runs above (recall impact is quantifiable
     # from these — a zero here means no cap fired at this scale)

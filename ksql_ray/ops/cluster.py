@@ -51,8 +51,12 @@ __all__ = ["kmeans", "semdedup"]
 
 
 def _round_half_away(m: np.ndarray, dp: int) -> np.ndarray:
+    # trunc, NOT floor: floor(x*s - 0.5) shifts every negative value
+    # whose fraction is < .5 down a full quantum (round(-17.17) -> -18);
+    # trunc matches SQL ROUND's half-away-from-zero on both signs
+    # (verified against DuckDB across sign/boundary cases)
     scale = 10.0 ** dp
-    return np.floor(m * scale + np.where(m >= 0, 0.5, -0.5)) / scale
+    return np.trunc(m * scale + np.where(m >= 0, 0.5, -0.5)) / scale
 
 
 def _assign(emb: np.ndarray, cents: np.ndarray) -> np.ndarray:

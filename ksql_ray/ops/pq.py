@@ -37,13 +37,14 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
 from .cluster import _assign, _round_half_away, _seed_centroids, _task_groups
 from .vectors import pack_u64_rows, unpack_u64, vecs_np
 
-__all__ = ["pq_train", "pq_encode", "pq_topk"]
+__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_build", "ivfpq_topk"]
 
 
 def _split_subspaces(d: int, m: int) -> list[tuple[int, int]]:
@@ -213,6 +214,208 @@ def pq_topk(codes_ds: ray.data.Dataset, cents: np.ndarray,
         _ADCTopK, fn_constructor_kwargs={"lut_ref": lref, "k": k,
                                          "id_col": id_col},
         batch_format="pyarrow", concurrency=(1, 8), max_restarts=0)
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        d = group.column("adc_dist").to_numpy(zero_copy_only=False)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, d))[:k]
+        return pa.table({
+            "query_id": pa.array([qid] * len(order), type=pa.int64()),
+            "vec_id": pa.array(vid[order], type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+        })
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + residual PQ codes, multi-probe ADC search —
+# the composition production-scale ANN indexes use (Jégou et al. §V).
+
+@ray.remote
+def _ivfpq_sums_task(coarse: np.ndarray, cents: np.ndarray, vec_col: str,
+                     *tbls):
+    """PQ-training Lloyd partial over RESIDUALS (x − nearest coarse
+    centroid): per-subspace scatter-add sums + counts."""
+    from ..streaming.driver import limit_worker_threads
+
+    limit_worker_threads()
+    m, k, sd = cents.shape
+    sums = np.zeros((m * k, sd), dtype=np.float64)
+    counts = np.zeros(m * k, dtype=np.int64)
+    for t in tbls:
+        emb = vecs_np(t.column(vec_col))
+        if not emb.size:
+            continue
+        r = emb - coarse[_assign(emb, coarse)]
+        for s in range(m):
+            sub = r[:, s * sd:(s + 1) * sd]
+            a = _assign(sub, cents[s])
+            np.add.at(sums, s * k + a, sub)
+            counts[s * k:(s + 1) * k] += np.bincount(a, minlength=k)
+    return sums, counts
+
+
+@ray.remote
+def _ivfpq_encode_task(coarse: np.ndarray, cents: np.ndarray, id_col: str,
+                       vec_col: str, pack: bool, *tbls) -> pa.Table:
+    from ..streaming.driver import limit_worker_threads
+
+    limit_worker_threads()
+    m, k, sd = cents.shape
+    outs = []
+    for t in tbls:
+        emb = vecs_np(t.column(vec_col))
+        n = t.num_rows
+        lists = (np.empty(0, dtype=np.int64) if not emb.size
+                 else _assign(emb, coarse))
+        codes = np.zeros((n, m), dtype=np.int64)
+        if emb.size:
+            r = emb - coarse[lists]
+            for s in range(m):
+                codes[:, s] = _assign(r[:, s * sd:(s + 1) * sd], cents[s])
+        cols = {id_col: t.column(id_col),
+                "list": pa.array(lists.astype(np.int64))}
+        if pack:
+            cols["codes"] = pack_u64_rows(codes.astype(np.uint8))
+        else:
+            for s in range(m):
+                cols[f"c{s}"] = pa.array(codes[:, s])
+        outs.append(pa.table(cols))
+    return pa.concat_tables(outs, promote_options="permissive")
+
+
+def ivfpq_build(ds: ray.data.Dataset, nlist: int = 64, m: int = 8,
+                k: int = 16, coarse_iters: int = 3, pq_iters: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_dp: int = 6, pack: bool = True):
+    """-> (codes_ds, coarse, cents): an inverted-file PQ index.
+
+    ``codes_ds`` has one row per vector — (id, list, m-byte residual
+    code); ``coarse`` is the (nlist, d) coarse quantizer; ``cents`` the
+    (m, k, sub_d) residual codebooks. At 10^10 vectors the index is
+    nlist partitions of m-byte codes (~32×+ smaller than the floats);
+    build cost is the two Lloyd loops (coarse + residual PQ), all raw
+    block tasks (see module docstring). Write ``codes_ds`` partitioned
+    by ``list`` for probe-local reads at serving time.
+    """
+    from .cluster import _lloyd
+
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+    groups = _task_groups(proj)
+    coarse = _lloyd(groups, nlist, coarse_iters, id_col, vec_col, round_dp)
+    d = coarse.shape[1]
+    sd = d // m
+    _split_subspaces(d, m)  # validates divisibility
+    # residual-PQ seed: residuals of the k smallest ids
+    seed = _seed_centroids(groups, k, id_col, vec_col)
+    rseed = seed - coarse[_assign(seed, coarse)]
+    cents = _round_half_away(
+        np.stack([rseed[:, s * sd:(s + 1) * sd] for s in range(m)]),
+        round_dp)
+    cor = ray.put(coarse)
+    for _ in range(pq_iters):
+        cref = ray.put(cents)
+        res = ray.get([_ivfpq_sums_task.remote(cor, cref, vec_col, *g)
+                       for g in groups])
+        sums = np.zeros((m * k, sd), dtype=np.float64)
+        counts = np.zeros(m * k, dtype=np.int64)
+        for su, n in res:
+            sums += su
+            counts += n
+        flatc = cents.reshape(m * k, sd).copy()
+        nonempty = counts > 0
+        flatc[nonempty] = _round_half_away(
+            sums[nonempty] / counts[nonempty, None], round_dp)
+        cents = flatc.reshape(m, k, sd)
+    cref = ray.put(cents)
+    codes_ds = ray.data.from_arrow_refs(
+        [_ivfpq_encode_task.remote(cor, cref, id_col, vec_col, pack, *g)
+         for g in groups])
+    return codes_ds, coarse, cents
+
+
+def ivfpq_topk(codes_ds: ray.data.Dataset, coarse: np.ndarray,
+               cents: np.ndarray, query_ids: list[int],
+               query_matrix: np.ndarray, k: int = 10, nprobe: int = 4,
+               id_col: str = "vec_id",
+               num_partitions: int = 16) -> ray.data.Dataset:
+    """-> (query_id, vec_id, rank): multi-probe ADC top-k per query.
+
+    Each query probes its ``nprobe`` nearest coarse lists; the scan
+    touches only those lists' code rows (corpus fraction ≈
+    nprobe/nlist). Codes are co-located by ONE hash shuffle on
+    ``list``; the per-(query, list) ADC lookup tables — built from the
+    query's residual against each probed centroid — broadcast once.
+    Ranking is (approximate squared L2 asc, vec_id asc); self-matches
+    are not excluded (codes carry no raw vectors)."""
+    from .dedup import _partition_by, _pin
+
+    m, kc, sd = cents.shape
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    n_q = qm.shape[0]
+    d2 = (coarse * coarse).sum(axis=1)[None, :] - 2.0 * (qm @ coarse.T)
+    nprobe = min(nprobe, coarse.shape[0])
+    probe = np.argpartition(d2, kth=nprobe - 1, axis=1)[:, :nprobe]
+    # order probes by distance (then list id) so results are reproducible
+    ordp = np.lexsort((probe, np.take_along_axis(d2, probe, axis=1)))
+    probe = np.take_along_axis(probe, ordp, axis=1)  # (n_q, nprobe)
+    luts = np.zeros((n_q, nprobe, m, kc), dtype=np.float64)
+    for j in range(nprobe):
+        rq = qm - coarse[probe[:, j]]  # query residual per probed list
+        for s in range(m):
+            qs = rq[:, s * sd:(s + 1) * sd]
+            diff = qs[:, None, :] - cents[s][None, :, :]
+            luts[:, j, s, :] = (diff * diff).sum(axis=2)
+    bref = ray.put({"ids": np.asarray(query_ids), "probe": probe,
+                    "luts": luts})
+
+    def scan(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "adc_dist": pa.array([], type=pa.float64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        b = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+        tbl = group.take(pc.sort_indices(group, sort_keys=[
+            ("list", "ascending")]))
+        lists = tbl.column("list").to_numpy(zero_copy_only=False)
+        flat, _ = unpack_u64(tbl.column("codes"), dtype=np.uint8)
+        codes = flat.reshape(tbl.num_rows, m).astype(np.int64)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        out_q, out_v, out_d = [], [], []
+        for q in range(len(b["ids"])):
+            for j in range(nprobe):
+                lo = np.searchsorted(lists, b["probe"][q, j], "left")
+                hi = np.searchsorted(lists, b["probe"][q, j], "right")
+                if hi == lo:
+                    continue
+                lut = b["luts"][q, j]  # (m, kc)
+                c = codes[lo:hi]
+                dist = np.zeros(hi - lo, dtype=np.float64)
+                for s in range(m):
+                    dist += lut[s, c[:, s]]
+                kk = min(k, hi - lo)
+                top = np.argpartition(dist, kth=kk - 1)[:kk]
+                out_q.append(np.full(kk, b["ids"][q], dtype=np.int64))
+                out_v.append(ids[lo:hi][top].astype(np.int64))
+                out_d.append(dist[top])
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "adc_dist": pa.array(np.concatenate(out_d), type=pa.float64()),
+        })
+
+    partials = _partition_by(codes_ds, ["list"], num_partitions).map_groups(
+        _pin(scan), batch_format="pyarrow")
 
     def merge(group: pa.Table) -> pa.Table:
         qid = group.column("query_id")[0].as_py()

@@ -42,7 +42,9 @@ def _round_cols(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
             col = pc.cast(tbl.column(c), pa.float64()).combine_chunks()
             v = col.to_numpy(zero_copy_only=False)
             scale = 10.0 ** nd
-            r = np.floor(v * scale + np.where(v >= 0, 0.5, -0.5)) / scale
+            # trunc, not floor: floor(x*s - 0.5) drops every negative
+            # value with fraction < .5 a full quantum below SQL ROUND
+            r = np.trunc(v * scale + np.where(v >= 0, 0.5, -0.5)) / scale
             # Preserve the validity mask: to_numpy turns NULL into NaN and a
             # bare pa.array(r) would keep it NaN, corrupting NULL aggregates
             # (e.g. SUM over an all-NULL group) into hash mismatches.
@@ -992,6 +994,82 @@ def _pq_sql(m: int = 4, k: int = 4, iters: int = 2, dim: int = 64,
 
 
 REGISTRY["op_pq_encode"] = RawQ(_op_pq_encode, _pq_sql())
+
+
+def _op_ivfpq_encode(sf_dir: str) -> pa.Table:
+    """IVF-PQ index build over the embeddings table: nlist=4 coarse
+    Lloyd lists (2 iterations), then m=4/k=4 residual-PQ codebooks (1
+    iteration) — same determinism contract as op_kmeans at every level
+    (ops/pq.py ivfpq_build). Output is the oracle-comparable unpacked
+    form (list, c0..c3); pack=True is the serving form."""
+    import ray.data
+
+    from ..ops.pq import ivfpq_build
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    codes_ds, _, _ = ivfpq_build(ds, nlist=4, m=4, k=4, coarse_iters=2,
+                                 pq_iters=1, round_dp=4, pack=False)
+    return _collect(codes_ds)
+
+
+def _ivfpq_sql(nlist: int = 4, m: int = 4, k: int = 4,
+               coarse_iters: int = 2, pq_iters: int = 1, dim: int = 64,
+               dp: int = 4) -> str:
+    """Coarse unrolled Lloyd (reusing _lloyd_ctes' asg/c{iters}) +
+    residual computation + per-subspace unrolled residual-PQ Lloyd."""
+    sd = dim // m
+    parts = [_lloyd_ctes(nlist, coarse_iters, dim, dp)]
+    parts.append(f""", res AS (
+  SELECT e.vec_id, a.cl AS list,
+         list_transform(range(1, {dim + 1}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) - c.c[i]) AS r
+  FROM e JOIN asg a USING (vec_id) JOIN c{coarse_iters} c ON c.cl = a.cl
+)""")
+    for s in range(m):
+        lo = s * sd
+        avg_list = ", ".join(f"round(avg(res.r[{lo + i}]), {dp})"
+                             for i in range(1, sd + 1))
+        dist = (f"list_sum(list_transform(range(1, {sd + 1}), "
+                f"i -> (res.r[{lo} + i] - c.c[i]) * "
+                f"(res.r[{lo} + i] - c.c[i])))")
+        parts.append(f""", r{s}c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+         list_transform(range({lo + 1}, {lo + sd + 1}),
+                        i -> round(r[i], {dp})) AS c
+  FROM res ORDER BY vec_id LIMIT {k}
+)""")
+        for t in range(pq_iters):
+            parts.append(f""", r{s}d{t} AS (
+  SELECT res.vec_id, c.cl, {dist} AS dist FROM res CROSS JOIN r{s}c{t} c
+), r{s}a{t} AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM r{s}d{t}) WHERE rn = 1
+), r{s}u{t + 1} AS (
+  SELECT a.cl, [{avg_list}] AS c
+  FROM res JOIN r{s}a{t} a USING (vec_id) GROUP BY a.cl
+), r{s}c{t + 1} AS (
+  SELECT r{s}c{t}.cl, coalesce(r{s}u{t + 1}.c, r{s}c{t}.c) AS c
+  FROM r{s}c{t} LEFT JOIN r{s}u{t + 1} USING (cl)
+)""")
+        parts.append(f""", r{s}df AS (
+  SELECT res.vec_id, c.cl, {dist} AS dist
+  FROM res CROSS JOIN r{s}c{pq_iters} c
+), r{s}asg AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM r{s}df) WHERE rn = 1
+)""")
+    sel = ", ".join(f"r{s}asg.cl AS c{s}" for s in range(m))
+    joins = " ".join(f"JOIN r{s}asg USING (vec_id)" for s in range(m))
+    parts.append(f"\nSELECT res.vec_id, res.list, {sel} FROM res {joins}")
+    return "".join(parts)
+
+
+REGISTRY["op_ivfpq_encode"] = RawQ(_op_ivfpq_encode, _ivfpq_sql())
 
 
 def _op_pack_shards(sf_dir: str) -> pa.Table:

@@ -11,7 +11,7 @@ from ksql_ray.ops.cluster import kmeans
 def _np_kmeans(ids, mat, k, iters, dp=6):
     def rnd(m):
         s = 10.0 ** dp
-        return np.floor(m * s + np.where(m >= 0, 0.5, -0.5)) / s
+        return np.trunc(m * s + np.where(m >= 0, 0.5, -0.5)) / s
 
     order = np.argsort(ids, kind="stable")
     cents = rnd(mat[order[:k]].astype(np.float64))
