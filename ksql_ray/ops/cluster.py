@@ -47,7 +47,7 @@ import ray.data
 from .dedup import _pin
 from .vectors import normalize_rows, pack_u64_rows, vecs_np
 
-__all__ = ["kmeans", "semdedup"]
+__all__ = ["cluster_sample", "kmeans", "semdedup"]
 
 
 def _round_half_away(m: np.ndarray, dp: int) -> np.ndarray:
@@ -268,3 +268,79 @@ def semdedup(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
 
     return _partition_by(assigned, ["cluster"], num_partitions).map_groups(
         _pin(per_partition), batch_format="pyarrow")
+
+
+def cluster_sample(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
+                   n_per_cluster: int = 10, id_col: str = "vec_id",
+                   vec_col: str = "embedding", round_dp: int = 6,
+                   by: str = "id") -> ray.data.Dataset:
+    """Diversity sampling: k-means the embedding space, keep
+    ``n_per_cluster`` vectors per cluster -> (id_col, cluster) of the
+    kept rows. ``by="id"`` keeps each cluster's lowest ids
+    (deterministic, oracle-able); ``by="hash"`` keeps the lowest
+    ``pd.util.hash_array(id)`` values — a deterministic pseudo-random
+    draw (same rule the stratified sampler uses).
+
+    Scale shape: the :func:`kmeans` Lloyd loop (no shuffle), then ONE
+    per-task top-n over assignments + a tiny driver merge of k·n
+    candidate rows per task group — the corpus never shuffles at all.
+    Training-data use: cluster-balanced subsets for diversity-preserving
+    downsampling (the SemDeDup paper's "keep one per semantic
+    neighborhood", relaxed to n)."""
+    if by not in ("id", "hash"):
+        raise ValueError("by must be 'id' or 'hash'")
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+    groups = _task_groups(proj)
+    cents = _lloyd(groups, k, iters, id_col, vec_col, round_dp)
+    cref = ray.put(cents)
+
+    @ray.remote
+    def local_topn(cents_in, *tbls) -> pa.Table:
+        from ..streaming.driver import limit_worker_threads
+
+        limit_worker_threads()
+        outs = []
+        for t in tbls:
+            emb = vecs_np(t.column(vec_col))
+            a = (_assign(emb, cents_in) if emb.size
+                 else np.empty(0, dtype=np.int64))
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            key = (ids if by == "id" else _sample_hash(ids))
+            # per-cluster lowest-n: sort by (cluster, key), take the
+            # first n of each cluster segment
+            order = np.lexsort((key, a))
+            a_s = a[order]
+            new = np.ones(len(a_s), dtype=bool)
+            new[1:] = a_s[1:] != a_s[:-1]
+            seg_start = np.maximum.accumulate(
+                np.where(new, np.arange(len(a_s)), 0))
+            rank = np.arange(len(a_s)) - seg_start
+            keep = order[rank < n_per_cluster]
+            outs.append(pa.table({
+                id_col: t.column(id_col).take(pa.array(np.sort(keep))),
+                "cluster": pa.array(a[np.sort(keep)].astype(np.int64)),
+            }))
+        return pa.concat_tables(outs, promote_options="permissive")
+
+    parts = [t for t in ray.get(
+        [local_topn.remote(cref, *g) for g in groups]) if t.num_rows]
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    # final top-n per cluster over k*n*len(groups) candidate rows
+    cl = merged.column("cluster").to_numpy(zero_copy_only=False)
+    ids = merged.column(id_col).to_numpy(zero_copy_only=False)
+    key = (ids if by == "id" else _sample_hash(ids))
+    order = np.lexsort((key, cl))
+    cl_s = cl[order]
+    new = np.ones(len(cl_s), dtype=bool)
+    new[1:] = cl_s[1:] != cl_s[:-1]
+    seg_start = np.maximum.accumulate(np.where(new, np.arange(len(cl_s)), 0))
+    rank = np.arange(len(cl_s)) - seg_start
+    keep = np.sort(order[rank < n_per_cluster])
+    return ray.data.from_arrow(merged.take(pa.array(keep)))
+
+
+def _sample_hash(ids: np.ndarray) -> np.ndarray:
+    import pandas as pd
+
+    return pd.util.hash_array(np.ascontiguousarray(ids),
+                              hash_key="ksql_ray_clsampl").astype(np.uint64)

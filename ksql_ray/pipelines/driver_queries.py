@@ -1072,6 +1072,30 @@ def _ivfpq_sql(nlist: int = 4, m: int = 4, k: int = 4,
 REGISTRY["op_ivfpq_encode"] = RawQ(_op_ivfpq_encode, _ivfpq_sql())
 
 
+def _op_cluster_sample(sf_dir: str) -> pa.Table:
+    """Cluster-stratified diversity sampling: k-means (same contract as
+    op_kmeans), keep each cluster's 5 lowest-id vectors — no shuffle at
+    all: per-task top-n candidates, tiny driver merge
+    (ops/cluster.py cluster_sample)."""
+    import ray.data
+
+    from ..ops.cluster import cluster_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return _collect(cluster_sample(ds, k=8, iters=3, n_per_cluster=5,
+                                   round_dp=4, by="id"))
+
+
+REGISTRY["op_cluster_sample"] = RawQ(
+    _op_cluster_sample,
+    _lloyd_ctes(8, 3, 64, 4) + """
+SELECT vec_id, cl AS cluster FROM (
+  SELECT vec_id, cl,
+         row_number() OVER (PARTITION BY cl ORDER BY vec_id) AS rn
+  FROM asg) WHERE rn <= 5""")
+
+
 def _op_pack_shards(sf_dir: str) -> pa.Table:
     """Token-budget shard packing: two-phase distributed prefix sum in
     ascending doc_id order, shard = floor(exclusive_prefix / 1000)."""

