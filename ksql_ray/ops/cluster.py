@@ -246,6 +246,10 @@ def semdedup(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
         starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
         ends = np.r_[starts[1:], len(cl)]
         capped_clusters = capped_members = 0
+        B = 1024  # row-block the pairwise: an n^2 float64 matrix for a
+        # 6k-row cluster is ~300 MB; blocks keep it at B*n (~50 MB) and
+        # compare each row only against EARLIER rows (incl. dropped
+        # ones — SemDeDup drops against any earlier member)
         for s, e in zip(starts, ends):
             n = e - s
             if n < 2:
@@ -254,9 +258,14 @@ def semdedup(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
                 capped_clusters += 1
                 capped_members += int(n - max_cluster_pairwise)
                 e = s + max_cluster_pairwise
-            sims = m[s:e] @ m[s:e].T
-            # rows sorted by id: drop i iff some j<i in-cluster has cos>=tau
-            keep[s:e] = ~(np.tril(sims >= tau, k=-1).any(axis=1))
+            for b0 in range(s + 1, e, B):
+                b1 = min(b0 + B, e)
+                sims = m[b0:b1] @ m[s:b1].T  # (rows b0..b1) x (cols s..b1)
+                hit = sims >= tau
+                # mask cols at/after each row's own position
+                cols = np.arange(s, b1)
+                hit &= cols[None, :] < np.arange(b0, b1)[:, None]
+                keep[b0:b1] = ~hit.any(axis=1)
         if capped_clusters:
             record_stats("semdedup", capped_clusters=capped_clusters,
                          capped_members=capped_members)
