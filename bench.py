@@ -489,6 +489,26 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["ivfpq_100k_16q"] = min2(_ivfpq)
 
+    # semantic dedup on ingest: the 100k vectors streamed as 32
+    # micro-batches (8 pipelined epochs), greedy first occurrence of
+    # every cosine>=0.9 cluster survives
+    from ksql_ray.streaming.neardup import StreamingEmbeddingDedupJob
+
+    def _sembdedup():
+        outd = _tempfile.mkdtemp(prefix="ksql_bench_sed_")
+        try:
+            t = pq.read_table(vec_path)
+            job = StreamingEmbeddingDedupJob(
+                outd, dim=64, threshold=0.9, n_planes=10, n_tables=4,
+                num_partitions=8)
+            job.run([t.slice(i * 3125, 3125) for i in range(32)],
+                    files_per_epoch=4)
+            job.finish()
+        finally:
+            _shutil.rmtree(outd, ignore_errors=True)
+
+    out["streaming_embdedup_100k"] = min2(_sembdedup)
+
     # "no silent caps": star-capped jumbo buckets and dropped store-join
     # segments across all dedup runs above (recall impact is quantifiable
     # from these — a zero here means no cap fired at this scale)

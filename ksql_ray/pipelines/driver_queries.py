@@ -2344,6 +2344,65 @@ WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""",
 )
 
 
+def _streaming_embdedup(sf_dir: str) -> pa.Table:
+    """Semantic dedup on ingest (streaming/neardup.py
+    StreamingEmbeddingDedupJob): the embeddings table streamed as 8
+    micro-batch files in vec_id order; the greedy first occurrence of
+    every cosine>=0.45 cluster survives. Probing mirrors the bounded
+    op_embedding_neardup gate (4 planes x 32 tables -> recall ~1 at the
+    fixture's 0.45-0.51 near-dup band); the fixture's 14 planted pairs
+    are DISJOINT, so greedy == "no earlier similar vector" and the
+    oracle is plain SQL (chain semantics are pinned by
+    test_streaming_embdedup.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.neardup import StreamingEmbeddingDedupJob
+
+    vecs = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
+    dim = len(vecs.column("embedding")[0])
+    n = vecs.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_sed_in_")
+    out = tempfile.mkdtemp(prefix="ksql_ray_sed_out_")
+    try:
+        files = []
+        for i in range(8):
+            s = vecs.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingEmbeddingDedupJob(out, dim=dim, threshold=0.45,
+                                         n_planes=4, n_tables=32,
+                                         num_partitions=4)
+        job.run(files, files_per_epoch=2)
+        job.finish()
+        return job.result()
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+REGISTRY["streaming_embdedup"] = RawQ(
+    _streaming_embdedup,
+    """WITH n AS (SELECT vec_id, embedding, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+       m AS (SELECT vec_id, embedding, label, emb,
+                    sqrt(list_sum(list_transform(emb, x -> x*x))) AS nm
+             FROM n),
+       dropped AS (
+         SELECT DISTINCT b.vec_id
+         FROM m a JOIN m b ON a.vec_id < b.vec_id
+         WHERE list_inner_product(a.emb, b.emb) / (a.nm * b.nm) >= 0.45
+       )
+       SELECT vec_id, embedding, label FROM m
+       WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
+)
+
+
 REGISTRY["ddl_migrations"] = RawQ(
     _ddl_migrations,
     "SELECT * FROM (VALUES "

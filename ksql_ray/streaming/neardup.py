@@ -97,14 +97,24 @@ def _in_sorted(sorted_vals: np.ndarray, x: np.ndarray) -> np.ndarray:
 
 
 def _agree_hits(sig_a: np.ndarray, idx_a: np.ndarray, sig_b: np.ndarray,
-                idx_b: np.ndarray, tau: float) -> np.ndarray:
-    """Positions i where mean(sig_a[idx_a[i]] == sig_b[idx_b[i]]) >= tau.
-    Chunked so the (comparisons x lanes) boolean temp stays bounded."""
+                idx_b: np.ndarray, tau: float,
+                mode: str = "minhash") -> np.ndarray:
+    """Pair positions i whose similarity >= tau. ``mode="minhash"``:
+    similarity = mean(lanes equal) (E[.] = Jaccard); ``mode="cosine"``:
+    the uint32 lanes ARE a normalized float32 vector, similarity = dot.
+    Chunked so the (comparisons x lanes) temp stays bounded."""
     out = []
     for s in range(0, len(idx_a), _CMP_CHUNK):
         e = min(len(idx_a), s + _CMP_CHUNK)
-        agree = (sig_a[idx_a[s:e]] == sig_b[idx_b[s:e]]).mean(axis=1)
-        hit = np.flatnonzero(agree >= tau)
+        a, b = sig_a[idx_a[s:e]], sig_b[idx_b[s:e]]
+        if mode == "cosine":
+            # fancy-indexed slices are fresh contiguous arrays; the
+            # 4-byte reinterpret is free
+            score = (a.view(np.float32).astype(np.float64)
+                     * b.view(np.float32)).sum(axis=1)
+        else:
+            score = (a == b).mean(axis=1)
+        hit = np.flatnonzero(score >= tau)
         if len(hit):
             out.append(s + hit)
     return (np.concatenate(out) if out
@@ -172,12 +182,13 @@ class NearDupBucketActor:
     LSM-style sorted runs of (band-bucket key, uint32 signature)."""
 
     def __init__(self, part_id: int, num_hashes: int, tau: float,
-                 star_cap: int):
+                 star_cap: int, mode: str = "minhash"):
         limit_worker_threads()
         self.part_id = part_id
         self.L = num_hashes
         self.tau = tau
         self.cap = star_cap
+        self.mode = mode
         # sorted runs: (keys u64 asc, sigs (m, L) u32); within equal
         # keys, arrival order (stable sorts everywhere) — so star caps
         # deterministically prefer the EARLIEST kept members
@@ -237,7 +248,8 @@ class NearDupBucketActor:
                 continue
             rec_rep = np.repeat(np.arange(n), cnt)
             mem_idx = np.repeat(lo, cnt) + _ragged_arange(cnt)
-            hits = _agree_hits(sig_s, rec_rep, rsig, mem_idx, self.tau)
+            hits = _agree_hits(sig_s, rec_rep, rsig, mem_idx, self.tau,
+                               self.mode)
             dup_doc[inv[rec_rep[hits]]] = True
         # --- intra-epoch: only docs NOT condemned by state take part —
         # a pair with a condemned doc on either side can never flip a
@@ -261,7 +273,8 @@ class NearDupBucketActor:
         if total:
             j_idx = np.repeat(np.arange(m), wcnt)
             i_idx = np.repeat(seg_start[seg_id], wcnt) + _ragged_arange(wcnt)
-            hits = _agree_hits(sig_a, i_idx, sig_a, j_idx, self.tau)
+            hits = _agree_hits(sig_a, i_idx, sig_a, j_idx, self.tau,
+                               self.mode)
             e_o, l_o = o_a[i_idx[hits]], o_a[j_idx[hits]]
             real = e_o != l_o  # same doc via colliding band keys: drop
             pairs = np.stack([e_o[real], l_o[real]], axis=1)
@@ -460,6 +473,11 @@ class StreamingNearDupJob:
             # cursor only advance the deterministic file counter (their
             # index records are restored; sink files already committed)
 
+    def _prep_one(self, f):
+        return _neardup_prep.options(num_returns=self.P + 1).remote(
+            [f], self.columns, self.text_col, self.ngram, self.L,
+            self.bands, self.seed, self.P, self._file_seq)
+
     def _submit_epoch(self, files_or_tables: Sequence):
         """Submit one epoch without waiting: per-actor task-queue order
         serializes probe(e) -> insert(e) -> probe(e+1), so epochs
@@ -471,9 +489,7 @@ class StreamingNearDupJob:
             return (self.epoch, None, None, None, None)
         preps, rows_refs = [], []
         for f in files_or_tables:
-            out = _neardup_prep.options(num_returns=self.P + 1).remote(
-                [f], self.columns, self.text_col, self.ngram, self.L,
-                self.bands, self.seed, self.P, self._file_seq)
+            out = self._prep_one(f)
             preps.append(out[: self.P])
             rows_refs.append(out[self.P])
             self._file_seq += 1
@@ -561,3 +577,129 @@ class StreamingNearDupJob:
 
     def result(self) -> pa.Table:
         return self.sink.read_committed()
+
+
+# ---------------------------------------------------------------------------
+# Embedding (semantic) near-dup on ingest: the same greedy
+# probe -> resolve -> insert protocol with sign-LSH table buckets as the
+# candidate keys and exact cosine as the verify rule — the streaming
+# counterpart of ops/dedup.embedding_neardup_pairs, completing the
+# {exact, MinHash, embedding} x {bounded, streaming} dedup matrix.
+
+@ray.remote
+def _embdedup_prep(inputs, columns, vec_col: str, n_planes: int,
+                   n_tables: int, seed: int, num_partitions: int,
+                   file_seq0: int):
+    """Read -> normalize -> per-table sign-LSH bucket records for one
+    epoch's files. Returns P key-partition slices + the raw row table
+    (``num_returns=P+1``). The packed float32 normalized vector rides as
+    the record "signature": verification is bucket-local, no store join
+    per epoch (same tradeoff as the minhash prep's packed lanes)."""
+    limit_worker_threads()
+    from ..ops.vectors import normalize_rows, vecs_np
+
+    tables, recs = [], []
+    planes = None
+    for i, x in enumerate(inputs):
+        batch = x if isinstance(x, pa.Table) else pq.read_table(
+            x, columns=columns)
+        n = batch.num_rows
+        if n >= _MAX_ROWS_PER_FILE:
+            raise ValueError("micro-batch file exceeds 2^40 rows")
+        ordv = ((file_seq0 + i) << 40) + np.arange(n, dtype=np.int64)
+        norm = normalize_rows(vecs_np(batch.column(vec_col))).astype(
+            np.float32)
+        dim = norm.shape[1] if norm.size else 0
+        if planes is None and dim:
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((dim, n_tables * n_planes))
+        if n and dim:
+            signs = (norm @ planes > 0).astype(np.uint64).reshape(
+                n, n_tables, n_planes)
+            shifts = np.arange(n_planes, dtype=np.uint64)
+            bucket = (signs << shifts).sum(axis=2, dtype=np.uint64)
+        else:
+            bucket = np.zeros((n, n_tables), dtype=np.uint64)
+        table_ids = np.tile(np.arange(n_tables, dtype=np.uint64), n)
+        # mix the table id in so equal buckets in different tables never
+        # collide (same construction as the minhash band keys)
+        key = ((table_ids + np.uint64(1))
+               * np.uint64(0x9E3779B97F4A7C15)) ^ bucket.reshape(-1)
+        part = (key % np.uint64(num_partitions)).astype(np.int64)
+        rec = pa.table({
+            "__key": pa.array(key.view(np.int64)),
+            "__ord": pa.array(np.repeat(ordv, n_tables)),
+            "__sig": _pack_u32(np.repeat(
+                norm.view(np.uint32), n_tables, axis=0)),
+            "__part": pa.array(part),
+        })
+        recs.append(rec)
+        tables.append(batch.append_column("__ord", pa.array(ordv)))
+    rec_all = recs[0] if len(recs) == 1 else pa.concat_tables(recs)
+    slices = _split_by_part(rec_all, num_partitions)
+    slices = [s.drop_columns(["__part"]) for s in slices]
+    rows = tables[0] if len(tables) == 1 else pa.concat_tables(
+        tables, promote_options="permissive")
+    return (*slices, rows) if num_partitions > 1 else (slices[0], rows)
+
+
+class StreamingEmbeddingDedupJob(StreamingNearDupJob):
+    """Semantic dedup on ingest: a vector is DROPPED iff its cosine to
+    some already-KEPT vector sharing >= 1 sign-LSH table bucket is
+    >= ``threshold`` (greedy first occurrence over the total arrival
+    order; chain-aware like the minhash job). Probe recall is tuned by
+    (n_planes, n_tables) exactly as in the bounded op — thresholds must
+    sit inside the corpus's similarity gap.
+
+    ``dim`` is the embedding width (lanes of the packed float32
+    "signature"); everything else — LSM runs, star caps, incremental
+    checkpoints, idempotent sink, epoch pipelining — is inherited."""
+
+    def __init__(self, out_dir: str, *, dim: int,
+                 vec_col: str = "embedding",
+                 columns: list[str] | None = None, n_planes: int = 8,
+                 n_tables: int = 8, threshold: float = 0.85,
+                 seed: int = 42, star_cap: int = 128,
+                 num_partitions: int = 8,
+                 checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 0, resume: bool = False):
+        import json
+        import os
+
+        if not -1.0 <= threshold <= 1.0:
+            raise ValueError("threshold must be a cosine in [-1, 1]")
+        self.vec_col = vec_col
+        self.columns = list(columns) if columns else None
+        if self.columns and vec_col not in self.columns:
+            self.columns.append(vec_col)
+        self.n_planes, self.n_tables = n_planes, n_tables
+        self.L = dim
+        self.seed = seed
+        self.P = num_partitions
+        self.out_dir = out_dir
+        self.sink = TwoPhaseSink(out_dir)
+        self.actors = [
+            NearDupBucketActor.remote(p, dim, threshold, star_cap,
+                                      mode="cosine")
+            for p in range(num_partitions)]
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.epoch = -1
+        self._file_seq = 0
+        self._resume_cursor = -1
+        self._restored_records = 0
+        self.metrics: list[dict] = []
+        cursor = (os.path.join(checkpoint_dir, "checkpoint.json")
+                  if checkpoint_dir else None)
+        if resume and cursor and os.path.exists(cursor):
+            with open(cursor) as f:
+                doc = json.load(f)
+            self._resume_cursor = doc["epoch"]
+            self._restored_records = sum(ray.get(
+                [a.restore.remote(checkpoint_dir, doc["epoch"])
+                 for a in self.actors]))
+
+    def _prep_one(self, f):
+        return _embdedup_prep.options(num_returns=self.P + 1).remote(
+            [f], self.columns, self.vec_col, self.n_planes,
+            self.n_tables, self.seed, self.P, self._file_seq)
