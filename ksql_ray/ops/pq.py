@@ -350,7 +350,11 @@ def ivfpq_topk(codes_ds: ray.data.Dataset, coarse: np.ndarray,
     ``list``; the per-(query, list) ADC lookup tables — built from the
     query's residual against each probed centroid — broadcast once.
     Ranking is (approximate squared L2 asc, vec_id asc); self-matches
-    are not excluded (codes carry no raw vectors)."""
+    are not excluded (codes carry no raw vectors). The per-partition
+    scan loops over (query, probed list) pairs — vectorized over each
+    list's rows — so it assumes a BATCH of queries (10s–1000s); for
+    query sets beyond that, shard the query matrix and run several
+    calls (LUTs are (n_q · nprobe · m · k) doubles and broadcast whole)."""
     from .dedup import _partition_by, _pin
 
     m, kc, sd = cents.shape
