@@ -535,6 +535,10 @@ class StreamingCEPJob:
             raise ValueError(f"duplicate step names: {names}")
         if not partition_by:
             raise ValueError("partition_by is required (patterns are key-local)")
+        if order_by in (measures or []):
+            raise ValueError(
+                f"measures may not repeat order_by ({order_by!r}): each "
+                f"step already emits <step>_{order_by}")
         if in_schema is None:
             if not input_files:
                 raise ValueError("pass in_schema or input_files")

@@ -172,3 +172,13 @@ def test_checkpoint_resume(ray_session):
         job2.process_epoch([tbl.slice(i, 300)])
     job2.finish()
     assert _norm(job2.result(), cols).equals(_norm(ref, cols))
+
+
+def test_measures_may_not_repeat_order_by(ray_session):
+    import pytest
+
+    with pytest.raises(ValueError, match="repeat order_by"):
+        StreamingCEPJob(tempfile.mkdtemp(), partition_by=["user_id"],
+                        order_by="ts", steps=STEPS, tiebreak="event_id",
+                        measures=["ts"], num_partitions=2,
+                        in_schema=_events(n=4).schema)
