@@ -89,3 +89,20 @@ def test_no_duplicates_at_all(ray_session):
     got = _run(docs, width=4)
     assert all(got[i] == (1, 0, f"unique{i} token{i} body{i}")
                for i in range(10))
+
+
+def test_string_doc_ids(ray_session):
+    # the keep-rule and rebuild use order comparisons on the id column:
+    # string ids must work end to end (lexicographic first occurrence)
+    docs = [("z", "a b c"), ("m", "a b c"), ("a", "a b c"),
+            ("k", "different text entirely")]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs]),
+        "text": pa.array([t for _, t in docs]),
+    })).repartition(2)
+    got = {r.doc_id: (r.n_chunks, r.dup_chunks, r.clean_text)
+           for r in chunk_dedup(ds, width=8).to_pandas().itertuples()}
+    assert got["a"] == (1, 0, "a b c")   # lexicographically first
+    assert got["m"] == (1, 1, "")
+    assert got["z"] == (1, 1, "")
+    assert got["k"] == (1, 0, "different text entirely")
