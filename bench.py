@@ -568,10 +568,29 @@ def run_multisource(sf_dir: str, num_cpus: int) -> dict:
             late = sum(p["late_drops"]
                        for p in job.metrics_log[-1]["partitions"]) if job.metrics_log else 0
             rows_out = job.result().num_rows
+    # source-min watermark A/B: the watermark waits for the slowest
+    # source (source_of = the file's fixture directory), so the merge is
+    # lossless without lateness tuning
+    src_of = os.path.dirname
+    job = StreamingJob(make_query(), build_cat(),
+                       f"/tmp/ksql_ray_ms_sm_{os.getpid()}",
+                       num_partitions=16, lateness_us=300_000_000,
+                       pre_transform=pre_transform, source_of=src_of)
+    t0 = time.perf_counter()
+    job.run(files, files_per_epoch=256, max_inflight=2)
+    job.finish()
+    sm_dt = time.perf_counter() - t0
+    sm_late = (sum(p["late_drops"]
+                   for p in job.metrics_log[-1]["partitions"])
+               if job.metrics_log else 0)
+    sm_rows = job.result().num_rows
     return {
         "metric": "multi-source event-time merge (4 interleaved streams)",
         "sources": 4, "turns": n_turns, "num_cpus": num_cpus,
         "sec": round(best, 2), "turns_per_sec": round(n_turns / best),
+        "srcmin_sec": round(sm_dt, 2),
+        "srcmin_turns_per_sec": round(n_turns / sm_dt),
+        "srcmin_late_drops": sm_late, "srcmin_rows_out": sm_rows,
         "late_drops": late, "late_frac": round(late / n_turns, 6),
         "rows_out": rows_out,
     }

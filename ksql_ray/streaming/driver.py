@@ -84,6 +84,7 @@ def _prep_file(
     num_partitions: int,
     pre_transform=None,
     split: bool = True,
+    with_max: bool = False,
 ):
     """Stateless per-epoch prep over one or more micro-batch files:
     read -> pre-transform -> broadcast joins -> filter -> phase-1
@@ -130,6 +131,14 @@ def _prep_file(
     )
     if split:
         slices = _split_by_part(out, num_partitions)
+        if with_max:
+            # source-min watermark mode: one extra return — this chunk's
+            # max event time (num_returns = P + 1)
+            mx = None
+            if out.num_rows and "__ts_max" in out.column_names:
+                m = pc.max(out.column("__ts_max")).as_py()
+                mx = None if m is None else int(m)
+            return (*slices, mx)
         # num_returns=1 stores the return value as-is (no unpacking):
         # hand back the bare table so the actor sees a pa.Table either way
         return slices[0] if num_partitions == 1 else tuple(slices)
@@ -156,6 +165,7 @@ class StateActor:
             )
         self.sink = TwoPhaseSink(sink_dir)
         self.finalizer = finalizer
+        self._src_max: dict = {}  # source-min watermark mode only
 
     def process(self, epoch: int, *parts) -> dict:
         # parts arrive as top-level args so Ray resolves them BEFORE
@@ -194,6 +204,45 @@ class StateActor:
                 self.sink.write(self.part_id, epoch, final)
         return self.state.metrics()
 
+    def process_srcmin(self, epoch: int, srcs: tuple, n_preps: int,
+                       *maxes_then_parts) -> dict:
+        """Source-min watermark mode: the first ``n_preps`` args are the
+        prep chunks' max event times (each chunk covers ONE source), the
+        rest are the routed partial slices. Every actor folds the same
+        (source, max) pairs, so the cross-source floor — min over the
+        running per-source maxima — is identical in every partition and
+        the per-partition watermark stays monotone. A slow source holds
+        the watermark back (Flink-style multi-input watermarking), which
+        is what makes interleaved multi-source merges lossless without
+        lateness tuning."""
+        maxes = maxes_then_parts[:n_preps]
+        parts = maxes_then_parts[n_preps:]
+        for src, m in zip(srcs, maxes):
+            if m is not None:
+                cur = self._src_max.get(src)
+                self._src_max[src] = m if cur is None else max(cur, m)
+        cap = min(self._src_max.values()) if self._src_max else None
+        mine_parts = []
+        for t in parts:
+            if not t.num_rows:
+                continue
+            pcol = t.column("__part").to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(pcol, self.part_id, side="left")
+            hi = np.searchsorted(pcol, self.part_id, side="right")
+            if hi > lo:
+                mine_parts.append(
+                    t.slice(lo, hi - lo).drop_columns(["__part"]))
+        out = None
+        if mine_parts:
+            mine = (mine_parts[0] if len(mine_parts) == 1 else
+                    pa.concat_tables(mine_parts, promote_options="permissive"))
+            out = self.state.process(mine, wm_target=cap)
+        if out is not None and out.num_rows:
+            final = self.finalizer(out)
+            if final.num_rows:
+                self.sink.write(self.part_id, epoch, final)
+        return self.state.metrics()
+
     def flush(self, epoch: int) -> dict:
         out = self.state.flush()
         if out.num_rows:
@@ -203,19 +252,30 @@ class StateActor:
         return self.state.metrics()
 
     def checkpoint(self, epoch: int, ckpt_dir: str) -> str:
+        import pickle
+
         os.makedirs(ckpt_dir, exist_ok=True)
         final = os.path.join(ckpt_dir, f"state-{self.part_id:04d}-epoch-{epoch:06d}.pkl")
         tmp = final + ".tmp"
         with open(tmp, "wb") as f:
-            f.write(self.state.snapshot())
+            f.write(pickle.dumps({"v": 2, "state": self.state.snapshot(),
+                                  "src_max": self._src_max}))
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, final)
         return final
 
     def restore(self, path: str) -> None:
+        import pickle
+
         with open(path, "rb") as f:
-            self.state.restore(f.read())
+            blob = f.read()
+        doc = pickle.loads(blob)
+        if isinstance(doc, dict) and doc.get("v") == 2:
+            self.state.restore(doc["state"])
+            self._src_max = doc["src_max"]
+        else:  # pre-source-mode snapshot: raw state bytes
+            self.state.restore(blob)
 
 
 def _project_fields(batch: pa.Table, wheres: list, fields: list) -> pa.Table:
@@ -427,6 +487,7 @@ class StreamingJob:
         files_per_task: int = 1,
         salt_by_window: bool = False,
         route: str = "p2p",
+        source_of=None,
     ):
         """``pre_transform``: optional vectorized batch fn (e.g. token
         counting / quality scoring from ops.text) applied in the prep
@@ -633,6 +694,9 @@ class StreamingJob:
         self.files_per_task = files_per_task
         if route not in ("p2p", "broadcast"):
             raise PlanError(f"route must be 'p2p' or 'broadcast', got {route!r}")
+        if source_of is not None and route != "p2p":
+            raise PlanError("source_of (source-min watermarks) requires route='p2p'")
+        self.source_of = source_of
         self.route = route
         # ship per-epoch-invariant objects to the object store ONCE; the
         # prep tasks receive refs (auto-dereferenced), not fresh pickles
@@ -699,8 +763,44 @@ class StreamingJob:
             return None  # already reflected in restored state
         inputs = list(files_or_tables)
         fpt = max(1, self.files_per_task)
-        chunks = [inputs[i : i + fpt] for i in range(0, len(inputs), fpt)]
         acks = []
+        if self.source_of is not None:
+            # source-min watermark mode: each prep chunk covers ONE
+            # source (its max event time feeds that source's running
+            # maximum); the watermark floor = min over sources, so a
+            # slow source holds the watermark back and interleaved
+            # multi-source merges stay lossless without lateness tuning
+            by_src: dict = {}
+            for f in inputs:
+                by_src.setdefault(self.source_of(f), []).append(f)
+            chunks, srcs = [], []
+            for src, fl in by_src.items():
+                for i in range(0, len(fl), fpt):
+                    chunks.append(fl[i : i + fpt])
+                    srcs.append(src)
+            prep_refs = [
+                _prep_file.options(
+                    num_returns=self.num_partitions + 1).remote(
+                    chunk, self.columns, self._join_specs_ref,
+                    self._wheres_ref, self._plan_ref, self.num_partitions,
+                    self.pre_transform, True, True,
+                )
+                for chunk in chunks
+            ]
+            maxes = [rs[self.num_partitions] for rs in prep_refs]
+            for p, actor in enumerate(self.actors):
+                acks.append(actor.process_srcmin.remote(
+                    self.epoch, tuple(srcs), len(maxes), *maxes,
+                    *[rs[p] for rs in prep_refs]))
+            ckpt_refs = None
+            if (self.checkpoint_dir and self.checkpoint_every
+                    and (self.epoch + 1) % self.checkpoint_every == 0):
+                ckpt_refs = [
+                    a.checkpoint.remote(self.epoch, self.checkpoint_dir)
+                    for a in self.actors
+                ]
+            return (self.epoch, acks, ckpt_refs)
+        chunks = [inputs[i : i + fpt] for i in range(0, len(inputs), fpt)]
         if self.route == "p2p":
             # point-to-point: each prep task returns P objects; actor p's
             # call references only the p-th return of every task, so only

@@ -71,7 +71,7 @@ class VectorPartitionState:
     def _windowed(self) -> bool:
         return self.plan.window is not None
 
-    def process(self, partial: pa.Table) -> pa.Table:
+    def process(self, partial: pa.Table, wm_target: int | None = None) -> pa.Table:
         import pyarrow.compute as pc
 
         total = self._counts(partial)
@@ -86,8 +86,13 @@ class VectorPartitionState:
             if n_late:
                 self.late_drops += n_late
                 partial = partial.filter(pc.invert(closed))
-        # watermark from this epoch's max event time (monotone)
-        if partial.num_rows:
+        # watermark from this epoch's max event time (monotone); a
+        # caller-supplied wm_target (source-min mode: the min over all
+        # sources' running maxima, same value in every partition)
+        # replaces the partition-local max
+        if wm_target is not None:
+            self.watermark = max(self.watermark, int(wm_target) - self.lateness_us)
+        elif partial.num_rows:
             mx = pc.max(partial.column("__ts_max")).as_py()
             if mx is not None:
                 self.watermark = max(self.watermark, int(mx) - self.lateness_us)
@@ -210,7 +215,7 @@ class PartitionState:
     def _new_accs(self) -> list[StreamingAcc]:
         return [make_acc(a) for a in self.aggs]
 
-    def process(self, partial: pa.Table) -> pa.Table:
+    def process(self, partial: pa.Table, wm_target: int | None = None) -> pa.Table:
         """Merge one epoch's partials; return emitted rows."""
         rows = partial.to_pylist()
         touched: set[tuple] = set()
@@ -236,7 +241,10 @@ class PartitionState:
                 for acc, name in zip(accs, self.agg_names):
                     acc.update(row, name, self.ord_names)
                 touched.add(wkey)
-        # advance the monotone watermark
+        # advance the monotone watermark (source-min mode: the caller's
+        # cross-source floor replaces the partition-local max)
+        if wm_target is not None:
+            max_ts = int(wm_target)
         self.watermark = max(self.watermark, max_ts - self.lateness_us)
         return self._emit(touched)
 
