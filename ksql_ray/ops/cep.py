@@ -80,6 +80,7 @@ def match_pattern(
     tiebreak: str | None = None,
     measures: Sequence[str] | None = None,
     num_partitions: int = 32,
+    absent: Sequence[tuple] | None = None,
 ) -> ray.data.Dataset:
     """Emit one row per completed pattern match (see module docstring).
 
@@ -87,6 +88,15 @@ def match_pattern(
     ksql_ray ``Expr`` (e.g. ``F("event_type").Equal("view")``) or any
     callable ``pa.Table -> bool array``. Step names must be unique
     valid identifiers (they prefix the output columns).
+
+    ``absent``: negation constraints — ``(step_a, step_b, predicate)``
+    triples: a match is killed if ANY row of the key satisfying the
+    predicate falls STRICTLY between the bound rows of steps a and b
+    (MATCH_RECOGNIZE-style absent events, e.g. "view then purchase with
+    no error in between"). Vectorized: rows between two same-key bound
+    positions are same-key by construction (the sort is key-major), so
+    each constraint is two ``searchsorted`` calls over the negated
+    rows' positions.
     """
     if contiguity not in ("strict", "skip"):
         raise ValueError("contiguity must be 'strict' or 'skip'")
@@ -100,6 +110,12 @@ def match_pattern(
     if not partition_by:
         raise ValueError("partition_by is required (patterns are key-local)")
     measures = list(measures or [])
+    absent = [tuple(a) for a in (absent or [])]
+    for na, nb, _p in absent:
+        if na not in names or nb not in names:
+            raise ValueError(f"absent refers to unknown steps ({na}, {nb})")
+        if names.index(na) >= names.index(nb):
+            raise ValueError(f"absent steps must be ordered: {na} < {nb}")
     schema = _arrow_schema(ds)
     for c in [*partition_by, order_by, *measures,
               *([tiebreak] if tiebreak else [])]:
@@ -175,6 +191,16 @@ def match_pattern(
                 idxs = [a[keep] for a in idxs]
                 cur, sgid = nxt[keep], sgid[keep]
                 idxs.append(cur)
+        for na, nb, npred in absent:
+            ia, ib = names.index(na), names.index(nb)
+            nm = _mask_of(npred, sg) & t_ok
+            npos = np.flatnonzero(nm)
+            # strictly between the bound positions; rows there are
+            # same-key by construction (key-major sort)
+            lo = np.searchsorted(npos, idxs[ia], side="right")
+            hi = np.searchsorted(npos, idxs[ib], side="left")
+            keep = lo >= hi
+            idxs = [a[keep] for a in idxs]
         first, last = idxs[0], idxs[-1]
         if within is not None:
             keep = (t[last] - t[first]) <= int(within)
@@ -200,12 +226,13 @@ def match_pattern(
                 fields.append(pa.field(f"{name}_{m}", schema.field(m).type))
         return pa.schema(fields)
 
-    if all(isinstance(p, Expr) for p in preds):
+    npreds = [p for _, _, p in absent]
+    if all(isinstance(p, Expr) for p in [*preds, *npreds]):
         # prune at the read: only key/time/measure/predicate columns shuffle
         keep_cols = list(dict.fromkeys(
             [*partition_by, order_by, *measures,
              *([tiebreak] if tiebreak else []),
-             *[c for p in preds for c in p.columns()]]))
+             *[c for p in [*preds, *npreds] for c in p.columns()]]))
         ds = ds.select_columns(keep_cols)
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")

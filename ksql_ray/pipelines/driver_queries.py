@@ -1383,7 +1383,37 @@ REGISTRY["op_cep_funnel"] = RawQ(lambda sf: _cep(sf, "skip"), _CEP_FUNNEL_SQL)
 REGISTRY["op_cep_strict"] = RawQ(lambda sf: _cep(sf, "strict"), _CEP_STRICT_SQL)
 
 
-def _streaming_cep(sf_dir: str, contiguity: str) -> pa.Table:
+_CEP_ABSENT_SQL = _CEP_FUNNEL_SQL + """
+  AND NOT EXISTS (
+    SELECT 1 FROM e z
+    WHERE z.user_id = v.user_id AND z.event_type = 'error'
+      AND (z.ts > v.ts OR (z.ts = v.ts AND z.event_id > v.event_id))
+      AND (z.ts < p.p_ts OR (z.ts = p.p_ts AND z.event_id < p.p_event_id)))"""
+
+
+def _op_cep_absent(sf_dir: str) -> pa.Table:
+    """The funnel with a NEGATION: view -> click -> purchase within 24 h
+    and NO 'error' event strictly between the view and the purchase
+    (MATCH_RECOGNIZE-style absent constraint; ops/cep.py `absent`)."""
+    from ..expr import F
+    from ..ops.cep import match_pattern
+
+    ds = _read_clean(f"{sf_dir}/events.parquet")
+    out = match_pattern(
+        ds, partition_by=["user_id"], order_by="ts",
+        steps=[("v", F("event_type").Equal("view")),
+               ("c", F("event_type").Equal("click")),
+               ("p", F("event_type").Equal("purchase"))],
+        contiguity="skip", within=86_400_000_000,
+        tiebreak="event_id", measures=["event_id"], num_partitions=16,
+        absent=[("v", "p", F("event_type").Equal("error"))])
+    return _collect(out)
+
+
+REGISTRY["op_cep_absent"] = RawQ(_op_cep_absent, _CEP_ABSENT_SQL)
+
+
+def _streaming_cep(sf_dir: str, contiguity: str, absent=None) -> pa.Table:
     """The same funnel run CONTINUOUSLY (streaming/cep.py): events
     replayed in event-time order as 20 epoch micro-batches; partial
     matches (views awaiting clicks/purchases up to 24 h later) survive
@@ -1406,7 +1436,7 @@ def _streaming_cep(sf_dir: str, contiguity: str) -> pa.Table:
                ("c", F("event_type").Equal("click")),
                ("p", F("event_type").Equal("purchase"))],
         contiguity=contiguity, within=86_400_000_000,
-        tiebreak="event_id", measures=["event_id"],
+        tiebreak="event_id", measures=["event_id"], absent=absent,
         num_partitions=8, in_schema=tbl.schema)
     chunk = max(1, tbl.num_rows // 20)
     for i in range(0, tbl.num_rows, chunk):
@@ -1420,6 +1450,22 @@ REGISTRY["streaming_cep_funnel"] = RawQ(
     lambda sf: _streaming_cep(sf, "skip"), _CEP_FUNNEL_SQL)
 REGISTRY["streaming_cep_strict"] = RawQ(
     lambda sf: _streaming_cep(sf, "strict"), _CEP_STRICT_SQL)
+
+
+def _streaming_cep_absent(sf_dir: str) -> pa.Table:
+    """The negated funnel run continuously: view -> click -> purchase
+    within 24 h with NO error strictly between view and purchase; the
+    negation flag rides the cross-epoch partial state (streaming/cep.py
+    `absent`)."""
+    from ..expr import F
+
+    return _streaming_cep(
+        sf_dir, "skip",
+        absent=[("v", "p", F("event_type").Equal("error"))])
+
+
+REGISTRY["streaming_cep_absent"] = RawQ(_streaming_cep_absent,
+                                        _CEP_ABSENT_SQL)
 
 
 # winnowing rolling-hash fingerprints (ops/fingerprint.py): word-3-gram

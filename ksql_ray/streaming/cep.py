@@ -107,6 +107,12 @@ class _CEPPartitionState:
         self.names = [n for n, _ in self.steps]
         self.preds = [p for _, p in self.steps]
         self.K = len(self.steps)
+        # negations: (step_a index, step_b index, predicate) — no row
+        # matching the predicate strictly between the bound rows of a, b
+        self.absent: list[tuple] = [
+            (self.names.index(na), self.names.index(nb), pred)
+            for na, nb, pred in (spec.get("absent") or [])]
+        self.J = len(self.absent)
         self.watermark: int = _NEG_INF
         self.flushed_upto: int = _NEG_INF
         self.buffer: list[pa.Table] = []
@@ -131,9 +137,10 @@ class _CEPPartitionState:
         return pa.schema(fields)
 
     def _partials_schema(self) -> pa.Schema:
-        return pa.schema(
-            list(self.out_schema()) + [pa.field("__step", pa.int64()),
-                                       pa.field("__start_t", pa.int64())])
+        extra = [pa.field("__step", pa.int64()),
+                 pa.field("__start_t", pa.int64())]
+        extra += [pa.field(f"__neg{j}", pa.bool_()) for j in range(self.J)]
+        return pa.schema(list(self.out_schema()) + extra)
 
     # -- ingest -----------------------------------------------------------
     def add(self, tbl: pa.Table) -> None:
@@ -211,20 +218,23 @@ class _CEPPartitionState:
         gidF, t = gidF[order], t[order]
         masks = [(_mask_of(p, F) & True) for p in self.preds]
         pks = [np.flatnonzero(m) for m in masks]
+        nposs = [np.flatnonzero(_mask_of(p, F)) for _, _, p in self.absent]
 
         matches: list[dict] = []
         new_partials: list[dict] = []
 
         def run_cohort(src: str, rows: np.ndarray, cur: np.ndarray,
                        gids: np.ndarray, s0: int, start_t: np.ndarray,
-                       bound0: list[np.ndarray]):
+                       bound0: list[np.ndarray], negs0: np.ndarray):
             """Chain steps s0..K-1 for one cohort. ``rows`` indexes the
             partials table (src='old') or is the step-0 F position
             (src='new'); ``bound0`` = F positions already bound IN THIS
-            FLUSH (aligned with rows)."""
+            FLUSH (aligned with rows); ``negs0`` = carried negation
+            flags, one column per ``absent`` constraint."""
             alive = np.arange(len(rows))
             bound = [b.copy() for b in bound0]
             cur = cur.copy()
+            negs = negs0.copy()
             for k in range(s0, K):
                 if len(alive) == 0:
                     return
@@ -241,15 +251,7 @@ class _CEPPartitionState:
                     # not-ok attempts stay open at step k: the next
                     # candidate simply hasn't arrived yet
                     stay = ~ok
-                    if stay.any():
-                        new_partials.append(self._partial_rows(
-                            src, rows[alive[stay]], k,
-                            start_t[alive[stay]],
-                            [b[stay] for b in bound], F))
-                    alive, cur, gids_a = alive[ok], nxt[ok], None
-                    bound = [b[ok] for b in bound] + [cur]
-                    gids = gids[ok]
-                    start_t = start_t  # indexed via alive
+                    advance = ok
                 else:  # strict
                     nxt = cur + 1
                     inb = nxt < nF
@@ -259,14 +261,29 @@ class _CEPPartitionState:
                     hit[same] = masks[k][nxt[same]]
                     # out-of-key/flush -> partial; in-key mismatch -> die
                     stay = ~same
-                    if stay.any():
-                        new_partials.append(self._partial_rows(
-                            src, rows[alive[stay]], k,
-                            start_t[alive[stay]],
-                            [b[stay] for b in bound], F))
-                    alive, cur = alive[hit], nxt[hit]
-                    bound = [b[hit] for b in bound] + [cur]
-                    gids = gids[hit]
+                    advance = hit
+                if stay.any():
+                    new_partials.append(self._partial_rows(
+                        src, rows[alive[stay]], k,
+                        start_t[alive[stay]],
+                        [b[stay] for b in bound], F,
+                        self._accum_wait(negs[stay], k, cur[stay],
+                                         gids[stay], gidF, nposs)))
+                prev = cur[advance]
+                alive, cur = alive[advance], nxt[advance]
+                negs = self._accum_bind(negs[advance], k, prev, cur, nposs)
+                bound = [b[advance] for b in bound] + [cur]
+                gids = gids[advance]
+                if self.J and len(alive):
+                    dead = np.zeros(len(alive), dtype=bool)
+                    for jn, (ia, ib, _p) in enumerate(self.absent):
+                        if ib == k:
+                            dead |= negs[:, jn]
+                    if dead.any():
+                        keepm = ~dead
+                        alive, cur, gids = alive[keepm], cur[keepm], gids[keepm]
+                        negs = negs[keepm]
+                        bound = [b[keepm] for b in bound]
             if len(alive) == 0:
                 return
             ok = np.ones(len(alive), dtype=bool)
@@ -280,7 +297,8 @@ class _CEPPartitionState:
         starts = pks[0]
         if len(starts):
             run_cohort("new", starts, starts.copy(), gidF[starts], 1,
-                       t[starts], [starts.copy()])
+                       t[starts], [starts.copy()],
+                       np.zeros((len(starts), self.J), dtype=bool))
         # cohorts 1..K-1: carried partials whose key has rows in F
         if pt.num_rows:
             steps_arr = pt.column("__step").to_numpy(zero_copy_only=False)
@@ -293,12 +311,16 @@ class _CEPPartitionState:
                 # keys absent from this flush: carry unchanged
                 new_partials.append(
                     {"__take_old": idle, "__step": None})
+            negP = (np.stack([pt.column(f"__neg{j}").to_numpy(
+                        zero_copy_only=False) for j in range(self.J)],
+                        axis=1)
+                    if self.J else np.zeros((pt.num_rows, 0), dtype=bool))
             for s in range(1, K):
                 sel = np.flatnonzero(active & (steps_arr == s))
                 if len(sel) == 0:
                     continue
                 run_cohort("old", sel, lo[sel] - 1, gidP[sel], s,
-                           startP[sel], [])
+                           startP[sel], [], negP[sel])
         self.partials = self._assemble_partials(new_partials, pt)
         out = self._assemble(matches, self.out_schema())
         self.matches_out += out.num_rows
@@ -338,12 +360,51 @@ class _CEPPartitionState:
         return self._cols_for_steps(src, rows, self.K, bound, F,
                                     self.partials)
 
-    def _partial_rows(self, src, rows, step, start_t, bound, F) -> dict:
+    def _partial_rows(self, src, rows, step, start_t, bound, F,
+                      negs) -> dict:
         cols = self._cols_for_steps(src, rows, step, bound, F,
                                     self.partials)
         cols["__step"] = pa.array(np.full(len(rows), step, dtype=np.int64))
         cols["__start_t"] = pa.array(start_t.astype(np.int64))
+        for j in range(self.J):
+            cols[f"__neg{j}"] = pa.array(negs[:, j])
         return cols
+
+    def _accum_bind(self, negs, k, prev, nxt, nposs):
+        """Accumulate flags for attempts binding step k: negated rows in
+        (prev, nxt] — the bound row itself is strictly between a and b
+        when it is an INTERMEDIATE step (k < ib), excluded when it IS
+        the b row (k == ib)."""
+        for j, (ia, ib, _p) in enumerate(self.absent):
+            if not (ia < k <= ib):
+                continue
+            npos = nposs[j]
+            if not len(npos) or not len(prev):
+                continue
+            lo = np.searchsorted(npos, prev, side="right")
+            hi = np.searchsorted(npos, nxt,
+                                 side="left" if k == ib else "right")
+            negs[:, j] |= hi > lo
+        return negs
+
+    def _accum_wait(self, negs, k, cur, gids, gidF, nposs):
+        """Accumulate flags for attempts left waiting at step k: any
+        negated row of the key after the last bound position in this
+        flush falls inside the still-open (a, b) window."""
+        if not self.J or not len(cur):
+            return negs
+        negs = negs.copy()
+        block_hi = np.searchsorted(gidF, gids, side="right")
+        for j, (ia, ib, _p) in enumerate(self.absent):
+            if not (ia < k <= ib):
+                continue
+            npos = nposs[j]
+            if not len(npos):
+                continue
+            lo = np.searchsorted(npos, cur, side="right")
+            hi = np.searchsorted(npos, block_hi, side="left")
+            negs[:, j] |= hi > lo
+        return negs
 
     def _assemble(self, parts: list[dict], schema: pa.Schema) -> pa.Table:
         tbls = []
@@ -517,6 +578,7 @@ class StreamingCEPJob:
                  contiguity: str = "skip", within: int | None = None,
                  tiebreak: str | None = None,
                  measures: Sequence[str] | None = None,
+                 absent: Sequence[tuple] | None = None,
                  lateness_us: int = 0, num_partitions: int = 8,
                  in_schema: pa.Schema | None = None,
                  input_files: Sequence[str] | None = None,
@@ -539,25 +601,33 @@ class StreamingCEPJob:
             raise ValueError(
                 f"measures may not repeat order_by ({order_by!r}): each "
                 f"step already emits <step>_{order_by}")
+        absent = [tuple(a) for a in (absent or [])]
+        for na, nb, _p in absent:
+            if na not in names or nb not in names:
+                raise ValueError(f"absent refers to unknown steps ({na}, {nb})")
+            if names.index(na) >= names.index(nb):
+                raise ValueError(f"absent steps must be ordered: {na} < {nb}")
         if in_schema is None:
             if not input_files:
                 raise ValueError("pass in_schema or input_files")
             in_schema = pq.read_schema(input_files[0])
         measures = list(measures or [])
         preds = [p for _, p in steps]
+        npreds = [p for _, _, p in absent]
         # prune at the read: only key/time/measure/predicate columns ship
         cols = list(dict.fromkeys(
             [*partition_by, order_by, *measures,
              *([tiebreak] if tiebreak else []),
-             *[c for p in preds if isinstance(p, Expr) for c in p.columns()]]))
-        self.columns = (cols if all(isinstance(p, Expr) for p in preds)
-                        else None)
+             *[c for p in [*preds, *npreds] if isinstance(p, Expr)
+               for c in p.columns()]]))
+        self.columns = (cols if all(isinstance(p, Expr)
+                                    for p in [*preds, *npreds]) else None)
         pruned = pa.schema([in_schema.field(c) for c in (
             self.columns or in_schema.names)])
         self.spec = {
             "partition_by": list(partition_by), "order_by": order_by,
             "steps": steps, "contiguity": contiguity, "within": within,
-            "tiebreak": tiebreak, "measures": measures,
+            "tiebreak": tiebreak, "measures": measures, "absent": absent,
             "lateness_us": lateness_us, "in_schema": pruned,
         }
         self.P = num_partitions

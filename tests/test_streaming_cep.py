@@ -182,3 +182,58 @@ def test_measures_may_not_repeat_order_by(ray_session):
                         order_by="ts", steps=STEPS, tiebreak="event_id",
                         measures=["ts"], num_partitions=2,
                         in_schema=_events(n=4).schema)
+
+
+ABSENT = [("v", "p", F("event_type").Equal("error"))]
+
+
+def _events_with_errors(n=4000, seed=15):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, 10_000_000, size=n))
+    return pa.table({
+        "user_id": pa.array(rng.integers(0, 60, size=n), pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array(rng.choice(
+            ["view", "click", "purchase", "error", "other"], size=n)),
+    })
+
+
+@pytest.mark.parametrize("contiguity", ["skip", "strict"])
+def test_absent_equals_bounded(ray_session, contiguity):
+    tbl = _events_with_errors()
+    bounded = match_pattern(ray.data.from_arrow(tbl), contiguity=contiguity,
+                            within=2_000_000, num_partitions=4,
+                            absent=ABSENT, **KW).take_all()
+    got, fin = _run_stream(tbl, contiguity=contiguity, within=2_000_000,
+                           absent=ABSENT)
+    cols = ["user_id", "v_ts", "v_event_id", "c_ts", "c_event_id",
+            "p_ts", "p_event_id"]
+    assert fin["late_drops"] == 0
+    assert _norm(got, cols).equals(_norm(bounded, cols))
+    # the negation actually removed matches on this fixture
+    plain = match_pattern(ray.data.from_arrow(tbl), contiguity=contiguity,
+                          within=2_000_000, num_partitions=4, **KW).take_all()
+    if contiguity == "skip":
+        assert len(bounded) < len(plain)
+
+
+def test_absent_cross_epoch_error(ray_session):
+    """The error arrives in the epoch BETWEEN the click and the
+    purchase: the carried negation flag must kill the attempt."""
+    def ev(eid, us, et):
+        return {"user_id": 1, "ts": np.datetime64(us, "us"),
+                "event_id": eid, "event_type": et}
+
+    # epoch boundaries at chunk=2 rows
+    rows = [ev(0, 100, "view"), ev(1, 200, "click"),
+            ev(2, 1000, "error"), ev(3, 1100, "other"),
+            ev(4, 2000, "purchase"), ev(5, 2100, "other"),
+            # a second funnel with NO error in its window
+            ev(6, 5000, "view"), ev(7, 5100, "click"),
+            ev(8, 6000, "other"), ev(9, 6100, "other"),
+            ev(10, 7000, "purchase"), ev(11, 7100, "other")]
+    tbl = pa.Table.from_pylist(rows)
+    got, _ = _run_stream(tbl, chunk=2, absent=ABSENT)
+    assert got.num_rows == 1
+    assert got.to_pylist()[0]["v_event_id"] == 6
