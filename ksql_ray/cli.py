@@ -129,6 +129,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated per-step output columns")
     ce.add_argument("--contiguity", default="skip",
                     choices=["skip", "strict"])
+    ce.add_argument("--absent", default=None,
+                    help="comma-separated stepA:stepB:column=value "
+                         "negations (no matching row strictly between "
+                         "the bound rows of A and B)")
     ce.add_argument("--within-us", type=int, default=None,
                     help="pattern horizon (event-time µs); also bounds "
                          "open-partial state")
@@ -243,12 +247,20 @@ def _run_cep(args) -> int:
         name, cond = part.split(":", 1)
         col, val = cond.split("=", 1)
         steps.append((name.strip(), F(col.strip()).Equal(val.strip())))
+    absent = []
+    if args.absent:
+        for part in args.absent.split(","):
+            na, nb, cond = part.split(":", 2)
+            col, val = cond.split("=", 1)
+            absent.append((na.strip(), nb.strip(),
+                           F(col.strip()).Equal(val.strip())))
     t0 = _time.perf_counter()
     job = StreamingCEPJob(
         args.sink, partition_by=args.partition_by.split(","),
         order_by=args.order_by, steps=steps, contiguity=args.contiguity,
         within=args.within_us, tiebreak=args.tiebreak,
         measures=args.measures.split(",") if args.measures else None,
+        absent=absent or None,
         lateness_us=args.lateness_s * 1_000_000,
         num_partitions=args.partitions, input_files=files,
         checkpoint_dir=args.checkpoint_dir,
