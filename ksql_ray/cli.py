@@ -110,6 +110,30 @@ def main(argv: list[str] | None = None) -> int:
     nd.add_argument("--checkpoint-every", type=int, default=0)
     nd.add_argument("--resume", action="store_true")
 
+    ed = sub.add_parser(
+        "embdedup",
+        help="streaming embedding (semantic) dedup-on-ingest (ray-job "
+             "entrypoint): greedy first occurrence of every "
+             "cosine-similar cluster survives")
+    ed.add_argument("--input", required=True,
+                    help="directory of parquet micro-batch files")
+    ed.add_argument("--sink", required=True, help="committed-output directory")
+    ed.add_argument("--vec-col", default="embedding")
+    ed.add_argument("--dim", type=int, required=True,
+                    help="embedding width")
+    ed.add_argument("--columns", default=None,
+                    help="comma-separated passthrough columns (default all)")
+    ed.add_argument("--threshold", type=float, default=0.9,
+                    help="cosine similarity threshold")
+    ed.add_argument("--planes", type=int, default=8)
+    ed.add_argument("--tables", type=int, default=8)
+    ed.add_argument("--star-cap", type=int, default=128)
+    ed.add_argument("--partitions", type=int, default=16)
+    ed.add_argument("--files-per-epoch", type=int, default=8)
+    ed.add_argument("--checkpoint-dir", default=None)
+    ed.add_argument("--checkpoint-every", type=int, default=0)
+    ed.add_argument("--resume", action="store_true")
+
     ce = sub.add_parser(
         "cep",
         help="streaming CEP sequence-pattern matching (ray-job "
@@ -153,6 +177,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_neardup(args)
     if args.cmd == "cep":
         return _run_cep(args)
+    if args.cmd == "embdedup":
+        return _run_embdedup(args)
 
     if args.cmd == "create":
         os.makedirs(args.dir, exist_ok=True)
@@ -218,6 +244,47 @@ def _run_dedup(args) -> int:
         "state_keys": m["state_keys"], "sink": args.sink,
     }))
     if owns_session:  # never tear down a caller's (e.g. pytest's) session
+        ray.shutdown()
+    return 0
+
+
+def _run_embdedup(args) -> int:
+    """Streaming embedding dedup job (owns the Ray session, one JSON
+    summary line — the same ``ray job submit`` shape as ``dedup``)."""
+    import glob
+    import json
+    import time as _time
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False, ignore_reinit_error=True)
+    from .streaming.neardup import StreamingEmbeddingDedupJob
+
+    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not files:
+        print(f"error: no parquet files under {args.input}", file=sys.stderr)
+        return 1
+    cols = args.columns.split(",") if args.columns else None
+    t0 = _time.perf_counter()
+    job = StreamingEmbeddingDedupJob(
+        args.sink, dim=args.dim, vec_col=args.vec_col, columns=cols,
+        n_planes=args.planes, n_tables=args.tables,
+        threshold=args.threshold, star_cap=args.star_cap,
+        num_partitions=args.partitions, checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
+    job.run(files, files_per_epoch=args.files_per_epoch)
+    m = job.finish()
+    print(json.dumps({
+        "files": len(files), "epochs": m["epochs"],
+        "sec": round(_time.perf_counter() - t0, 3),
+        "rows_in": m["rows_in"], "rows_out": m["rows_out"],
+        "capped": m["capped"], "state_records": m["state_records"],
+        "sink": args.sink,
+    }))
+    if owns_session:
         ray.shutdown()
     return 0
 

@@ -140,3 +140,34 @@ def test_cep_cli_and_resume(fix, capsys):
     r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r2["rows_in"] == 0
     assert TwoPhaseSink(sink).read_committed().num_rows == r["matches_out"]
+
+
+def test_embdedup_cli(fix, capsys, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(200, 8)).astype(np.float32)
+    mat[100:120] = mat[0:20] + 0.01 * rng.normal(size=(20, 8)).astype(np.float32)
+    d = tmp_path / "emb"
+    d.mkdir()
+    for i in range(4):
+        pq.write_table(pa.table({
+            "vec_id": pa.array(np.arange(i * 50, (i + 1) * 50), pa.int64()),
+            "embedding": pa.array([list(map(float, r))
+                                   for r in mat[i * 50:(i + 1) * 50]],
+                                  pa.list_(pa.float32())),
+        }), str(d / f"b{i}.parquet"))
+    sink = str(tmp_path / "sink")
+    argv = ["embdedup", "--input", str(d), "--sink", sink, "--dim", "8",
+            "--threshold", "0.99", "--planes", "4", "--tables", "16",
+            "--partitions", "2", "--files-per-epoch", "2"]
+    assert main(argv) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["rows_in"] == 200
+    assert r["rows_out"] == 180  # the 20 planted copies are suppressed
+    # idempotent replay
+    assert main(argv) == 0
+    from ksql_ray.streaming.sink import TwoPhaseSink
+    assert TwoPhaseSink(sink).read_committed().num_rows == 180
