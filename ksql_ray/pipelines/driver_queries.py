@@ -1684,6 +1684,45 @@ REGISTRY["op_top_terms"] = RawQ(
 )
 
 
+def _op_lm_score(sf_dir: str) -> pa.Table:
+    from ..ops.lm import score_bigram_lm, train_bigram_lm
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    lm = train_bigram_lm(ds, "text")
+    t = _collect(score_bigram_lm(ds, lm, k=0.1))
+    return _round_cols(t, {"lm_logprob": 4})
+
+
+REGISTRY["op_lm_score"] = RawQ(
+    _op_lm_score,
+    # corpus-trained add-k bigram LM (ops/lm.py docstring spells out the
+    # contract); trained on the scored corpus itself so every observed
+    # transition has c2 >= 1 — no OOV branch needed on either side
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), trans AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+  FROM toks WHERE len(t) >= 2
+), bc AS (SELECT w1, w2, count(*) AS c2 FROM trans GROUP BY 1, 2),
+cc AS (SELECT w1, count(*) AS c1 FROM trans GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS vs
+      FROM (SELECT unnest(t) AS tok FROM toks)),
+sc AS (
+  SELECT tr.doc_id, count(*) AS n_trans,
+         sum(ln((bc.c2 + 0.1) / (cc.c1 + 0.1 * v.vs))) AS lp
+  FROM trans tr JOIN bc ON tr.w1 = bc.w1 AND tr.w2 = bc.w2
+       JOIN cc ON tr.w1 = cc.w1 CROSS JOIN v
+  GROUP BY 1)
+SELECT d.doc_id, coalesce(sc.n_trans, 0) AS n_trans,
+       ROUND(coalesce(sc.lp, 0.0), 4) AS lm_logprob
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+)
+
+
 # --------------------------------------------------------------- streaming
 # The streaming engine itself under the driver's oracle gate: the events
 # table replayed as ts-ordered micro-batches through StreamingJob; with no
