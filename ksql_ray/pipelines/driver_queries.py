@@ -1723,6 +1723,44 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
 )
 
 
+def _op_bm25_topk(sf_dir: str) -> pa.Table:
+    from ..ops.bm25 import bm25_topk
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    t = _collect(bm25_topk(ds, "hash join vector window", k=15))
+    return _round_cols(t, {"score": 4})
+
+
+REGISTRY["op_bm25_topk"] = RawQ(
+    _op_bm25_topk,
+    # Okapi BM25 (k1=1.2, b=0.75, non-negative idf) — ops/bm25.py
+    # docstring spells out the contract; ties break by doc_id asc and
+    # the LIMIT is applied on the unrounded score on both sides
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+         AS term
+  FROM documents
+), dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(term) AS (VALUES ('hash'), ('join'), ('vector'), ('window')),
+df AS (SELECT t.term, count(DISTINCT t.doc_id) AS df
+       FROM toks t JOIN q USING (term) GROUP BY 1),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM toks t JOIN q USING (term) GROUP BY 1, 2),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+         AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1)
+SELECT doc_id, round(score, 4) AS score FROM sc
+ORDER BY sc.score DESC, doc_id LIMIT 15""",
+)
+
+
 # --------------------------------------------------------------- streaming
 # The streaming engine itself under the driver's oracle gate: the events
 # table replayed as ts-ordered micro-batches through StreamingJob; with no
