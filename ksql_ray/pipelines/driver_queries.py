@@ -1761,6 +1761,55 @@ ORDER BY sc.score DESC, doc_id LIMIT 15""",
 )
 
 
+def _op_dsir_select(sf_dir: str) -> pa.Table:
+    from ..ops.dsir import dsir_select
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    tgt = ds.filter(expr="n_chars >= 300")
+    t = _collect(dsir_select(ds, tgt, n=50, buckets=1024))
+    return _round_cols(t, {"dsir_logw": 4})
+
+
+REGISTRY["op_dsir_select"] = RawQ(
+    _op_dsir_select,
+    # DSIR importance resampling (ops/dsir.py docstring spells out the
+    # contract): hashed-bigram buckets via md5, target = n_chars >= 300,
+    # add-0.5 smoothing, deterministic top-n (score desc, doc_id asc);
+    # the LIMIT is applied on the unrounded score on both sides
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), trans AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+  FROM toks WHERE len(t) >= 2
+), tb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w1 || ' ' || w2), 1, 8))::UBIGINT % 1024 AS b
+  FROM trans
+), tgt AS (
+  SELECT b, count(*) AS c FROM tb JOIN documents USING (doc_id)
+  WHERE n_chars >= 300 GROUP BY 1
+), raw AS (SELECT b, count(*) AS c FROM tb GROUP BY 1),
+tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tgt) AS tt,
+               (SELECT coalesce(sum(c), 0) FROM raw) AS rt),
+lw AS (
+  SELECT r.b,
+         ln((coalesce(t.c, 0) + 0.5) / (tot.tt + 0.5 * 1024))
+         - ln((r.c + 0.5) / (tot.rt + 0.5 * 1024)) AS w
+  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+), sc AS (
+  SELECT tb.doc_id, count(*) AS n_grams, sum(lw.w) AS s
+  FROM tb JOIN lw USING (b) GROUP BY 1)
+SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+       round(coalesce(sc.s, 0.0), 4) AS dsir_logw
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY coalesce(sc.s, 0.0) DESC, d.doc_id LIMIT 50""",
+)
+
+
 # --------------------------------------------------------------- streaming
 # The streaming engine itself under the driver's oracle gate: the events
 # table replayed as ts-ordered micro-batches through StreamingJob; with no
