@@ -167,8 +167,31 @@ def main(argv: list[str] | None = None) -> int:
     ce.add_argument("--checkpoint-every", type=int, default=0)
     ce.add_argument("--resume", action="store_true")
 
+    tk = sub.add_parser(
+        "topk",
+        help="streaming heavy hitters (ray-job entrypoint): continuous "
+             "top-k keys with bounded Misra-Gries state per partition")
+    tk.add_argument("--input", required=True,
+                    help="directory of parquet micro-batch files")
+    tk.add_argument("--key-cols", required=True,
+                    help="comma-separated key columns (composite key)")
+    tk.add_argument("--k", type=int, default=20)
+    tk.add_argument("--capacity", type=int, default=4096,
+                    help="tracked keys per partition (MG summary size); "
+                         "counts are exact while distinct keys per "
+                         "partition stay under it")
+    tk.add_argument("--out", default=None,
+                    help="write the final top-k snapshot parquet here")
+    tk.add_argument("--partitions", type=int, default=16)
+    tk.add_argument("--files-per-epoch", type=int, default=8)
+    tk.add_argument("--checkpoint-dir", default=None)
+    tk.add_argument("--checkpoint-every", type=int, default=0)
+    tk.add_argument("--resume", action="store_true")
+
     args = p.parse_args(argv)
 
+    if args.cmd == "topk":
+        return _run_topk(args)
     if args.cmd == "stream":
         return _run_stream(args)
     if args.cmd == "dedup":
@@ -207,6 +230,51 @@ def main(argv: list[str] | None = None) -> int:
     except KsqlRayError as ex:
         print(f"error: {ex}", file=sys.stderr)
         return 1
+    return 0
+
+
+def _run_topk(args) -> int:
+    """Streaming heavy-hitters job (owns the Ray session, one JSON
+    summary line — the same ``ray job submit`` shape as ``dedup``)."""
+    import glob
+    import json
+    import time as _time
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False, ignore_reinit_error=True)
+    from .streaming.topk import StreamingTopKJob
+
+    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not files:
+        print(f"error: no parquet files under {args.input}", file=sys.stderr)
+        return 1
+    key_cols = args.key_cols.split(",")
+    t0 = _time.perf_counter()
+    job = StreamingTopKJob(
+        key_cols=key_cols, columns=key_cols, capacity=args.capacity,
+        num_partitions=args.partitions, checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
+    job.run(files, files_per_epoch=args.files_per_epoch)
+    m = job.finish()
+    snap = job.topk(args.k)
+    if args.out:
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        pq.write_table(snap, args.out)
+    print(json.dumps({
+        "files": len(files), "epochs": m["epochs"],
+        "sec": round(_time.perf_counter() - t0, 3),
+        "rows_in": m["rows_in"], "tracked": m["tracked"],
+        "max_undercount": m["max_undercount"],
+        "topk": [[r["key"], r["cnt"]] for r in snap.to_pylist()],
+    }))
+    if owns_session:  # never tear down a caller's (e.g. pytest's) session
+        ray.shutdown()
     return 0
 
 

@@ -2430,6 +2430,51 @@ def _streaming_dedup(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _streaming_topk(sf_dir: str) -> pa.Table:
+    """Heavy hitters on ingest: the events table replayed as 8
+    micro-batch files; Misra-Gries summaries per key partition with
+    capacity >> distinct keys, so every count is EXACT
+    (max_undercount 0 asserted) and the snapshot equals the bounded
+    GROUP BY. Key = event_type:user_id."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.topk import StreamingTopKJob
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    n = tbl.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_stopk_in_")
+    try:
+        files = []
+        for i in range(8):
+            s = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingTopKJob(key_cols=["event_type", "user_id"],
+                               columns=["event_type", "user_id"],
+                               capacity=1 << 15, num_partitions=4)
+        job.run(files, files_per_epoch=2)
+        m = job.finish()
+        assert m["max_undercount"] == 0, m
+        return job.topk(25)
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+
+
+REGISTRY["streaming_topk"] = RawQ(
+    _streaming_topk,
+    "SELECT event_type || ':' || user_id::VARCHAR AS key, "
+    "count(*) AS cnt FROM events "
+    "GROUP BY 1 ORDER BY cnt DESC, key LIMIT 25",
+)
+
+
 REGISTRY["streaming_dedup"] = RawQ(
     _streaming_dedup,
     r"""WITH corpus AS (
