@@ -2430,6 +2430,77 @@ def _streaming_dedup(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+_HLL_SQL = r"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(coalesce(user_id::VARCHAR, '')), 1, 16))::UBIGINT
+         AS h
+  FROM events
+), rw AS (
+  SELECT (h >> 56)::BIGINT AS register,
+         h & ((1::UBIGINT << 56) - 1) AS w
+  FROM h
+), rr AS (
+  SELECT register,
+         CASE WHEN w = 0 THEN 57
+              ELSE strpos(lpad(bin(w), 56, '0'), '1') END AS rho
+  FROM rw)
+SELECT register, max(rho)::BIGINT AS rho FROM rr GROUP BY 1 ORDER BY 1"""
+
+
+def _op_hll_distinct(sf_dir: str) -> pa.Table:
+    from ..ops.hll import hll_registers
+
+    ds = _read_clean(f"{sf_dir}/events.parquet")
+    return _collect(hll_registers(ds, "user_id", p=8))
+
+
+REGISTRY["op_hll_distinct"] = RawQ(
+    _op_hll_distinct,
+    # full register-STATE check, not just the scalar estimate — the md5
+    # hash makes register id and leading-zero count SQL-expressible
+    # (ops/hll.py docstring spells out the contract)
+    _HLL_SQL,
+)
+
+
+def _streaming_hll(sf_dir: str) -> pa.Table:
+    """Distinct-count on ingest: the events table replayed as 8
+    micro-batch files through StreamingHLLJob; the merged register
+    state must equal the bounded op's (merge = max is order- and
+    replay-insensitive)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.cardinality import StreamingHLLJob
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    n = tbl.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_shll_in_")
+    try:
+        files = []
+        for i in range(8):
+            s = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingHLLJob(key_col="user_id", p=8, hash="md5",
+                              columns=["user_id"], num_partitions=4)
+        job.run(files, files_per_epoch=2)
+        m = job.finish()
+        assert m["rows_in"] == n, m
+        return job.registers()
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+
+
+REGISTRY["streaming_hll"] = RawQ(_streaming_hll, _HLL_SQL)
+
+
 def _streaming_topk(sf_dir: str) -> pa.Table:
     """Heavy hitters on ingest: the events table replayed as 8
     micro-batch files; Misra-Gries summaries per key partition with
