@@ -2501,6 +2501,67 @@ def _streaming_hll(sf_dir: str) -> pa.Table:
 REGISTRY["streaming_hll"] = RawQ(_streaming_hll, _HLL_SQL)
 
 
+_QUANTILE_QS = [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+# DuckDB requires a CONSTANT quantile parameter: one branch per q
+_QUANTILE_SQL = " UNION ALL ".join(
+    f"SELECT {q}::DOUBLE AS q, quantile_disc(value, {q}) AS value "
+    "FROM events"
+    for q in _QUANTILE_QS) + " ORDER BY q"
+
+
+def _op_quantiles(sf_dir: str) -> pa.Table:
+    from ..ops.quantiles import dataset_quantiles
+
+    ds = _read_clean(f"{sf_dir}/events.parquet")
+    # capacity above the fixture volume -> zero collapses -> EXACT
+    # (the sketch's oracle-gated configuration; the bound is asserted)
+    t, err = dataset_quantiles(ds, "value", _QUANTILE_QS,
+                               capacity=1 << 18)
+    assert err == 0, err
+    return t
+
+
+REGISTRY["op_quantiles"] = RawQ(_op_quantiles, _QUANTILE_SQL)
+
+
+def _streaming_quantiles(sf_dir: str) -> pa.Table:
+    """Quantiles on ingest: the events table replayed as 8 micro-batch
+    files through StreamingQuantilesJob at exact capacity; the merged
+    sketch must reproduce SQL quantile_disc."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.quantiles import StreamingQuantilesJob
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    n = tbl.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_squant_in_")
+    try:
+        files = []
+        for i in range(8):
+            s = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingQuantilesJob(col="value", capacity=1 << 18,
+                                    columns=["value"], num_partitions=4)
+        job.run(files, files_per_epoch=2)
+        m = job.finish()
+        assert m["max_rank_error"] == 0 and m["rows_in"] == n, m
+        return job.quantiles(_QUANTILE_QS)
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+
+
+REGISTRY["streaming_quantiles"] = RawQ(_streaming_quantiles,
+                                       _QUANTILE_SQL)
+
+
 def _streaming_topk(sf_dir: str) -> pa.Table:
     """Heavy hitters on ingest: the events table replayed as 8
     micro-batch files; Misra-Gries summaries per key partition with

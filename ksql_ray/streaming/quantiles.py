@@ -1,0 +1,238 @@
+"""Streaming quantiles: continuous percentile tracking over a
+micro-batch stream with bounded state (deterministic merge-and-prune
+sketches, ops/quantiles.py).
+
+p50/p99 of turn latency or document length over an unbounded stream,
+in O(capacity · log(n/capacity)) floats per partition. Quantile
+summaries merge associatively, so the physical plan is simpler than
+the keyed jobs: prep tasks reduce each file to its partial sketch
+(≤ ~capacity rows), files round-robin across P ``QuantileStateActor``s
+(no key shuffle — sketches are value-agnostic), and ``quantiles()``
+merges the P actor sketches in one remote task. The accumulated
+worst-case rank-error bound is carried through every merge and
+reported, never silent; with ``capacity`` above the stream volume the
+answers are EXACT (the oracle-gated configuration).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from ..ops.quantiles import QuantileSketch
+from .driver import limit_worker_threads
+
+__all__ = ["StreamingQuantilesJob"]
+
+
+@ray.remote
+def _quantile_prep(inputs, columns, col: str, capacity: int) -> pa.Table:
+    """Read -> one partial sketch per prep task."""
+    limit_worker_threads()
+    sk = QuantileSketch(capacity)
+    rows = 0
+    for x in inputs:
+        batch = x if isinstance(x, pa.Table) else pq.read_table(
+            x, columns=columns)
+        rows += batch.num_rows
+        v = pc.cast(batch.column(col), pa.float64()).combine_chunks()
+        npv = v.to_numpy(zero_copy_only=False)
+        sk.insert(npv[~np.isnan(npv)])
+    t = sk.to_table()
+    rows_col = ([rows] + [0] * (t.num_rows - 1)) if t.num_rows else []
+    t = t.append_column("rows_in", pa.array(rows_col, type=pa.int64()))
+    # an all-NaN/empty file leaves the sketch empty: carry the row count
+    # in schema metadata so the metric stays exact
+    return t.replace_schema_metadata({b"rows_in": str(rows).encode()}
+                                     if t.num_rows == 0 else None)
+
+
+@ray.remote
+class QuantileStateActor:
+    def __init__(self, part_id: int, capacity: int):
+        limit_worker_threads()
+        self.part_id = part_id
+        self.capacity = capacity
+        self.sketch = QuantileSketch(capacity)
+        self.rows_in = 0
+
+    def process(self, epoch: int, *parts) -> dict:
+        for t in parts:
+            if t is None:
+                continue
+            if t.num_rows == 0:
+                md = t.schema.metadata or {}
+                self.rows_in += int(md.get(b"rows_in", b"0"))
+                continue
+            self.rows_in += int(t.column("rows_in").to_numpy(
+                zero_copy_only=False).sum())
+            self.sketch.merge(QuantileSketch.from_table(
+                t.drop_columns(["rows_in"]), self.capacity))
+        return {"rows_in": self.rows_in, "n": self.sketch.n,
+                "max_rank_error": self.sketch.max_rank_error}
+
+    def summary(self) -> pa.Table:
+        return self.sketch.to_table()
+
+    def checkpoint(self, epoch: int, ckpt_dir: str) -> None:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        final = os.path.join(
+            ckpt_dir, f"qs-{self.part_id:04d}-epoch-{epoch:06d}.parquet")
+        if not os.path.exists(final):
+            tmp = final + ".tmp"
+            pq.write_table(self.summary().append_column(
+                "rows_in", pa.array(
+                    [self.rows_in] * self.sketch.to_table().num_rows,
+                    pa.int64())), tmp)
+            os.replace(tmp, final)
+
+    def restore(self, ckpt_dir: str, upto_epoch: int) -> int:
+        import glob
+
+        best = None
+        for f in sorted(glob.glob(os.path.join(
+                ckpt_dir, f"qs-{self.part_id:04d}-epoch-*.parquet"))):
+            e = int(f.rsplit("-epoch-", 1)[1].split(".")[0])
+            if e <= upto_epoch:
+                best = f
+        self.sketch = QuantileSketch(self.capacity)
+        self.rows_in = 0
+        if best is None:
+            return 0
+        t = pq.read_table(best)
+        if t.num_rows:
+            self.rows_in = int(t.column("rows_in")[0].as_py())
+            self.sketch = QuantileSketch.from_table(
+                t.drop_columns(["rows_in"]), self.capacity)
+        return self.sketch.n
+
+
+class StreamingQuantilesJob:
+    """Continuous quantile tracking over a micro-batch Parquet stream.
+    Epoch pipelining and resume mirror ``StreamingTopKJob``."""
+
+    def __init__(self, *, col: str, capacity: int = 4096,
+                 columns: Sequence[str] | None = None,
+                 num_partitions: int = 4,
+                 checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 0, resume: bool = False):
+        self.col = col
+        self.capacity = capacity
+        self.columns = list(columns) if columns else None
+        if self.columns and col not in self.columns:
+            self.columns.append(col)
+        self.P = num_partitions
+        self.actors = [QuantileStateActor.remote(i, capacity)
+                       for i in range(num_partitions)]
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.epoch = -1
+        self._file_seq = 0
+        self._resume_cursor = -1
+        self.metrics: list[dict] = []
+        cursor = (os.path.join(checkpoint_dir, "checkpoint.json")
+                  if checkpoint_dir else None)
+        if resume and cursor and os.path.exists(cursor):
+            with open(cursor) as f:
+                doc = json.load(f)
+            self._resume_cursor = doc["epoch"]
+            self._file_seq = doc["file_seq"]
+            ray.get([a.restore.remote(checkpoint_dir, doc["epoch"])
+                     for a in self.actors])
+
+    def _submit_epoch(self, files_or_tables: Sequence):
+        self.epoch += 1
+        if self.epoch <= self._resume_cursor:
+            return (self.epoch, None, None)
+        # sketches carry no key: files round-robin across actors
+        by_actor: dict[int, list] = {}
+        for f in files_or_tables:
+            by_actor.setdefault(self._file_seq % self.P, []).append(f)
+            self._file_seq += 1
+        acks = []
+        for p, files in by_actor.items():
+            preps = [_quantile_prep.remote(
+                [f], self.columns, self.col, self.capacity)
+                for f in files]
+            acks.append(self.actors[p].process.remote(self.epoch, *preps))
+        ckpt = None
+        if (self.checkpoint_dir and self.checkpoint_every
+                and (self.epoch + 1) % self.checkpoint_every == 0):
+            ckpt = [a.checkpoint.remote(self.epoch, self.checkpoint_dir)
+                    for a in self.actors]
+        return (self.epoch, acks, ckpt)
+
+    def _drain_epoch(self, pending) -> dict:
+        epoch, acks, ckpt = pending
+        if acks is None:
+            m = {"epoch": epoch, "skipped": True}
+            self.metrics.append(m)
+            return m
+        stats = ray.get(acks)
+        m = {"epoch": epoch,
+             "n": sum(s["n"] for s in stats),
+             "max_rank_error": sum(s["max_rank_error"] for s in stats)}
+        self.metrics.append(m)
+        if ckpt is not None:
+            ray.get(ckpt)
+            cursor = os.path.join(self.checkpoint_dir, "checkpoint.json")
+            tmp = cursor + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"epoch": epoch, "file_seq": self._file_seq}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, cursor)
+        return m
+
+    def process_epoch(self, files_or_tables: Sequence) -> dict:
+        return self._drain_epoch(self._submit_epoch(files_or_tables))
+
+    def run(self, files: Sequence[str], files_per_epoch: int = 4,
+            max_inflight: int = 2) -> None:
+        from collections import deque
+
+        pending: deque = deque()
+        batch: list = []
+
+        def flush(limit: int) -> None:
+            while len(pending) > limit:
+                self._drain_epoch(pending.popleft())
+
+        for f in files:
+            batch.append(f)
+            if len(batch) >= files_per_epoch:
+                pending.append(self._submit_epoch(batch))
+                batch = []
+                flush(max_inflight - 1)
+        if batch:
+            pending.append(self._submit_epoch(batch))
+        flush(0)
+
+    def _merged(self) -> QuantileSketch:
+        merged = QuantileSketch(self.capacity)
+        for t in ray.get([a.summary.remote() for a in self.actors]):
+            if t.num_rows:
+                merged.merge(QuantileSketch.from_table(t, self.capacity))
+        return merged
+
+    def quantiles(self, qs: list[float]) -> pa.Table:
+        sk = self._merged()
+        return pa.table({
+            "q": pa.array(qs, type=pa.float64()),
+            "value": pa.array([sk.quantile(q) for q in qs],
+                              type=pa.float64()),
+        })
+
+    def finish(self) -> dict:
+        sk = self._merged()
+        rows = ray.get([a.process.remote(-1) for a in self.actors])
+        return {"epochs": self.epoch + 1,
+                "rows_in": sum(r["rows_in"] for r in rows),
+                "n": sk.n, "max_rank_error": sk.max_rank_error}
