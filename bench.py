@@ -509,6 +509,57 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["streaming_embdedup_100k"] = min2(_sembdedup)
 
+    # lexical retrieval + corpus-fit scoring over the 200k-doc corpus
+    from ksql_ray.ops.bm25 import bm25_topk
+    from ksql_ray.ops.dsir import dsir_select
+
+    out["bm25_topk_200k"] = min2(lambda: bm25_topk(
+        docs_ds(), "vector join stream token", k=100).count())
+
+    def _dsir_tgt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    out["dsir_select_200k"] = min2(lambda: dsir_select(
+        docs_ds(),
+        docs_ds().map_batches(_dsir_tgt, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        n=1000, buckets=8192, hash="fast").count())
+
+    # sketch suite: heavy hitters / cardinality / quantiles on ingest
+    # over the same 16 micro-batch files (fast hashes — the scale path)
+    from ksql_ray.ops.hll import hll_estimate
+    from ksql_ray.streaming.cardinality import StreamingHLLJob
+    from ksql_ray.streaming.quantiles import StreamingQuantilesJob
+    from ksql_ray.streaming.topk import StreamingTopKJob
+
+    def _stopk():
+        job = StreamingTopKJob(key_cols=["role", "tool"],
+                               columns=["role", "tool"],
+                               capacity=4096, num_partitions=8)
+        job.run(tfiles, files_per_epoch=4)
+        job.finish()
+        job.topk(20)
+
+    out["streaming_topk_200k"] = min2(_stopk)
+
+    def _shll():
+        job = StreamingHLLJob(key_col="conv_id", p=12, hash="fast",
+                              columns=["conv_id"], num_partitions=4)
+        job.run(tfiles, files_per_epoch=4)
+        job.finish()
+
+    out["streaming_hll_200k"] = min2(_shll)
+
+    def _squant():
+        job = StreamingQuantilesJob(col="turn_idx", capacity=4096,
+                                    columns=["turn_idx"],
+                                    num_partitions=4)
+        job.run(tfiles, files_per_epoch=4)
+        job.quantiles([0.5, 0.9, 0.99])
+
+    out["streaming_quantiles_200k"] = min2(_squant)
+
     # "no silent caps": star-capped jumbo buckets and dropped store-join
     # segments across all dedup runs above (recall impact is quantifiable
     # from these — a zero here means no cap fired at this scale)

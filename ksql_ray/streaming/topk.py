@@ -138,9 +138,10 @@ class TopKStateActor:
                 "max_undercount": int(self.undercount)}
 
     def summary(self) -> pa.Table:
+        # an empty Series has a default int64 index: force object dtype
+        keys = self.state.index.to_numpy(dtype=object)
         return pa.table({
-            "key": pa.array(self.state.index.to_numpy(),
-                            type=pa.string()),
+            "key": pa.array(keys, type=pa.string()),
             "cnt": pa.array(self.state.to_numpy(), type=pa.int64()),
         })
 
