@@ -188,10 +188,47 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--checkpoint-every", type=int, default=0)
     tk.add_argument("--resume", action="store_true")
 
+    hl = sub.add_parser(
+        "hll",
+        help="streaming distinct-count (ray-job entrypoint): HyperLogLog "
+             "registers merged across partitions, constant state")
+    hl.add_argument("--input", required=True,
+                    help="directory of parquet micro-batch files")
+    hl.add_argument("--key-col", required=True)
+    hl.add_argument("--p", type=int, default=12,
+                    help="2^p registers (~1.04/sqrt(2^p) rel. error)")
+    hl.add_argument("--partitions", type=int, default=4)
+    hl.add_argument("--files-per-epoch", type=int, default=8)
+    hl.add_argument("--checkpoint-dir", default=None)
+    hl.add_argument("--checkpoint-every", type=int, default=0)
+    hl.add_argument("--resume", action="store_true")
+
+    qu = sub.add_parser(
+        "quantiles",
+        help="streaming quantiles (ray-job entrypoint): deterministic "
+             "mergeable sketches with a counted rank-error bound")
+    qu.add_argument("--input", required=True,
+                    help="directory of parquet micro-batch files")
+    qu.add_argument("--col", required=True, help="numeric column")
+    qu.add_argument("--q", default="0.5,0.9,0.99",
+                    help="comma-separated quantiles")
+    qu.add_argument("--capacity", type=int, default=4096,
+                    help="values per sketch level; exact while the "
+                         "stream volume stays under it")
+    qu.add_argument("--partitions", type=int, default=4)
+    qu.add_argument("--files-per-epoch", type=int, default=8)
+    qu.add_argument("--checkpoint-dir", default=None)
+    qu.add_argument("--checkpoint-every", type=int, default=0)
+    qu.add_argument("--resume", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "topk":
         return _run_topk(args)
+    if args.cmd == "hll":
+        return _run_hll(args)
+    if args.cmd == "quantiles":
+        return _run_quantiles(args)
     if args.cmd == "stream":
         return _run_stream(args)
     if args.cmd == "dedup":
@@ -274,6 +311,83 @@ def _run_topk(args) -> int:
         "topk": [[r["key"], r["cnt"]] for r in snap.to_pylist()],
     }))
     if owns_session:  # never tear down a caller's (e.g. pytest's) session
+        ray.shutdown()
+    return 0
+
+
+def _run_hll(args) -> int:
+    """Streaming distinct-count job (owns the Ray session, one JSON
+    summary line — the same ``ray job submit`` shape as ``topk``)."""
+    import glob
+    import json
+    import time as _time
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False, ignore_reinit_error=True)
+    from .streaming.cardinality import StreamingHLLJob
+
+    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not files:
+        print(f"error: no parquet files under {args.input}", file=sys.stderr)
+        return 1
+    t0 = _time.perf_counter()
+    job = StreamingHLLJob(
+        key_col=args.key_col, p=args.p, columns=[args.key_col],
+        num_partitions=args.partitions, checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
+    job.run(files, files_per_epoch=args.files_per_epoch)
+    m = job.finish()
+    print(json.dumps({
+        "files": len(files), "epochs": m["epochs"],
+        "sec": round(_time.perf_counter() - t0, 3),
+        "rows_in": m["rows_in"], "registers": 1 << args.p,
+        "estimate": round(m["estimate"], 1),
+    }))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
+def _run_quantiles(args) -> int:
+    """Streaming quantiles job (owns the Ray session, one JSON summary
+    line — the same ``ray job submit`` shape as ``topk``)."""
+    import glob
+    import json
+    import time as _time
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False, ignore_reinit_error=True)
+    from .streaming.quantiles import StreamingQuantilesJob
+
+    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not files:
+        print(f"error: no parquet files under {args.input}", file=sys.stderr)
+        return 1
+    qs = [float(x) for x in args.q.split(",")]
+    t0 = _time.perf_counter()
+    job = StreamingQuantilesJob(
+        col=args.col, capacity=args.capacity, columns=[args.col],
+        num_partitions=args.partitions, checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
+    job.run(files, files_per_epoch=args.files_per_epoch)
+    m = job.finish()
+    snap = job.quantiles(qs)
+    print(json.dumps({
+        "files": len(files), "epochs": m["epochs"],
+        "sec": round(_time.perf_counter() - t0, 3),
+        "rows_in": m["rows_in"], "n": m["n"],
+        "max_rank_error": m["max_rank_error"],
+        "quantiles": {str(r["q"]): r["value"] for r in snap.to_pylist()},
+    }))
+    if owns_session:
         ray.shutdown()
     return 0
 
