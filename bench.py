@@ -509,6 +509,13 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["streaming_embdedup_100k"] = min2(_sembdedup)
 
+    # sliding-window substring dedup (every overlapping 16-token window
+    # hashed; ~1 hash/token vs chunk_dedup's 1/chunk)
+    from ksql_ray.ops.spans import window_dedup
+
+    out["window_dedup_200k"] = min2(
+        lambda: window_dedup(docs_ds(), width=16).count())
+
     # lexical retrieval + corpus-fit scoring over the 200k-doc corpus
     from ksql_ray.ops.bm25 import bm25_topk
     from ksql_ray.ops.dsir import dsir_select

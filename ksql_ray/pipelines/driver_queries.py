@@ -2501,6 +2501,80 @@ def _streaming_hll(sf_dir: str) -> pa.Table:
 REGISTRY["streaming_hll"] = RawQ(_streaming_hll, _HLL_SQL)
 
 
+def _op_window_dedup(sf_dir: str) -> pa.Table:
+    """Sliding-window substring dedup over the documents corpus plus a
+    planted 3-token-shifted copy of every 11th doc — repeats at
+    arbitrary (non-chunk) alignment, which is exactly what chunk_dedup
+    cannot catch."""
+    import ray.data
+
+    from ..ops.spans import window_dedup
+
+    docs = _read_clean(f"{sf_dir}/documents.parquet").select_columns(
+        ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        cp = batch.filter(pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 11), 11)), 0))
+        cp = pa.table({
+            "doc_id": pc.add(cp.column("doc_id"), 1_000_000),
+            "text": pc.binary_join_element_wise(
+                pa.array(["pad padd paddd"] * cp.num_rows),
+                pc.cast(cp.column("text"), pa.string()), " "),
+        })
+        return pa.concat_tables(
+            [pa.table({"doc_id": batch.column("doc_id"),
+                       "text": pc.cast(batch.column("text"),
+                                       pa.string())}), cp])
+
+    corpus = docs.map_batches(plant, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return _collect(window_dedup(corpus, width=8))
+
+
+REGISTRY["op_window_dedup"] = RawQ(
+    _op_window_dedup,
+    # every overlapping 8-token window; duplicate = same window text at
+    # an earlier (doc_id, pos); covered tokens removed, text rebuilt
+    # from survivors (ops/spans.py window_dedup docstring)
+    r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'pad padd paddd' || ' ' || text
+         AS text
+  FROM documents WHERE doc_id % 11 = 0
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM corpus
+), w AS (
+  SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS win
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 8 + 2)) AS i)
+  WHERE len(t) >= 8
+), dup AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i,
+           ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, i) AS rn
+    FROM w) WHERE rn > 1
+), rem AS (
+  SELECT DISTINCT doc_id, j
+  FROM dup, LATERAL (SELECT unnest(range(i, i + 8)) AS j)
+), pos AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS j
+  FROM toks
+), kept AS (
+  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.j) AS clean_text,
+         count(*) AS n_kept
+  FROM pos p ANTI JOIN rem r ON p.doc_id = r.doc_id AND p.j = r.j
+  GROUP BY 1)
+SELECT tk.doc_id, len(tk.t) AS n_tokens,
+       len(tk.t) - coalesce(k.n_kept, 0) AS removed_tokens,
+       coalesce(k.clean_text, '') AS clean_text
+FROM toks tk LEFT JOIN kept k USING (doc_id)""",
+)
+
+
 _QUANTILE_QS = [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
 # DuckDB requires a CONSTANT quantile parameter: one branch per q
 _QUANTILE_SQL = " UNION ALL ".join(

@@ -106,3 +106,89 @@ def test_string_doc_ids(ray_session):
     assert got["m"] == (1, 1, "")
     assert got["z"] == (1, 1, "")
     assert got["k"] == (1, 0, "different text entirely")
+
+
+# ----------------------------------------------------- window_dedup
+
+from ksql_ray.ops.spans import window_dedup
+
+
+def _ref_window_dedup(docs, width):
+    """Brute force: duplicate window = same width-token window text at
+    an earlier (doc_id, pos); covered tokens removed."""
+    per_doc = {}
+    for doc_id, text in docs:
+        per_doc[doc_id] = text.strip().split() or [""]
+    seen = {}
+    removed = {d: set() for d in per_doc}
+    for doc_id in sorted(per_doc):
+        toks = per_doc[doc_id]
+        for i in range(len(toks) - width + 1):
+            win = " ".join(toks[i:i + width])
+            if win in seen:
+                removed[doc_id].update(range(i, i + width))
+            else:
+                seen[win] = (doc_id, i)
+    out = {}
+    for doc_id, toks in per_doc.items():
+        kept = [t for j, t in enumerate(toks) if j not in removed[doc_id]]
+        out[doc_id] = (len(toks), len(removed[doc_id]), " ".join(kept))
+    return out
+
+
+def _run_w(docs, width, **kw):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs]),
+    })).repartition(4)
+    got = window_dedup(ds, width=width, **kw).to_pandas()
+    return {r.doc_id: (r.n_tokens, r.removed_tokens, r.clean_text)
+            for r in got.itertuples()}
+
+
+def test_window_shifted_repeat(ray_session):
+    """A repeated passage at a NON-chunk alignment: window_dedup removes
+    it, the brute reference agrees token for token."""
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, passage + " tail one two three"),
+        (2, "shift " + passage + " other ending here"),   # offset by 1
+        (3, "a b c d e f g h i j"),                       # clean doc
+    ]
+    assert _run_w(docs, 6) == _ref_window_dedup(docs, 6)
+
+
+def test_window_overlapping_dups_merge(ray_session):
+    """Overlapping duplicate windows union their coverage (diff-array
+    path), including within-doc self-repeats."""
+    docs = [
+        (10, "p q r s t u v w p q r s t u v w x y z"),   # self-repeat
+        (11, "p q r s t u v w completely different words here"),
+    ]
+    assert _run_w(docs, 4) == _ref_window_dedup(docs, 4)
+
+
+def test_window_short_docs_untouched(ray_session):
+    docs = [(1, "one two three"), (2, "one two three"), (3, "   ")]
+    got = _run_w(docs, 8)
+    assert got[1] == (3, 0, "one two three")
+    assert got[2] == (3, 0, "one two three")   # doc-level dup NOT cut
+    assert got[3] == (1, 0, "")
+
+
+def test_window_full_doc_removed(ray_session):
+    docs = [(1, "a b c d e f g h"), (2, "a b c d e f g h")]
+    got = _run_w(docs, 8)
+    assert got[1] == (8, 0, "a b c d e f g h")
+    assert got[2] == (8, 8, "")
+
+
+def test_window_random_vs_brute(ray_session):
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for d in range(40):
+        n = int(rng.integers(3, 30))
+        docs.append((d, " ".join(rng.choice(vocab, n))))
+    for width in (3, 5):
+        assert _run_w(docs, width) == _ref_window_dedup(docs, width)
