@@ -2501,6 +2501,31 @@ def _streaming_hll(sf_dir: str) -> pa.Table:
 REGISTRY["streaming_hll"] = RawQ(_streaming_hll, _HLL_SQL)
 
 
+def _op_shuffle_shard(sf_dir: str) -> pa.Table:
+    from ..ops.shard import shuffle_shard
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet").select_columns(
+        ["doc_id"])
+    t = _collect(shuffle_shard(ds, "doc_id", n_shards=16, method="md5"))
+    return t.select(["doc_id", "shard", "pos"])
+
+
+REGISTRY["op_shuffle_shard"] = RawQ(
+    _op_shuffle_shard,
+    # deterministic training-export shuffle (ops/shard.py docstring):
+    # shard = md5-uint32(key) % 16, within-shard order = (hash, key)
+    r"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT AS h
+  FROM documents)
+SELECT doc_id, (h % 16)::BIGINT AS shard,
+       ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1
+         AS pos
+FROM h""",
+)
+
+
 def _op_window_dedup(sf_dir: str) -> pa.Table:
     """Sliding-window substring dedup over the documents corpus plus a
     planted 3-token-shifted copy of every 11th doc — repeats at
