@@ -1,0 +1,128 @@
+"""Per-key row operators: top-n-per-key and sessionization.
+
+Two row-window classics the reference cannot express (ksqlDB has no
+non-aggregate OVER clause; absence verified across
+/root/reference/ksql/*.go) that every transcript/event pipeline needs:
+keep the n best rows per key (best turns per conversation, largest
+purchases per user) and assign gap-based session ids (the batch
+counterpart of the engine's streaming SESSION windows — windows.py
+aggregates per session, this LABELS the rows).
+
+Shape: ONE hash shuffle on the key columns (ops/dedup._partition_by —
+whole partitions per group call, never one call per distinct key),
+then one vectorized per-partition sort + segment pass. No per-row
+Python, no second shuffle.
+
+Semantics (mirrored verbatim by the gate oracles):
+
+* ``top_n_per_key``: rank rows per key by (order_col desc|asc,
+  tiebreak asc) and keep rank < n — SQL
+  ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...) <= n``.
+* ``sessionize``: order rows per key by (ts, tiebreak); a row opens a
+  new session iff its gap to the previous row exceeds ``gap_us``;
+  ``session_id`` is the per-key 0-based session ordinal — SQL
+  gaps-and-islands (SUM of new-session flags over the same order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .dedup import _partition_by, _pin
+
+__all__ = ["top_n_per_key", "sessionize"]
+
+
+def _segment_starts(sort_keys: list[np.ndarray], n: int) -> np.ndarray:
+    """Start index of each equal-key segment, broadcast to every row
+    (input arrays must already be sorted by the keys)."""
+    seg = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return seg
+    change = np.zeros(n, dtype=bool)
+    for k in sort_keys:
+        change[1:] |= k[1:] != k[:-1]
+    idx = np.flatnonzero(change)
+    seg[idx] = idx
+    np.maximum.accumulate(seg, out=seg)
+    return seg
+
+
+def _key_arrays(tbl: pa.Table, key_cols: list[str]) -> list[np.ndarray]:
+    return [tbl.column(k).to_numpy(zero_copy_only=False)
+            for k in key_cols]
+
+
+def top_n_per_key(ds: ray.data.Dataset, key_cols: list[str],
+                  order_col: str, n: int, descending: bool = True,
+                  tiebreak: str | None = None,
+                  num_partitions: int = 32) -> ray.data.Dataset:
+    """Rows whose rank within their key group is < n, with the 0-based
+    ``rank`` attached."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    direction = "descending" if descending else "ascending"
+    sort_spec = [(k, "ascending") for k in key_cols]
+    sort_spec.append((order_col, direction))
+    if tiebreak:
+        sort_spec.append((tiebreak, "ascending"))
+
+    def pick(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            return group.append_column("rank",
+                                       pa.array([], type=pa.int64()))
+        tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
+        seg = _segment_starts(_key_arrays(tbl, key_cols), tbl.num_rows)
+        rank = np.arange(tbl.num_rows, dtype=np.int64) - seg
+        tbl = tbl.append_column("rank", pa.array(rank, type=pa.int64()))
+        return tbl.filter(pa.array(rank < n))
+
+    return _partition_by(ds, key_cols, num_partitions).map_groups(
+        _pin(pick), batch_format="pyarrow")
+
+
+def sessionize(ds: ray.data.Dataset, key_cols: list[str], ts_col: str,
+               gap_us: int, tiebreak: str | None = None,
+               num_partitions: int = 32) -> ray.data.Dataset:
+    """Rows with a per-key 0-based ``session_id`` attached (a new
+    session opens when the event-time gap to the previous row of the
+    same key exceeds ``gap_us``)."""
+    if gap_us <= 0:
+        raise ValueError("gap_us must be > 0")
+    sort_spec = ([(k, "ascending") for k in key_cols]
+                 + [(ts_col, "ascending")]
+                 + ([(tiebreak, "ascending")] if tiebreak else []))
+
+    def label(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            return group.append_column("session_id",
+                                       pa.array([], type=pa.int64()))
+        tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
+        nrows = tbl.num_rows
+        ts = tbl.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.int64())
+        tsv = ts.to_numpy(zero_copy_only=False)
+        new = np.ones(nrows, dtype=bool)   # first row of each key
+        same_key = np.ones(nrows - 1, dtype=bool) if nrows > 1 else \
+            np.empty(0, bool)
+        for k in _key_arrays(tbl, key_cols):
+            same_key &= k[1:] == k[:-1]
+        new[1:] = ~same_key | (tsv[1:] - tsv[:-1] > gap_us)
+        # per-key session ordinal: cumsum of new-session flags minus the
+        # cumsum value at the key's first row
+        csum = np.cumsum(new)
+        seg = _segment_starts(_key_arrays(tbl, key_cols), nrows)
+        sid = csum - csum[seg]
+        return tbl.append_column("session_id",
+                                 pa.array(sid, type=pa.int64()))
+
+    return _partition_by(ds, key_cols, num_partitions).map_groups(
+        _pin(label), batch_format="pyarrow")

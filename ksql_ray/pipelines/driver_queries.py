@@ -2501,6 +2501,54 @@ def _streaming_hll(sf_dir: str) -> pa.Table:
 REGISTRY["streaming_hll"] = RawQ(_streaming_hll, _HLL_SQL)
 
 
+def _op_top_per_key(sf_dir: str) -> pa.Table:
+    from ..ops.rows import top_n_per_key
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "value"])
+    t = _collect(top_n_per_key(ds, ["user_id"], "value", n=3,
+                               descending=True, tiebreak="event_id"))
+    return t.select(["user_id", "event_id", "value", "rank"])
+
+
+REGISTRY["op_top_per_key"] = RawQ(
+    _op_top_per_key,
+    "SELECT user_id, event_id, value, rn - 1 AS rank FROM ("
+    "  SELECT user_id, event_id, value,"
+    "         ROW_NUMBER() OVER (PARTITION BY user_id"
+    "                            ORDER BY value DESC, event_id) AS rn"
+    "  FROM events) WHERE rn <= 3",
+)
+
+
+def _op_sessionize(sf_dir: str) -> pa.Table:
+    from ..ops.rows import sessionize
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "ts"])
+    t = _collect(sessionize(ds, ["user_id"], "ts",
+                            gap_us=30 * 60 * 1_000_000,
+                            tiebreak="event_id"))
+    return t.select(["user_id", "event_id", "session_id"])
+
+
+REGISTRY["op_sessionize"] = RawQ(
+    _op_sessionize,
+    # gaps-and-islands: a >30min gap to the previous same-key row opens
+    # a new session; session_id = per-key 0-based ordinal
+    "SELECT user_id, event_id,"
+    "  SUM(CASE WHEN prev_ts IS NULL"
+    "            OR ts - prev_ts > INTERVAL 30 MINUTE"
+    "       THEN 1 ELSE 0 END)"
+    "    OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT - 1"
+    "    AS session_id "
+    "FROM (SELECT user_id, event_id, ts,"
+    "             lag(ts) OVER (PARTITION BY user_id"
+    "                           ORDER BY ts, event_id) AS prev_ts"
+    "      FROM events)",
+)
+
+
 def _op_shuffle_shard(sf_dir: str) -> pa.Table:
     from ..ops.shard import shuffle_shard
 

@@ -1,0 +1,107 @@
+"""Per-key row ops (ops/rows.py): brute-force pins, multi-key, edge
+cases. The sf0.01 DuckDB oracles run via the op_top_per_key /
+op_sessionize gates in test_driver_contract.py."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from conftest import collect
+from ksql_ray.ops.rows import sessionize, top_n_per_key
+
+
+def _events():
+    rng = np.random.default_rng(8)
+    n = 500
+    return pa.table({
+        "k": pa.array([f"u{v}" for v in rng.integers(0, 20, n)]),
+        "k2": pa.array(rng.integers(0, 3, n), pa.int64()),
+        "eid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(np.round(rng.uniform(0, 100, n), 2)),
+        "ts": pa.array(np.sort(rng.integers(0, 10_000_000, n)),
+                       pa.int64()),
+    })
+
+
+def test_top_n_per_key_brute(ray_session):
+    t = _events()
+    got = collect(top_n_per_key(
+        ray.data.from_arrow(t).repartition(4), ["k"], "v", n=3,
+        tiebreak="eid"))
+    rows = sorted(zip(t.column("k").to_pylist(),
+                      t.column("v").to_pylist(),
+                      t.column("eid").to_pylist()))
+    want = {}
+    bykey = {}
+    for k, v, e in rows:
+        bykey.setdefault(k, []).append((-v, e))
+    for k, lst in bykey.items():
+        for r, (_, e) in enumerate(sorted(lst)[:3]):
+            want[e] = r
+    got_map = {r["eid"]: r["rank"] for r in got.to_pylist()}
+    assert got_map == want
+
+
+def test_top_n_multi_key_ascending(ray_session):
+    t = _events()
+    got = collect(top_n_per_key(
+        ray.data.from_arrow(t), ["k", "k2"], "v", n=1,
+        descending=False, tiebreak="eid"))
+    mins = {}
+    for k, k2, v, e in zip(t.column("k").to_pylist(),
+                           t.column("k2").to_pylist(),
+                           t.column("v").to_pylist(),
+                           t.column("eid").to_pylist()):
+        cur = mins.get((k, k2))
+        if cur is None or (v, e) < cur:
+            mins[(k, k2)] = (v, e)
+    assert got.num_rows == len(mins)
+    for r in got.to_pylist():
+        assert (r["v"], r["eid"]) == mins[(r["k"], r["k2"])]
+        assert r["rank"] == 0
+
+
+def test_sessionize_brute(ray_session):
+    t = _events()
+    gap = 400_000
+    got = collect(sessionize(ray.data.from_arrow(t).repartition(4),
+                             ["k"], "ts", gap_us=gap, tiebreak="eid"))
+    bykey = {}
+    for k, ts, e in zip(t.column("k").to_pylist(),
+                        t.column("ts").to_pylist(),
+                        t.column("eid").to_pylist()):
+        bykey.setdefault(k, []).append((ts, e))
+    want = {}
+    for k, lst in bykey.items():
+        sid = -1
+        prev = None
+        for ts, e in sorted(lst):
+            if prev is None or ts - prev > gap:
+                sid += 1
+            want[e] = sid
+            prev = ts
+    got_map = {r["eid"]: r["session_id"] for r in got.to_pylist()}
+    assert got_map == want
+    assert max(got_map.values()) > 0      # the gap actually split
+
+
+def test_sessionize_gap_boundary(ray_session):
+    """gap is STRICT: a delta of exactly gap_us stays in-session."""
+    t = pa.table({
+        "k": pa.array(["a"] * 4),
+        "eid": pa.array([0, 1, 2, 3], pa.int64()),
+        "ts": pa.array([0, 100, 200, 301], pa.int64()),
+    })
+    got = collect(sessionize(ray.data.from_arrow(t), ["k"], "ts",
+                             gap_us=100, tiebreak="eid"))
+    sid = {r["eid"]: r["session_id"] for r in got.to_pylist()}
+    assert sid == {0: 0, 1: 0, 2: 0, 3: 1}
+
+
+def test_rows_validation(ray_session):
+    ds = ray.data.from_arrow(_events())
+    with pytest.raises(ValueError):
+        top_n_per_key(ds, ["k"], "v", n=0)
+    with pytest.raises(ValueError):
+        sessionize(ds, ["k"], "ts", gap_us=0)
