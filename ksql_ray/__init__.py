@@ -15,6 +15,7 @@ from .aggregates import (
     LatestByOffset,
     Max,
     Min,
+    Percentile,
     Sum,
     TopK,
     TopKDistinct,
@@ -53,7 +54,8 @@ from .windows import (
 
 __all__ = [
     "Avg", "CollectList", "CollectSet", "Count", "EarliestByOffset",
-    "Histogram", "LatestByOffset", "Max", "Min", "Sum", "TopK",
+    "Histogram", "LatestByOffset", "Max", "Min", "Percentile", "Sum",
+    "TopK",
     "TopKDistinct", "Schema", "Select", "SelectAsStruct", "SelectBuilder", "Catalog", "Ref",
     "Relation", "STREAM", "TABLE", "TOPIC", "testdata_catalog",
     "CatalogError", "KsqlRayError", "PlanError", "SchemaError", "Engine",

@@ -691,10 +691,71 @@ class Histogram(AggExpr):
         return {f"{a}_list": vals_arr, f"{a}_hcnt": cnts_arr}
 
 
+class Percentile(AggExpr):
+    """PERCENTILE(col, q): the q-th discrete percentile per group — the
+    smallest group value whose rank is >= max(1, ceil(q*m)) over the m
+    non-null values (= SQL ``quantile_disc``; NULLs skipped; NULL for
+    all-NULL groups). EXACT: partials collect the group's values (the
+    COLLECT_LIST shape, value-ordered — no offset rank needed), the
+    merge is one lexsort + per-segment pick. Extends the reference's
+    aggregate set (ksql/aggregate_fn.go:9-34 has no percentile); for
+    bounded-memory approximate quantiles over streams use
+    ops/quantiles.QuantileSketch instead."""
+
+    fn_name = "percentile"
+
+    def __init__(self, arg, q: float):
+        super().__init__(arg)
+        if not isinstance(q, (int, float)) or not 0.0 <= q <= 1.0:
+            raise PlanError("PERCENTILE requires 0 <= q <= 1")
+        self.q = float(q)
+
+    def key(self):
+        return f"{self.fn_name}({self.arg!r},{self.q})"
+
+    def out_type(self, schema):
+        t = self.arg.out_type(schema)
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_temporal(t)):
+            raise TypeError_(f"PERCENTILE over non-orderable type {t}")
+        return t
+
+    def p1_kernels(self, a):
+        return [(a, "list")]
+
+    def finalize(self, ctx, a, ordcols):
+        values, offsets = ctx.flat(f"{a}_list")
+        n_groups = len(offsets) - 1
+        seg = _segment_ids(offsets)
+        mask = pc.is_valid(values).to_numpy(zero_copy_only=False)
+        if not mask.any():
+            return pa.nulls(n_groups, values.type)
+        v_np = _np_valid(values)
+        seg_k, v_k = seg[mask], v_np[mask]
+        idx_k = np.nonzero(mask)[0]
+        order = np.lexsort((v_k, seg_k))
+        seg_s, idx_s = seg_k[order], idx_k[order]
+        m = np.bincount(seg_s, minlength=n_groups)
+        starts = np.concatenate(([0], np.cumsum(m)[:-1]))
+        target = np.maximum(1, np.ceil(self.q * m - 1e-9).astype(np.int64))
+        pos = starts + target - 1
+        missing = m == 0
+        pos[missing] = 0
+        out = values.take(pa.array(idx_s[pos], type=pa.int64()))
+        if missing.any():
+            out = pc.if_else(pa.array(~missing), out,
+                             pa.scalar(None, values.type))
+        return out
+
+    def repartial(self, ctx, a, ordcols):
+        return {f"{a}_list": ctx.seg_concat_list(f"{a}_list")}
+
+
 ALL_AGGREGATES: dict[str, type[AggExpr]] = {
     c.fn_name: c
     for c in (
         Count, Sum, Avg, Min, Max, CollectList, CollectSet,
         LatestByOffset, EarliestByOffset, TopK, TopKDistinct, Histogram,
+        Percentile,
     )
 }

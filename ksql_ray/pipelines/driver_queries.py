@@ -190,6 +190,20 @@ def _min_max_strings():
             .From(Schema("orders")).GroupBy(F("o_orderstatus")))
 
 
+@q("agg_percentile",
+   "SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS p50, "
+   "quantile_disc(l_extendedprice, 0.9) AS p90, "
+   "count(l_orderkey) AS cnt FROM lineitem GROUP BY l_returnflag")
+def _agg_percentile():
+    from ..aggregates import Percentile
+
+    return (Select(F("l_returnflag"),
+                   Percentile(F("l_extendedprice"), 0.5).As("p50"),
+                   Percentile(F("l_extendedprice"), 0.9).As("p90"),
+                   Count(F("l_orderkey")).As("cnt"))
+            .From(Schema("lineitem")).GroupBy(F("l_returnflag")))
+
+
 # --------------------------------------------------------------- §2.3 aggregates
 @q("agg_basic",
    "SELECT l_returnflag, l_linestatus, ROUND(sum(l_quantity), 4) AS sum_qty, "

@@ -15,7 +15,8 @@ from typing import Any
 
 from ..aggregates import (
     AggExpr, Avg, CollectList, CollectSet, Count, EarliestByOffset,
-    Histogram, LatestByOffset, Max, Min, Sum, TopK, TopKDistinct,
+    Histogram, LatestByOffset, Max, Min, Percentile, Sum, TopK,
+    TopKDistinct,
 )
 
 
@@ -239,6 +240,28 @@ class _HistogramAcc(StreamingAcc):
         return dict(sorted(self.counts.items()))
 
 
+class _PercentileAcc(StreamingAcc):
+    def __init__(self, q: float):
+        self.q = q
+        self.vals: list = []
+
+    def update(self, row, a, ords):
+        self.vals.extend(v for v in (row[f"{a}_list"] or [])
+                         if v is not None)
+
+    def merge(self, o):
+        self.vals.extend(o.vals)
+
+    def result(self):
+        if not self.vals:
+            return None
+        import math
+
+        s = sorted(self.vals)
+        target = max(1, math.ceil(self.q * len(s) - 1e-9))
+        return s[target - 1]
+
+
 def make_acc(agg: AggExpr) -> StreamingAcc:
     if isinstance(agg, Count):
         return _CountAcc()
@@ -264,4 +287,6 @@ def make_acc(agg: AggExpr) -> StreamingAcc:
         return _TopKAcc(agg.k, False)
     if isinstance(agg, Histogram):
         return _HistogramAcc(agg.buckets)
+    if isinstance(agg, Percentile):
+        return _PercentileAcc(agg.q)
     raise TypeError(f"no streaming accumulator for {agg!r}")

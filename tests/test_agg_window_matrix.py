@@ -15,6 +15,7 @@ from ksql_ray import (
     F, Histogram, Hopping, LatestByOffset, Max, Min, MINUTES, Schema, Select,
     Session, Sum, TopK, TopKDistinct,
 )
+from ksql_ray.aggregates import Percentile
 from ksql_ray.catalog import Ref
 from ksql_ray.pipelines.driver_queries import _map_to_json
 
@@ -75,6 +76,8 @@ AGGS = {
     "topk_distinct": (lambda: TopKDistinct(F("v"), 3).As("a"),
                       "(list(DISTINCT v ORDER BY v DESC))[1:3] AS a", False),
     "histogram": (lambda: Histogram(F("tag"), 100).As("a"), None, True),
+    "percentile": (lambda: Percentile(F("v"), 0.75).As("a"),
+                   "quantile_disc(v, 0.75) AS a", False),
 }
 
 WINDOWS = ["none", "tumbling", "hopping", "session"]
