@@ -2723,6 +2723,82 @@ REGISTRY["streaming_quantiles"] = RawQ(_streaming_quantiles,
                                        _QUANTILE_SQL)
 
 
+def _streaming_asof(sf_dir: str) -> pa.Table:
+    """Streaming as-of enrichment: events replayed as the left stream,
+    every 5th event (projected to a reference-update shape) as the
+    right stream; each event binds its user's latest update at or
+    before its own event time. Huge lateness + end-of-stream flush =>
+    zero drops, output equals the bounded ROW_NUMBER oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.asof import StreamingAsofJob
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    ids = tbl.column("event_id")
+    upd = tbl.filter(pc.equal(
+        pc.subtract(ids, pc.multiply(pc.divide(ids, 5), 5)), 0))
+    upd = pa.table({
+        "user_id": upd.column("user_id"), "ts": upd.column("ts"),
+        "event_id": upd.column("event_id"),
+        "ref_value": upd.column("value"),
+    })
+    n, nu = tbl.num_rows, upd.num_rows
+    ldir = tempfile.mkdtemp(prefix="ksql_ray_sasof_l_")
+    rdir = tempfile.mkdtemp(prefix="ksql_ray_sasof_r_")
+    out = tempfile.mkdtemp(prefix="ksql_ray_sasof_out_")
+    try:
+        lf, rf = [], []
+        for i in range(8):
+            p = os.path.join(ldir, f"l{i:02d}.parquet")
+            pq.write_table(tbl.slice(i * n // 8,
+                                     (i + 1) * n // 8 - i * n // 8), p)
+            lf.append(p)
+            p = os.path.join(rdir, f"r{i:02d}.parquet")
+            pq.write_table(upd.slice(i * nu // 8,
+                                     (i + 1) * nu // 8 - i * nu // 8), p)
+            rf.append(p)
+        job = StreamingAsofJob(
+            out, on="ts", by=["user_id"],
+            right_cols={"ref_value": "ref_value"},
+            left_columns=["event_id", "user_id", "ts", "value"],
+            right_columns=["user_id", "ts", "event_id", "ref_value"],
+            tiebreak="event_id", lateness_us=1 << 60, num_partitions=4)
+        job.run(lf, rf, files_per_epoch=2)
+        m = job.finish()
+        assert m["late_left"] == 0 and m["late_right"] == 0, m
+        t = job.result().select(
+            ["event_id", "user_id", "ts", "value", "ref_value"])
+        return _round_cols(t, {"value": 4, "ref_value": 4})
+    finally:
+        for d in (ldir, rdir, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+REGISTRY["streaming_asof"] = RawQ(
+    _streaming_asof,
+    r"""
+WITH up AS (
+  SELECT user_id, ts, event_id, value AS ref_value FROM events
+  WHERE event_id % 5 = 0
+), j AS (
+  SELECT e.event_id, e.user_id, e.ts, e.value, u.ref_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY u.ts DESC, u.event_id DESC) AS rn
+  FROM events e LEFT JOIN up u
+    ON u.user_id = e.user_id AND u.ts <= e.ts)
+SELECT event_id, user_id, ROUND(value, 4) AS value, ts,
+       ROUND(ref_value, 4) AS ref_value
+FROM j WHERE rn = 1""",
+)
+
+
 def _streaming_topk(sf_dir: str) -> pa.Table:
     """Heavy hitters on ingest: the events table replayed as 8
     micro-batch files; Misra-Gries summaries per key partition with
