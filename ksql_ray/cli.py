@@ -221,8 +221,37 @@ def main(argv: list[str] | None = None) -> int:
     qu.add_argument("--checkpoint-every", type=int, default=0)
     qu.add_argument("--resume", action="store_true")
 
+    aj = sub.add_parser(
+        "asof",
+        help="streaming as-of enrichment join (ray-job entrypoint): "
+             "each left row binds its key's latest right row at or "
+             "before its event time")
+    aj.add_argument("--left", required=True,
+                    help="directory of left-stream parquet files")
+    aj.add_argument("--right", required=True,
+                    help="directory of right-stream parquet files")
+    aj.add_argument("--sink", required=True)
+    aj.add_argument("--on", default="ts")
+    aj.add_argument("--by", required=True,
+                    help="comma-separated join key columns")
+    aj.add_argument("--right-cols", required=True,
+                    help="comma-separated right payload columns "
+                         "(src or src:dst)")
+    aj.add_argument("--left-cols", required=True,
+                    help="comma-separated left output columns")
+    aj.add_argument("--tiebreak", default=None,
+                    help="right-side tie column (greatest wins)")
+    aj.add_argument("--lateness-s", type=int, default=300)
+    aj.add_argument("--partitions", type=int, default=8)
+    aj.add_argument("--files-per-epoch", type=int, default=4)
+    aj.add_argument("--checkpoint-dir", default=None)
+    aj.add_argument("--checkpoint-every", type=int, default=0)
+    aj.add_argument("--resume", action="store_true")
+
     args = p.parse_args(argv)
 
+    if args.cmd == "asof":
+        return _run_asof(args)
     if args.cmd == "topk":
         return _run_topk(args)
     if args.cmd == "hll":
@@ -267,6 +296,54 @@ def main(argv: list[str] | None = None) -> int:
     except KsqlRayError as ex:
         print(f"error: {ex}", file=sys.stderr)
         return 1
+    return 0
+
+
+def _run_asof(args) -> int:
+    """Streaming as-of join job (owns the Ray session, one JSON summary
+    line — the same ``ray job submit`` shape as ``dedup``)."""
+    import glob
+    import json
+    import time as _time
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False, ignore_reinit_error=True)
+    from .streaming.asof import StreamingAsofJob
+
+    lf = sorted(glob.glob(os.path.join(args.left, "*.parquet")))
+    rf = sorted(glob.glob(os.path.join(args.right, "*.parquet")))
+    if not lf or not rf:
+        print("error: empty --left or --right input dir", file=sys.stderr)
+        return 1
+    right_cols = {}
+    for spec in args.right_cols.split(","):
+        src, _, dst = spec.partition(":")
+        right_cols[src] = dst or src
+    t0 = _time.perf_counter()
+    job = StreamingAsofJob(
+        args.sink, on=args.on, by=args.by.split(","),
+        right_cols=right_cols, left_columns=args.left_cols.split(","),
+        right_columns=list(right_cols), tiebreak=args.tiebreak,
+        lateness_us=args.lateness_s * 1_000_000,
+        num_partitions=args.partitions,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
+    job.run(lf, rf, files_per_epoch=args.files_per_epoch)
+    m = job.finish()
+    print(json.dumps({
+        "left_files": len(lf), "right_files": len(rf),
+        "epochs": m["epochs"],
+        "sec": round(_time.perf_counter() - t0, 3),
+        "rows_in": m["rows_in"], "rows_out": m["rows_out"],
+        "late_left": m["late_left"], "late_right": m["late_right"],
+        "sink": args.sink,
+    }))
+    if owns_session:
+        ray.shutdown()
     return 0
 
 

@@ -376,6 +376,7 @@ class StreamingAsofJob:
         for c in [on, *self.by]:
             if c not in self.left_columns:
                 self.left_columns.append(c)
+        for c in [on, *self.by] + ([tiebreak] if tiebreak else []):
             if c not in self.right_columns:
                 self.right_columns.append(c)
         self.P = num_partitions
