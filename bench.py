@@ -516,6 +516,39 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["window_dedup_200k"] = min2(
         lambda: window_dedup(docs_ds(), width=16).count())
 
+    # streaming as-of enrichment: every turn binds its conversation's
+    # latest prior user turn, two interleaved streams, 64 epochs
+    from ksql_ray.streaming.asof import StreamingAsofJob
+
+    rdir = "/tmp/ksql_bench_sasof_right"
+    if not os.path.exists(rdir):
+        os.makedirs(rdir, exist_ok=True)
+        for i, f in enumerate(tfiles):
+            t = pq.read_table(f, columns=["conv_id", "ts", "turn_idx",
+                                          "role"])
+            u = t.filter(pc.equal(t.column("role"), "user"))
+            pq.write_table(u.rename_columns(
+                ["conv_id", "ts", "turn_idx", "ref_role"]),
+                os.path.join(rdir, f"r{i:04d}.parquet"))
+    rfiles = sorted(_glob.glob(rdir + "/*.parquet"))
+
+    def _sasof():
+        outd = _tempfile.mkdtemp(prefix="ksql_bench_sasof_")
+        try:
+            job = StreamingAsofJob(
+                outd, on="ts", by=["conv_id"],
+                right_cols={"ref_role": "ref_role"},
+                left_columns=["conv_id", "turn_idx", "ts", "role"],
+                right_columns=["conv_id", "ts", "turn_idx", "ref_role"],
+                tiebreak="turn_idx", lateness_us=3_600_000_000,
+                num_partitions=8)
+            job.run(tfiles, rfiles, files_per_epoch=4)
+            job.finish()
+        finally:
+            _shutil.rmtree(outd, ignore_errors=True)
+
+    out["streaming_asof_200k"] = min2(_sasof)
+
     # lexical retrieval + corpus-fit scoring over the 200k-doc corpus
     from ksql_ray.ops.bm25 import bm25_topk
     from ksql_ray.ops.dsir import dsir_select
