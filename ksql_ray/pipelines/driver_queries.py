@@ -2515,6 +2515,32 @@ def _streaming_hll(sf_dir: str) -> pa.Table:
 REGISTRY["streaming_hll"] = RawQ(_streaming_hll, _HLL_SQL)
 
 
+def _op_pca_covariance(sf_dir: str) -> pa.Table:
+    from ..ops.pca import embedding_covariance
+
+    ds = _read_clean(f"{sf_dir}/embeddings.parquet")
+    return _round_cols(embedding_covariance(ds, dim=64), {"cov": 4})
+
+
+REGISTRY["op_pca_covariance"] = RawQ(
+    _op_pca_covariance,
+    # the PCA moments pass's oracle-checkable artifact (ops/pca.py):
+    # population covariance of the 64-d embedding column, one row per
+    # (i, j) cell; eigendecomposition/projection are pinned by pytest
+    r"""
+WITH ij AS (
+  SELECT i.range AS i, j.range AS j FROM range(64) i, range(64) j
+), s AS (
+  SELECT ij.i, ij.j,
+         sum(e.embedding[ij.i + 1]::DOUBLE * e.embedding[ij.j + 1]::DOUBLE)
+           / count(*)
+         - avg(e.embedding[ij.i + 1]::DOUBLE)
+           * avg(e.embedding[ij.j + 1]::DOUBLE) AS cov
+  FROM embeddings e, ij GROUP BY 1, 2)
+SELECT i, j, ROUND(cov, 4) AS cov FROM s""",
+)
+
+
 def _op_top_per_key(sf_dir: str) -> pa.Table:
     from ..ops.rows import top_n_per_key
 
