@@ -187,3 +187,49 @@ def analyze_documents(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.
         max_restarts=0,
     )
     return ds
+
+
+def normalize_documents(ds: ray.data.Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", out: str = "norm_text",
+                        form: str = "nfc") -> ray.data.Dataset:
+    """Canonical text form (the C4-style cleaning prefix every dedup /
+    fingerprint stage assumes): Unicode normalization -> lowercase ->
+    whitespace collapse -> trim. Output rows: (id_col, norm_text,
+    norm_chars, changed).
+
+    ``form="nfc"`` (oracle form) composes via ``unicodedata.normalize``
+    — a Python pass, the declared cost of SQL equality with DuckDB's
+    ``nfc_normalize`` (pyarrow 16's ``utf8_normalize`` NEVER composes:
+    NFC/NFD both return decomposed output, measured — so the Arrow
+    kernel cannot express NFC). ``form="none"`` (scale path) skips
+    composition and stays all-Arrow-vectorized; use it when the corpus
+    is already composed (most web text) or byte-level canonical form is
+    not required."""
+    if form not in ("nfc", "none"):
+        raise ValueError("form must be 'nfc' or 'none'")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if pa.types.is_large_string(t.type):
+            t = pc.cast(t, pa.string())
+        src = t
+        if form == "nfc":
+            import unicodedata
+
+            vals = t.to_pylist()
+            src = pa.array(
+                [None if v is None else unicodedata.normalize("NFC", v)
+                 for v in vals], type=pa.string())
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(src), _WS, " "))
+        return pa.table({
+            id_col: batch.column(id_col),
+            out: norm,
+            "norm_chars": pc.cast(pc.utf8_length(norm), pa.int64()),
+            "changed": pc.not_equal(norm, t),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -2515,6 +2515,54 @@ def _streaming_hll(sf_dir: str) -> pa.Table:
 REGISTRY["streaming_hll"] = RawQ(_streaming_hll, _HLL_SQL)
 
 
+def _op_normalize_text(sf_dir: str) -> pa.Table:
+    """Unicode canonicalization over documents with a doc-derived
+    accent suffix (the fixture is ASCII; the suffix makes NFC, case
+    folding and whitespace collapse all non-vacuous — combining-mark
+    'A'+U+0301 must compose then lowercase to the precomposed
+    'a'+acute)."""
+    from ..ops.text import normalize_documents
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet").select_columns(
+        ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        suffix = pc.binary_join_element_wise(
+            pa.array(["  X"] * batch.num_rows),
+            pa.array(["A\u0301"] * batch.num_rows),   # decomposed A+acute
+            pc.cast(batch.column("doc_id"), pa.string()), "  ")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pc.binary_join_element_wise(
+                pc.cast(batch.column("text"), pa.string()), suffix, " "),
+        })
+
+    planted = ds.map_batches(plant, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return _collect(normalize_documents(planted))
+
+
+REGISTRY["op_normalize_text"] = RawQ(
+    _op_normalize_text,
+    # ops/text.py normalize_documents: NFC -> lower -> collapse \s+ ->
+    # trim, plus the changed flag and normalized length
+    r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' ' || '  X' || '  ' || 'A' || chr(769) || '  ' ||
+         doc_id::VARCHAR AS text
+  FROM documents
+), n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ',
+                             'g')) AS norm_text
+  FROM planted)
+SELECT doc_id, norm_text, length(norm_text)::BIGINT AS norm_chars,
+       norm_text != text AS changed
+FROM n""",
+)
+
+
 def _op_pca_covariance(sf_dir: str) -> pa.Table:
     from ..ops.pca import embedding_covariance
 
