@@ -566,6 +566,37 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
                               zero_copy_batch=True),
         n=1000, buckets=8192, hash="fast").count())
 
+    # per-key row ops + export + canonicalization over the same corpus
+    from ksql_ray.ops.rows import sessionize, top_n_per_key
+    from ksql_ray.ops.shard import shuffle_shard
+    from ksql_ray.ops.text import normalize_documents
+
+    def turns3():
+        return ray.data.read_parquet(
+            paths["transcripts"], columns=["conv_id", "turn_idx", "ts"])
+
+    out["top_per_key_200k"] = min2(lambda: top_n_per_key(
+        turns3(), ["conv_id"], "ts", n=3, tiebreak="turn_idx").count())
+    out["sessionize_200k"] = min2(lambda: sessionize(
+        turns3(), ["conv_id"], "ts", gap_us=300_000_000,
+        tiebreak="turn_idx").count())
+    out["shuffle_shard_200k"] = min2(lambda: shuffle_shard(
+        docs_ds(), "doc_id", n_shards=64, method="fast").count())
+    out["normalize_text_200k"] = min2(lambda: normalize_documents(
+        docs_ds(), form="none").count())
+
+    # PCA moments + projection over the 100k x 64d vector corpus
+    from ksql_ray.ops.pca import pca_project, pca_train
+
+    def vec_ds():
+        return ray.data.read_parquet(vec_path)
+
+    def _pca():
+        model = pca_train(vec_ds(), k=16, dim=64)
+        pca_project(vec_ds(), model).count()
+
+    out["pca_train_project_100k"] = min2(_pca)
+
     # sketch suite: heavy hitters / cardinality / quantiles on ingest
     # over the same 16 micro-batch files (fast hashes — the scale path)
     from ksql_ray.ops.hll import hll_estimate
