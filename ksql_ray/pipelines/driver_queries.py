@@ -1884,6 +1884,35 @@ REGISTRY["streaming_window_tumbling"] = RawQ(
 )
 
 
+def _streaming_percentile(sf_dir: str) -> pa.Table:
+    """The 13th aggregate under the streaming engine: tumbling-window
+    p50/p90 of value per user via EMIT FINAL (the accumulator path),
+    vs the bounded quantile_disc oracle."""
+    from ..aggregates import Percentile
+
+    def b():
+        return (Select(F("user_id"),
+                       Percentile(F("value"), 0.5).As("p50"),
+                       Percentile(F("value"), 0.9).As("p90"))
+                .From(Schema("events")).GroupBy(F("user_id"))
+                .Windowed(Tumbling(1, HOURS)).EmitFinal())
+
+    return _round_cols(_stream_events(sf_dir, b, "pctl"),
+                       {"p50": 4, "p90": 4})
+
+
+REGISTRY["streaming_percentile"] = RawQ(
+    _streaming_percentile,
+    f"SELECT make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US}) "
+    "AS window_start, "
+    f"make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US} + "
+    f"{HOUR_US}) AS window_end, "
+    "user_id, ROUND(quantile_disc(value, 0.5), 4) AS p50, "
+    "ROUND(quantile_disc(value, 0.9), 4) AS p90 "
+    "FROM events GROUP BY 1, 2, 3",
+)
+
+
 def _streaming_hopping(sf_dir: str) -> pa.Table:
     def b():
         return (Select(F("user_id"), Count(F("event_id")).As("cnt"))
