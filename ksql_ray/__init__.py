@@ -10,6 +10,7 @@ from .aggregates import (
     CollectList,
     CollectSet,
     Count,
+    CountDistinct,
     EarliestByOffset,
     Histogram,
     LatestByOffset,
@@ -53,7 +54,8 @@ from .windows import (
 )
 
 __all__ = [
-    "Avg", "CollectList", "CollectSet", "Count", "EarliestByOffset",
+    "Avg", "CollectList", "CollectSet", "Count", "CountDistinct",
+    "EarliestByOffset",
     "Histogram", "LatestByOffset", "Max", "Min", "Percentile", "Sum",
     "TopK",
     "TopKDistinct", "Schema", "Select", "SelectAsStruct", "SelectBuilder", "Catalog", "Ref",

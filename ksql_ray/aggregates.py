@@ -691,6 +691,50 @@ class Histogram(AggExpr):
         return {f"{a}_list": vals_arr, f"{a}_hcnt": cnts_arr}
 
 
+class CountDistinct(AggExpr):
+    """COUNT(DISTINCT col): exact per-group distinct count (NULLs
+    ignored, SQL semantics). Extends the reference's aggregate set
+    (ksql/aggregate_fn.go:9-34 — ksqlDB has COUNT_DISTINCT; the Go
+    builder encodes it only through COLLECT_SET). Partials are the
+    grouped ``distinct`` kernel's per-batch value lists (bounded by
+    per-batch distinct values — the shuffle never carries duplicates);
+    the merge counts unique (segment, value) pairs with one lexsort.
+    For bounded-memory approximate cardinality over streams use
+    ops/hll.py instead."""
+
+    fn_name = "count_distinct"
+
+    def out_type(self, schema):
+        self.arg.out_type(schema)
+        return pa.int64()
+
+    def p1_kernels(self, a):
+        return [(a, "distinct")]
+
+    def finalize(self, ctx, a, ordcols):
+        values, offsets = ctx.flat(f"{a}_distinct")
+        n_groups = len(offsets) - 1
+        seg = _segment_ids(offsets)
+        mask = pc.is_valid(values).to_numpy(zero_copy_only=False)
+        if not mask.any():
+            return pa.array(np.zeros(n_groups, np.int64))
+        v_np = _np_valid(values)
+        seg_k, v_k = seg[mask], v_np[mask]
+        order = np.lexsort((v_k, seg_k))
+        seg_s, v_s = seg_k[order], v_k[order]
+        first = np.ones(len(seg_s), dtype=bool)
+        if len(seg_s) > 1:
+            first[1:] = (seg_s[1:] != seg_s[:-1]) | (v_s[1:] != v_s[:-1])
+        cnt = np.bincount(seg_s[first], minlength=n_groups)
+        return pa.array(cnt.astype(np.int64))
+
+    def repartial(self, ctx, a, ordcols):
+        # a sorted distinct list is itself a valid "distinct" partial
+        # (identical merge shape to CollectSet)
+        cs = CollectSet(self.arg)
+        return {f"{a}_distinct": cs.finalize(ctx, a, ordcols)}
+
+
 class Percentile(AggExpr):
     """PERCENTILE(col, q): the q-th discrete percentile per group — the
     smallest group value whose rank is >= max(1, ceil(q*m)) over the m
@@ -756,6 +800,6 @@ ALL_AGGREGATES: dict[str, type[AggExpr]] = {
     for c in (
         Count, Sum, Avg, Min, Max, CollectList, CollectSet,
         LatestByOffset, EarliestByOffset, TopK, TopKDistinct, Histogram,
-        Percentile,
+        Percentile, CountDistinct,
     )
 }

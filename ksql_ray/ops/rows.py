@@ -33,7 +33,7 @@ import ray.data
 
 from .dedup import _partition_by, _pin
 
-__all__ = ["top_n_per_key", "sessionize"]
+__all__ = ["top_n_per_key", "sessionize", "with_lag"]
 
 
 def _segment_starts(sort_keys: list[np.ndarray], n: int) -> np.ndarray:
@@ -84,6 +84,44 @@ def top_n_per_key(ds: ray.data.Dataset, key_cols: list[str],
 
     return _partition_by(ds, key_cols, num_partitions).map_groups(
         _pin(pick), batch_format="pyarrow")
+
+
+def with_lag(ds: ray.data.Dataset, key_cols: list[str],
+             order_col: str, lag_cols: list[str],
+             tiebreak: str | None = None, suffix: str = "_prev",
+             num_partitions: int = 32) -> ray.data.Dataset:
+    """Rows with each ``lag_cols`` column's PREVIOUS same-key value
+    attached as ``<col><suffix>`` (null on the key's first row) — SQL
+    ``LAG(col) OVER (PARTITION BY key ORDER BY order_col[, tiebreak])``.
+    The building block for inter-event deltas (turn gaps, value
+    changes) the reference cannot express."""
+    sort_spec = ([(k, "ascending") for k in key_cols]
+                 + [(order_col, "ascending")]
+                 + ([(tiebreak, "ascending")] if tiebreak else []))
+
+    def label(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            for c in lag_cols:
+                group = group.append_column(
+                    c + suffix, pa.nulls(0, group.schema.field(c).type))
+            return group
+        tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
+        n = tbl.num_rows
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        for k in _key_arrays(tbl, key_cols):
+            first[1:] |= k[1:] != k[:-1]
+        # previous-row index, masked on each key's first row
+        prev = np.arange(-1, n - 1, dtype=np.int64)
+        take = pa.array(prev, mask=first)
+        for c in lag_cols:
+            tbl = tbl.append_column(c + suffix, tbl.column(c).take(take))
+        return tbl
+
+    return _partition_by(ds, key_cols, num_partitions).map_groups(
+        _pin(label), batch_format="pyarrow")
 
 
 def sessionize(ds: ray.data.Dataset, key_cols: list[str], ts_col: str,

@@ -204,6 +204,20 @@ def _agg_percentile():
             .From(Schema("lineitem")).GroupBy(F("l_returnflag")))
 
 
+@q("agg_count_distinct",
+   "SELECT l_linestatus, count(DISTINCT l_returnflag) AS nrf, "
+   "count(DISTINCT l_suppkey) AS nsk, count(l_orderkey) AS cnt "
+   "FROM lineitem GROUP BY l_linestatus")
+def _agg_count_distinct():
+    from ..aggregates import CountDistinct
+
+    return (Select(F("l_linestatus"),
+                   CountDistinct(F("l_returnflag")).As("nrf"),
+                   CountDistinct(F("l_suppkey")).As("nsk"),
+                   Count(F("l_orderkey")).As("cnt"))
+            .From(Schema("lineitem")).GroupBy(F("l_linestatus")))
+
+
 # --------------------------------------------------------------- §2.3 aggregates
 @q("agg_basic",
    "SELECT l_returnflag, l_linestatus, ROUND(sum(l_quantity), 4) AS sum_qty, "
@@ -2635,6 +2649,27 @@ REGISTRY["op_top_per_key"] = RawQ(
     "         ROW_NUMBER() OVER (PARTITION BY user_id"
     "                            ORDER BY value DESC, event_id) AS rn"
     "  FROM events) WHERE rn <= 3",
+)
+
+
+def _op_with_lag(sf_dir: str) -> pa.Table:
+    from ..ops.rows import with_lag
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "ts", "value"])
+    t = _collect(with_lag(ds, ["user_id"], "ts", ["value", "ts"],
+                          tiebreak="event_id"))
+    t = t.select(["user_id", "event_id", "value_prev", "ts_prev"])
+    return _round_cols(t, {"value_prev": 4})
+
+
+REGISTRY["op_with_lag"] = RawQ(
+    _op_with_lag,
+    "SELECT user_id, event_id,"
+    "  ROUND(LAG(value) OVER w, 4) AS value_prev,"
+    "  LAG(ts) OVER w AS ts_prev "
+    "FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
 )
 
 

@@ -15,8 +15,8 @@ from typing import Any
 
 from ..aggregates import (
     AggExpr, Avg, CollectList, CollectSet, Count, EarliestByOffset,
-    Histogram, LatestByOffset, Max, Min, Percentile, Sum, TopK,
-    TopKDistinct,
+    CountDistinct, Histogram, LatestByOffset, Max, Min, Percentile,
+    Sum, TopK, TopKDistinct,
 )
 
 
@@ -262,6 +262,22 @@ class _PercentileAcc(StreamingAcc):
         return s[target - 1]
 
 
+class _CountDistinctAcc(StreamingAcc):
+    def __init__(self):
+        self.vals: set = set()
+
+    def update(self, row, a, ords):
+        for v in row[f"{a}_distinct"] or []:
+            if v is not None:
+                self.vals.add(v)
+
+    def merge(self, o):
+        self.vals |= o.vals
+
+    def result(self):
+        return len(self.vals)
+
+
 def make_acc(agg: AggExpr) -> StreamingAcc:
     if isinstance(agg, Count):
         return _CountAcc()
@@ -289,4 +305,6 @@ def make_acc(agg: AggExpr) -> StreamingAcc:
         return _HistogramAcc(agg.buckets)
     if isinstance(agg, Percentile):
         return _PercentileAcc(agg.q)
+    if isinstance(agg, CountDistinct):
+        return _CountDistinctAcc()
     raise TypeError(f"no streaming accumulator for {agg!r}")

@@ -15,7 +15,7 @@ from ksql_ray import (
     F, Histogram, Hopping, LatestByOffset, Max, Min, MINUTES, Schema, Select,
     Session, Sum, TopK, TopKDistinct,
 )
-from ksql_ray.aggregates import Percentile
+from ksql_ray.aggregates import CountDistinct, Percentile
 from ksql_ray.catalog import Ref
 from ksql_ray.pipelines.driver_queries import _map_to_json
 
@@ -78,6 +78,8 @@ AGGS = {
     "histogram": (lambda: Histogram(F("tag"), 100).As("a"), None, True),
     "percentile": (lambda: Percentile(F("v"), 0.75).As("a"),
                    "quantile_disc(v, 0.75) AS a", False),
+    "count_distinct": (lambda: CountDistinct(F("tag")).As("a"),
+                       "count(DISTINCT tag) AS a", False),
 }
 
 WINDOWS = ["none", "tumbling", "hopping", "session"]

@@ -105,3 +105,26 @@ def test_rows_validation(ray_session):
         top_n_per_key(ds, ["k"], "v", n=0)
     with pytest.raises(ValueError):
         sessionize(ds, ["k"], "ts", gap_us=0)
+
+
+def test_with_lag_brute(ray_session):
+    from ksql_ray.ops.rows import with_lag
+
+    t = _events()
+    got = collect(with_lag(ray.data.from_arrow(t).repartition(4),
+                           ["k"], "ts", ["v"], tiebreak="eid"))
+    bykey = {}
+    for k, ts, e, v in zip(t.column("k").to_pylist(),
+                           t.column("ts").to_pylist(),
+                           t.column("eid").to_pylist(),
+                           t.column("v").to_pylist()):
+        bykey.setdefault(k, []).append((ts, e, v))
+    want = {}
+    for k, lst in bykey.items():
+        prev = None
+        for ts, e, v in sorted(lst):
+            want[e] = prev
+            prev = v
+    got_map = {r["eid"]: r["v_prev"] for r in got.to_pylist()}
+    assert got_map == want
+    assert sum(1 for v in got_map.values() if v is None) == len(bykey)
