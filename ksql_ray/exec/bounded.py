@@ -257,7 +257,15 @@ class Engine:
             lines.append(f"{j.how.upper()} {strat} {jrel.name} ON {lk}={rk}{res}")
             left_names |= set(jrel.schema.names)
         if b.wheres:
-            lines.append(f"Filter[{len(b.wheres)} conds] (fused map_batches)")
+            pushed = 0
+            if not b.joins:
+                from .pushdown import to_scanner_filter
+
+                _expr, pushed = to_scanner_filter(
+                    b.wheres, rel.schema.names)
+            lines.append(
+                f"Filter[{len(b.wheres)} conds] (fused map_batches; "
+                f"{pushed} pushed to the Parquet scanner)")
         if aggs or b.groupby:
             win = f" window={b.window!r}" if b.window else ""
             lines.append(
@@ -330,8 +338,21 @@ class Engine:
             pa.field(f.name, f.type) for f in rel.schema
             if not cols or f.name in cols
         ])
+        # WHERE pushdown into the scanner (join-free queries only: with
+        # joins a same-named column could resolve to the other side).
+        # Conservative superset — the fused in-memory filter still runs,
+        # so results are identical; row groups whose stats exclude the
+        # predicate never leave storage (exec/pushdown.py).
+        scan_filter = None
+        if b.wheres and not b.joins:
+            from .pushdown import to_scanner_filter
+
+            scan_filter, _pushed = to_scanner_filter(
+                b.wheres, rel.schema.names)
         return ray.data.read_parquet(
-            rel.path, columns=cols, schema=clean, override_num_blocks=nblocks
+            rel.path, columns=cols, schema=clean,
+            override_num_blocks=nblocks,
+            **({"filter": scan_filter} if scan_filter is not None else {})
         )
 
     # ------------------------------------------------------------------
