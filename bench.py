@@ -556,15 +556,14 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["bm25_topk_200k"] = min2(lambda: bm25_topk(
         docs_ds(), "vector join stream token", k=100).count())
 
-    def _dsir_tgt(batch: pa.Table) -> pa.Table:
+    def _dsir_mask(batch: pa.Table):
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ids % 10 == 0))
+        return ids % 10 == 0
 
+    # fused one-pass target form (target = predicate over the corpus)
     out["dsir_select_200k"] = min2(lambda: dsir_select(
-        docs_ds(),
-        docs_ds().map_batches(_dsir_tgt, batch_format="pyarrow",
-                              zero_copy_batch=True),
-        n=1000, buckets=8192, hash="fast").count())
+        docs_ds(), n=1000, buckets=8192, hash="fast",
+        target_mask=_dsir_mask).count())
 
     # per-key row ops + export + canonicalization over the same corpus
     from ksql_ray.ops.rows import sessionize, top_n_per_key

@@ -135,14 +135,55 @@ def score_dsir(ds: ray.data.Dataset, logweights: np.ndarray,
                           zero_copy_batch=True)
 
 
-def dsir_select(raw_ds: ray.data.Dataset, target_ds: ray.data.Dataset,
-                n: int, text_col: str = "text", id_col: str = "doc_id",
+def _fused_counts(ds: ray.data.Dataset, text_col: str, buckets: int,
+                  hash: str, target_mask) -> tuple[np.ndarray, np.ndarray]:
+    """ONE pass over the raw corpus producing both raw and target
+    bucket counts (target membership decided per row by
+    ``target_mask(batch) -> bool ndarray``) — halves the corpus reads
+    vs two hashed_bigram_counts passes."""
+    def partial(batch: pa.Table) -> pa.Table:
+        bk, row, _n = _gram_buckets(batch, text_col, buckets, hash)
+        raw = np.bincount(bk, minlength=buckets)
+        m = np.asarray(target_mask(batch), dtype=bool)
+        tgt = np.bincount(bk[m[row]], minlength=buckets)
+        nz = np.flatnonzero(raw)
+        return pa.table({"b": pa.array(nz, type=pa.int64()),
+                         "raw": pa.array(raw[nz], type=pa.int64()),
+                         "tgt": pa.array(tgt[nz], type=pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby("b").sum(
+        ["raw", "tgt"])
+    raw = np.zeros(buckets, dtype=np.int64)
+    tgt = np.zeros(buckets, dtype=np.int64)
+    for r in agg.take_all():
+        raw[int(r["b"])] = int(r["sum(raw)"])
+        tgt[int(r["b"])] = int(r["sum(tgt)"])
+    return tgt, raw
+
+
+def dsir_select(raw_ds: ray.data.Dataset,
+                target_ds: ray.data.Dataset | None = None,
+                n: int = 100, text_col: str = "text",
+                id_col: str = "doc_id",
                 buckets: int = 1024, a: float = 0.5,
-                hash: str = "md5") -> ray.data.Dataset:
+                hash: str = "md5", target_mask=None) -> ray.data.Dataset:
     """Top-n raw docs by DSIR importance (score desc, id asc):
-    (id_col, n_grams, dsir_logw)."""
-    tgt = hashed_bigram_counts(target_ds, text_col, buckets, hash)
-    raw = hashed_bigram_counts(raw_ds, text_col, buckets, hash)
+    (id_col, n_grams, dsir_logw).
+
+    Two target forms: ``target_ds`` (an arbitrary separate corpus — two
+    counting passes) or ``target_mask`` (a ``batch -> bool ndarray``
+    predicate marking the target subset of the RAW corpus — ONE fused
+    counting pass, the cheaper shape when the target is a filter of the
+    corpus being scored, e.g. "high-quality docs")."""
+    if (target_ds is None) == (target_mask is None):
+        raise ValueError("exactly one of target_ds / target_mask")
+    if target_mask is not None:
+        tgt, raw = _fused_counts(raw_ds, text_col, buckets, hash,
+                                 target_mask)
+    else:
+        tgt = hashed_bigram_counts(target_ds, text_col, buckets, hash)
+        raw = hashed_bigram_counts(raw_ds, text_col, buckets, hash)
     lw = dsir_logweights(tgt, raw, a)
     scored = score_dsir(raw_ds, lw, text_col, id_col, hash)
     return scored.sort(["dsir_logw", id_col],

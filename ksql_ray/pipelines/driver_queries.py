@@ -1793,8 +1793,15 @@ def _op_dsir_select(sf_dir: str) -> pa.Table:
     from ..ops.dsir import dsir_select
 
     ds = _read_clean(f"{sf_dir}/documents.parquet")
-    tgt = ds.filter(expr="n_chars >= 300")
-    t = _collect(dsir_select(ds, tgt, n=50, buckets=1024))
+
+    def is_target(batch: pa.Table):
+        return pc.greater_equal(batch.column("n_chars"),
+                                300).to_numpy(zero_copy_only=False)
+
+    # fused one-pass form (target = predicate over the scored corpus);
+    # pytest pins it equal to the two-corpus two-pass form
+    t = _collect(dsir_select(ds, n=50, buckets=1024,
+                             target_mask=is_target))
     return _round_cols(t, {"dsir_logw": 4})
 
 

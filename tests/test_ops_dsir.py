@@ -109,3 +109,24 @@ def test_dsir_counts_partition_invariant(ray_session):
     c3 = hashed_bigram_counts(ray.data.from_arrow(toy).repartition(4),
                               buckets=B)
     assert np.array_equal(c1, c3)
+
+
+def test_dsir_fused_equals_two_pass(ray_session):
+    """target_mask (one fused counting pass) must equal the two-corpus
+    two-pass form when the target is the same filtered subset."""
+    from ksql_ray.ops.dsir import dsir_select
+
+    toy = _toy()
+    raw = ray.data.from_arrow(toy)
+    two = collect(dsir_select(raw, raw.filter(expr="is_target"), n=10,
+                              buckets=B))
+
+    def mask(batch):
+        return batch.column("is_target").to_numpy(zero_copy_only=False)
+
+    fused = collect(dsir_select(raw, n=10, buckets=B, target_mask=mask))
+    assert fused.equals(two)
+    with pytest.raises(ValueError):
+        dsir_select(raw, raw, n=5, target_mask=mask)
+    with pytest.raises(ValueError):
+        dsir_select(raw, n=5)
