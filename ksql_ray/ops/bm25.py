@@ -46,7 +46,7 @@ import ray.data
 
 from .lm import _tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "bm25_topk_multi"]
 
 
 def _query_terms(query: str) -> list[str]:
@@ -133,6 +133,84 @@ def _score_batch(batch: pa.Table, text_col: str, id_col: str,
         pa.array(hit, type=pa.int64()))
     return pa.table({id_col: ids,
                      "score": pa.array(score[hit], type=pa.float64())})
+
+
+def bm25_topk_multi(ds: ray.data.Dataset, queries: dict[str, str],
+                    k: int = 10, k1: float = 1.2, b: float = 0.75,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """Batch retrieval: top-k documents for EVERY query in one corpus
+    scan — (qid, id_col, score) rows, k per query, score desc then id
+    asc within a query. Scale shape: the union vocabulary's tf matrix
+    and length normalization are computed ONCE per batch, then all Q
+    queries score in a single [docs × terms] @ [terms × Q] matmul
+    (per-query work is a BLAS column, not a corpus pass); per-batch
+    per-query top-k caps bound the final per-key rank stage to
+    O(k × batches × Q) rows."""
+    if not queries:
+        raise ValueError("bm25_topk_multi: no queries")
+    per_q = {qid: _query_terms(q) for qid, q in queries.items()}
+    if any(not t for t in per_q.values()):
+        raise ValueError("bm25_topk_multi: empty query")
+    terms = sorted(set().union(*per_q.values()))
+    tpos = {t: i for i, t in enumerate(terms)}
+    n, avgdl, df = _corpus_stats(ds, text_col, terms)
+    idf = {t: float(np.log1p((n - df[t] + 0.5) / (df[t] + 0.5)))
+           for t in terms}
+    qids = sorted(per_q)
+    # W[t, q] = idf(t) iff t in query q
+    W = np.zeros((len(terms), len(qids)), dtype=np.float64)
+    for qi, qid in enumerate(qids):
+        for t in per_q[qid]:
+            W[tpos[t], qi] = idf[t]
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        tf, dl = _tf_matrix(batch, text_col, terms)
+        n_docs = tf.shape[0]
+        empty = pa.table({
+            "qid": pa.array([], type=pa.string()),
+            id_col: pa.array([], type=batch.schema.field(id_col).type),
+            "score": pa.array([], type=pa.float64()),
+        })
+        if n_docs == 0:
+            return empty
+        dlf = dl.astype(np.float64)
+        denom = (k1 * (1.0 - b + b * dlf / avgdl) if avgdl > 0
+                 else np.full(n_docs, k1))
+        tff = tf.astype(np.float64)
+        sat = tff * (k1 + 1.0) / (tff + denom[:, None])
+        scores = sat @ W                       # [docs, Q]
+        out_q, out_d, out_s = [], [], []
+        ids = batch.column(id_col).combine_chunks()
+        for qi, qid in enumerate(qids):
+            col = scores[:, qi]
+            hit = np.flatnonzero(col > 0.0)
+            if len(hit) == 0:
+                continue
+            if len(hit) > k:
+                order = np.lexsort((hit, -col[hit]))[:k]
+                hit = hit[order]
+            out_q.append(np.full(len(hit), qid, dtype=object))
+            out_d.append(hit)
+            out_s.append(col[hit])
+        if not out_q:
+            return empty
+        didx = np.concatenate(out_d)
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), type=pa.string()),
+            id_col: ids.take(pa.array(didx, type=pa.int64())),
+            "score": pa.array(np.concatenate(out_s),
+                              type=pa.float64()),
+        })
+
+    from .rows import top_n_per_key
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    ranked = top_n_per_key(scored, ["qid"], "score", n=k,
+                           descending=True, tiebreak=id_col,
+                           num_partitions=max(4, min(32, len(qids))))
+    return ranked.drop_columns(["rank"])
 
 
 def bm25_topk(ds: ray.data.Dataset, query: str, k: int = 10,

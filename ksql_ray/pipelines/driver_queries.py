@@ -1789,6 +1789,52 @@ ORDER BY sc.score DESC, doc_id LIMIT 15""",
 )
 
 
+def _op_bm25_multi(sf_dir: str) -> pa.Table:
+    from ..ops.bm25 import bm25_topk_multi
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    t = _collect(bm25_topk_multi(
+        ds, {"q1": "hash join", "q2": "vector window scan"}, k=10))
+    return _round_cols(t, {"score": 4})
+
+
+REGISTRY["op_bm25_multi"] = RawQ(
+    _op_bm25_multi,
+    # batch retrieval: one corpus scan scores every query
+    # (ops/bm25.py bm25_topk_multi); rank per qid on the unrounded score
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+         AS term
+  FROM documents
+), dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(qid, term) AS (VALUES ('q1', 'hash'), ('q1', 'join'),
+                        ('q2', 'vector'), ('q2', 'window'),
+                        ('q2', 'scan')),
+qt AS (SELECT DISTINCT term FROM q),
+df AS (SELECT t.term, count(DISTINCT t.doc_id) AS df
+       FROM toks t JOIN qt USING (term) GROUP BY 1),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM toks t JOIN qt USING (term) GROUP BY 1, 2),
+sc AS (
+  SELECT q.qid, tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+         AS score
+  FROM q JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1, 2
+), r AS (
+  SELECT qid, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM sc)
+SELECT qid, doc_id, round(score, 4) AS score FROM r WHERE rn <= 10""",
+)
+
+
 def _op_dsir_select(sf_dir: str) -> pa.Table:
     from ..ops.dsir import dsir_select
 

@@ -93,3 +93,30 @@ def test_bm25_unseen_term_no_nan(ray_session):
                             "cat zzz_unseen", k=10))
     assert got.num_rows == 3                     # the three cat docs
     assert all(math.isfinite(r["score"]) for r in got.to_pylist())
+
+
+def test_bm25_multi_equals_single(ray_session):
+    """Each query's multi-retrieval slice must equal its own
+    single-query bm25_topk result."""
+    from ksql_ray.ops.bm25 import bm25_topk, bm25_topk_multi
+
+    toy = _toy()
+    ds = ray.data.from_arrow(toy).repartition(3)
+    multi = collect(bm25_topk_multi(
+        ds, {"a": "cat mat", "b": "mat dog"}, k=3)).to_pylist()
+    for qid, q in (("a", "cat mat"), ("b", "mat dog")):
+        single = collect(bm25_topk(ds, q, k=3)).to_pylist()
+        mine = [(r["doc_id"], r["score"]) for r in multi
+                if r["qid"] == qid]
+        assert mine == [(r["doc_id"], pytest.approx(r["score"]))
+                        for r in single]
+
+
+def test_bm25_multi_validation(ray_session):
+    from ksql_ray.ops.bm25 import bm25_topk_multi
+
+    ds = ray.data.from_arrow(_toy())
+    with pytest.raises(ValueError):
+        bm25_topk_multi(ds, {}, k=3)
+    with pytest.raises(ValueError):
+        bm25_topk_multi(ds, {"a": "  "}, k=3)
