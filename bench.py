@@ -556,6 +556,18 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["bm25_topk_200k"] = min2(lambda: bm25_topk(
         docs_ds(), "vector join stream token", k=100).count())
 
+    # batch retrieval: 64 queries in ONE corpus scan (vs 64 scans)
+    from ksql_ray.ops.bm25 import bm25_topk_multi
+
+    _vocab = ["vector", "join", "stream", "token", "batch", "trace",
+              "plan", "key", "log", "prompt", "span", "shard", "agent",
+              "code", "browse", "search"]
+    _queries = {f"q{i:02d}": " ".join(
+        _vocab[j % len(_vocab)] for j in (i, i + 3, i + 7))
+        for i in range(64)}
+    out["bm25_multi64_200k"] = min2(lambda: bm25_topk_multi(
+        docs_ds(), _queries, k=20).count())
+
     def _dsir_mask(batch: pa.Table):
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return ids % 10 == 0
