@@ -248,8 +248,24 @@ def main(argv: list[str] | None = None) -> int:
     aj.add_argument("--checkpoint-every", type=int, default=0)
     aj.add_argument("--resume", action="store_true")
 
+    cp = sub.add_parser(
+        "compact",
+        help="fold a sink's committed per-epoch files into segments "
+             "(offline maintenance; idempotent, crash-safe)")
+    cp.add_argument("--sink", required=True)
+    cp.add_argument("--target-mb", type=int, default=128)
+
     args = p.parse_args(argv)
 
+    if args.cmd == "compact":
+        import json as _json
+
+        from .streaming.sink import TwoPhaseSink
+
+        m = TwoPhaseSink(args.sink).compact(
+            target_bytes=args.target_mb << 20)
+        print(_json.dumps({**m, "sink": args.sink}))
+        return 0
     if args.cmd == "asof":
         return _run_asof(args)
     if args.cmd == "topk":
