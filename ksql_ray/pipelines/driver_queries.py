@@ -1789,6 +1789,95 @@ ORDER BY sc.score DESC, doc_id LIMIT 15""",
 )
 
 
+def _op_prep_pipeline(sf_dir: str) -> pa.Table:
+    """The composed prep chain (pipelines/prep.py) end-to-end over
+    documents plus planted messy duplicates (every 9th doc re-appears
+    uppercased with extra whitespace — normalization must fold it onto
+    the original and dedup must then drop it)."""
+    import ray.data
+
+    from .prep import prep_pipeline
+
+    docs = _read_clean(f"{sf_dir}/documents.parquet").select_columns(
+        ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        cp = batch.filter(pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 9), 9)), 0))
+        cp = pa.table({
+            "doc_id": pc.add(cp.column("doc_id"), 1_000_000),
+            "text": pc.binary_join_element_wise(
+                pa.array(["  "] * cp.num_rows),
+                pc.utf8_upper(pc.cast(cp.column("text"), pa.string())),
+                pa.array(["   "] * cp.num_rows), ""),
+        })
+        return pa.concat_tables(
+            [pa.table({"doc_id": batch.column("doc_id"),
+                       "text": pc.cast(batch.column("text"),
+                                       pa.string())}), cp])
+
+    corpus = docs.map_batches(plant, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return _collect(prep_pipeline(corpus, n_shards=8, form="none"))
+
+
+REGISTRY["op_prep_pipeline"] = RawQ(
+    _op_prep_pipeline,
+    # the full chain in SQL: normalize -> Gopher quality thresholds ->
+    # first-id-per-md5 dedup -> hash shard + shuffled position
+    r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         '  ' || upper(text) || '   ' AS text
+  FROM documents WHERE doc_id % 9 = 0
+), norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text
+  FROM corpus
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+                                              '\s+')) AS tok
+  FROM norm
+), tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct,
+         max(c) AS top, sum(length(tok) * c) AS chars
+  FROM tc GROUP BY 1
+), lc AS (
+  SELECT doc_id, ln, count(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM norm
+  ) GROUP BY 1, 2
+), lagg AS (SELECT doc_id, sum(c) AS n_ln, count(*) AS n_dln
+            FROM lc GROUP BY 1),
+kept AS (
+  SELECT n.doc_id, n.text FROM norm n
+  JOIN agg a USING (doc_id) JOIN lagg l USING (doc_id)
+  WHERE ROUND(1 - a.n_distinct::DOUBLE / a.n_tok, 6) <= 0.30
+    AND ROUND(a.top::DOUBLE / a.n_tok, 6) <= 0.20
+    AND ROUND(1 - l.n_dln::DOUBLE / l.n_ln, 6) <= 0.30
+    AND ROUND(((length(n.text) - length(replace(n.text, '#', ''))) +
+               (length(n.text) - length(replace(n.text, '...', ''))) / 3
+              )::DOUBLE / a.n_tok, 6) <= 0.10
+    AND ROUND(a.chars::DOUBLE / a.n_tok, 6) BETWEEN 2.0 AND 12.0
+), uniq AS (
+  SELECT doc_id, text FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1
+), sh AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT AS h
+  FROM uniq)
+SELECT doc_id, text, (h % 8)::BIGINT AS shard,
+       ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+         AS pos
+FROM sh""",
+)
+
+
 def _op_bm25_multi(sf_dir: str) -> pa.Table:
     from ..ops.bm25 import bm25_topk_multi
 

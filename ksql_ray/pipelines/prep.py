@@ -1,0 +1,92 @@
+"""End-to-end training-data prep pipeline: the composed shape a corpus
+actually ships through — normalize → quality-filter → exact-dedup →
+shuffle-shard — as ONE lazy Ray Data chain.
+
+Each stage is an existing §2.11 operator; this module proves they
+COMPOSE (the "a user could run every pipeline they run today" bar):
+one streaming pass for normalize+filter (stateless map_batches fused
+by the executor), one fingerprint shuffle for dedup, one shard shuffle
+for the export — the corpus text crosses the wire exactly twice.
+The whole chain is SQL-expressible, so the driver gate
+(op_prep_pipeline) checks the COMPOSITION end-to-end, not just the
+stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..ops.dedup import _partition_by, _pin
+from ..ops.quality import quality_filter
+from ..ops.shard import shuffle_shard
+from ..ops.text import normalize_documents
+
+__all__ = ["dedup_rows", "prep_pipeline"]
+
+
+def dedup_rows(ds: ray.data.Dataset, id_col: str = "doc_id",
+               text_col: str = "text", fingerprint: str = "md5",
+               num_partitions: int = 32) -> ray.data.Dataset:
+    """Keep the FIRST (min id) row of every distinct normalized text —
+    the row-level form of ops/dedup.exact_dedup_keys (which emits keeper
+    IDS; pipelines need the surviving ROWS without a second join):
+    one fingerprint-hash shuffle, per-partition sort + segment-first."""
+    from ..ops.text import add_fast_fingerprint, add_fingerprint
+
+    def fp(batch: pa.Table) -> pa.Table:
+        if fingerprint == "md5":
+            return add_fingerprint(batch, text_col, "__fp")
+        b = add_fast_fingerprint(batch, text_col, "__fp", bits=128)
+        return b
+
+    with_fp = ds.map_batches(_pin(fp), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    fp_cols = (["__fp"] if fingerprint == "md5"
+               else ["__fp", "__fp_hi"])
+
+    def first(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            return group.drop_columns(fp_cols)
+        tbl = group.take(pc.sort_indices(group, sort_keys=[
+            *[(c, "ascending") for c in fp_cols],
+            (id_col, "ascending")]))
+        keys = [tbl.column(c).to_numpy(zero_copy_only=False)
+                for c in fp_cols]
+        keep = np.ones(tbl.num_rows, dtype=bool)
+        same = np.ones(tbl.num_rows - 1, dtype=bool)
+        for k in keys:
+            same &= k[1:] == k[:-1]
+        keep[1:] = ~same
+        return tbl.filter(pa.array(keep)).drop_columns(fp_cols)
+
+    return _partition_by(with_fp, [fp_cols[0]], num_partitions).map_groups(
+        _pin(first), batch_format="pyarrow")
+
+
+def prep_pipeline(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                  text_col: str = "text", n_shards: int = 8,
+                  form: str = "none", fingerprint: str = "md5",
+                  shard_method: str = "md5",
+                  **quality_kwargs) -> ray.data.Dataset:
+    """normalize → quality-filter → exact-dedup → shuffle-shard.
+    Returns (id_col, text, shard, pos) — text is the NORMALIZED form
+    (the canonical bytes every downstream consumer should see)."""
+    norm = normalize_documents(ds, text_col=text_col, id_col=id_col,
+                               out="__norm", form=form)
+
+    def rebind(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch.column(id_col),
+                         text_col: batch.column("__norm")})
+
+    canon = norm.map_batches(_pin(rebind), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    kept = quality_filter(canon, text_col=text_col, **quality_kwargs)
+    unique = dedup_rows(kept, id_col=id_col, text_col=text_col,
+                        fingerprint=fingerprint)
+    return shuffle_shard(unique, id_col, n_shards=n_shards,
+                         method=shard_method)
