@@ -255,8 +255,26 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--sink", required=True)
     cp.add_argument("--target-mb", type=int, default=128)
 
+    pr = sub.add_parser(
+        "prep",
+        help="composed training-data prep (ray-job entrypoint): "
+             "normalize -> quality filter -> exact dedup -> shuffled "
+             "shard export")
+    pr.add_argument("--input", required=True,
+                    help="directory of document parquet files")
+    pr.add_argument("--out", required=True,
+                    help="shard output directory (one parquet/shard)")
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("--text-col", default="text")
+    pr.add_argument("--shards", type=int, default=64)
+    pr.add_argument("--form", default="none", choices=["none", "nfc"])
+    pr.add_argument("--fingerprint", default="fast",
+                    choices=["fast", "md5"])
+
     args = p.parse_args(argv)
 
+    if args.cmd == "prep":
+        return _run_prep(args)
     if args.cmd == "compact":
         import json as _json
 
@@ -357,6 +375,59 @@ def _run_asof(args) -> int:
         "rows_in": m["rows_in"], "rows_out": m["rows_out"],
         "late_left": m["late_left"], "late_right": m["late_right"],
         "sink": args.sink,
+    }))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
+def _run_prep(args) -> int:
+    """Composed prep pipeline job (owns the Ray session, one JSON
+    summary line). Shard writes are idempotent by filename, so a
+    partial failure resumes by re-running the same command."""
+    import json
+    import time as _time
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False, ignore_reinit_error=True)
+    import ray.data
+
+    from .ops.shard import write_shards
+    from .pipelines.prep import dedup_rows, prep_pipeline
+    from .ops.quality import quality_filter
+    from .ops.text import normalize_documents
+
+    t0 = _time.perf_counter()
+    ds = ray.data.read_parquet(args.input,
+                               columns=[args.id_col, args.text_col])
+    # same chain as prep_pipeline, but the terminal stage WRITES the
+    # shards (idempotent per-shard files) instead of returning rows
+    import pyarrow as pa
+
+    norm = normalize_documents(ds, text_col=args.text_col,
+                               id_col=args.id_col, out="__norm",
+                               form=args.form)
+
+    def rebind(batch: pa.Table) -> pa.Table:
+        return pa.table({args.id_col: batch.column(args.id_col),
+                         args.text_col: batch.column("__norm")})
+
+    canon = norm.map_batches(rebind, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    kept = quality_filter(canon, text_col=args.text_col)
+    unique = dedup_rows(kept, id_col=args.id_col,
+                        text_col=args.text_col,
+                        fingerprint=args.fingerprint)
+    m = write_shards(unique, args.out, args.id_col,
+                     n_shards=args.shards, method=args.fingerprint)
+    print(json.dumps({
+        "sec": round(_time.perf_counter() - t0, 3),
+        "rows_out": m["rows"], "shards_written": m["written"],
+        "shards_skipped": m["skipped"], "out": args.out,
     }))
     if owns_session:
         ray.shutdown()
