@@ -596,6 +596,24 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["normalize_text_200k"] = min2(lambda: normalize_documents(
         docs_ds(), form="none").count())
 
+    # transcript assembly + context-window chunking + rolling stats
+    from ksql_ray.ops.rows import moving_agg
+    from ksql_ray.ops.transcripts import assemble_conversations, chunk_split
+
+    def turns4():
+        return ray.data.read_parquet(
+            paths["transcripts"],
+            columns=["conv_id", "turn_idx", "role", "text"])
+
+    out["assemble_convs_200k"] = min2(lambda: assemble_conversations(
+        turns4(), ["conv_id"], ["turn_idx"], text_col="text",
+        role_col="role").count())
+    out["chunk_split_200k"] = min2(lambda: chunk_split(
+        docs_ds(), width=64, stride=48).count())
+    out["moving_agg_200k"] = min2(lambda: moving_agg(
+        turns3(), ["conv_id"], "ts", "turn_idx", window_rows=7,
+        tiebreak="turn_idx").count())
+
     # PCA moments + projection over the 100k x 64d vector corpus
     from ksql_ray.ops.pca import pca_project, pca_train
 

@@ -33,7 +33,7 @@ import ray.data
 
 from .dedup import _partition_by, _pin
 
-__all__ = ["top_n_per_key", "sessionize", "with_lag"]
+__all__ = ["top_n_per_key", "sessionize", "with_lag", "moving_agg"]
 
 
 def _segment_starts(sort_keys: list[np.ndarray], n: int) -> np.ndarray:
@@ -122,6 +122,67 @@ def with_lag(ds: ray.data.Dataset, key_cols: list[str],
 
     return _partition_by(ds, key_cols, num_partitions).map_groups(
         _pin(label), batch_format="pyarrow")
+
+
+def moving_agg(ds: ray.data.Dataset, key_cols: list[str],
+               order_col: str, value_col: str, window_rows: int,
+               tiebreak: str | None = None,
+               num_partitions: int = 32) -> ray.data.Dataset:
+    """Rows with the per-key ROLLING sum/avg/count of ``value_col`` over
+    the last ``window_rows`` rows (current row inclusive) attached as
+    ``<col>_rsum/_ravg/_rcnt`` — SQL ``SUM/AVG/COUNT(col) OVER
+    (PARTITION BY key ORDER BY order_col[, tiebreak] ROWS BETWEEN w-1
+    PRECEDING AND CURRENT ROW)``. NULLs are skipped (rcnt counts
+    non-null; rsum/ravg are NULL when the window holds none), matching
+    SQL aggregate semantics.
+
+    Vectorized as two cumulative sums per sorted partition (values with
+    NULL→0, plus a non-null indicator); the window start is clamped to
+    the key's segment start so windows never cross keys."""
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    sort_spec = ([(k, "ascending") for k in key_cols]
+                 + [(order_col, "ascending")]
+                 + ([(tiebreak, "ascending")] if tiebreak else []))
+
+    def roll(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            group = group.append_column(
+                value_col + "_rsum", pa.array([], type=pa.float64()))
+            group = group.append_column(
+                value_col + "_ravg", pa.array([], type=pa.float64()))
+            return group.append_column(
+                value_col + "_rcnt", pa.array([], type=pa.int64()))
+        tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
+        n = tbl.num_rows
+        col = tbl.column(value_col)
+        valid = ~pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(pc.cast(col, pa.float64()), 0.0).to_numpy(
+            zero_copy_only=False)
+        seg = _segment_starts(_key_arrays(tbl, key_cols), n)
+        start = np.maximum(np.arange(n, dtype=np.int64) - window_rows + 1,
+                           seg)
+        # prefix sums with a leading 0 so window = csum[i+1] - csum[start]
+        csum = np.zeros(n + 1)
+        np.cumsum(v, out=csum[1:])
+        ccnt = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(valid, out=ccnt[1:])
+        idx = np.arange(1, n + 1)
+        rcnt = ccnt[idx] - ccnt[start]
+        rsum = csum[idx] - csum[start]
+        empty = rcnt == 0
+        rsum_a = pa.array(rsum, mask=empty)
+        ravg = np.divide(rsum, rcnt, out=np.zeros(n), where=~empty)
+        tbl = tbl.append_column(value_col + "_rsum", rsum_a)
+        tbl = tbl.append_column(value_col + "_ravg",
+                                pa.array(ravg, mask=empty))
+        return tbl.append_column(value_col + "_rcnt",
+                                 pa.array(rcnt, type=pa.int64()))
+
+    return _partition_by(ds, key_cols, num_partitions).map_groups(
+        _pin(roll), batch_format="pyarrow")
 
 
 def sessionize(ds: ray.data.Dataset, key_cols: list[str], ts_col: str,

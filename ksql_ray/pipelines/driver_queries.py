@@ -2843,6 +2843,86 @@ REGISTRY["op_sessionize"] = RawQ(
 )
 
 
+def _op_moving_agg(sf_dir: str) -> pa.Table:
+    from ..ops.rows import moving_agg
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "ts", "value"])
+    t = _collect(moving_agg(ds, ["user_id"], "ts", "value",
+                            window_rows=7, tiebreak="event_id"))
+    t = t.select(["user_id", "event_id",
+                  "value_rsum", "value_ravg", "value_rcnt"])
+    return _round_cols(t, {"value_rsum": 4, "value_ravg": 4})
+
+
+REGISTRY["op_moving_agg"] = RawQ(
+    _op_moving_agg,
+    # rolling per-key row window (ops/rows.py moving_agg). window_rows=7
+    # deliberately: 2-decimal inputs averaged over 1..7 rows can never
+    # land exactly on a 4th-decimal rounding tie (100N/d is half-integer
+    # only for even d >= 8), so both sides round identically despite
+    # ulp-different sums — an even window flips ~24% of rows on ties
+    "SELECT user_id, event_id,"
+    "  ROUND(SUM(value) OVER w, 4) AS value_rsum,"
+    "  ROUND(AVG(value) OVER w, 4) AS value_ravg,"
+    "  COUNT(value) OVER w AS value_rcnt "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
+    "  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)",
+)
+
+
+def _op_assemble_convs(sf_dir: str) -> pa.Table:
+    from ..ops.transcripts import assemble_conversations
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "ts", "event_id", "event_type", "props"])
+    t = _collect(assemble_conversations(
+        ds, ["user_id"], ["ts", "event_id"], text_col="props",
+        role_col="event_type", sep="\n"))
+    return t.select(["user_id", "doc", "n_turns", "n_chars"])
+
+
+REGISTRY["op_assemble_convs"] = RawQ(
+    _op_assemble_convs,
+    # transcript assembly (ops/transcripts.py): each key's rows joined in
+    # event order as 'role: text' lines — the turns->training-document op
+    "SELECT user_id,"
+    "  string_agg(coalesce(event_type, '') || ': ' || coalesce(props, ''),"
+    "             chr(10) ORDER BY ts, event_id) AS doc,"
+    "  count(*)::BIGINT AS n_turns,"
+    "  length(string_agg(coalesce(event_type, '') || ': '"
+    "                    || coalesce(props, ''),"
+    "                    chr(10) ORDER BY ts, event_id))::BIGINT AS n_chars "
+    "FROM events GROUP BY user_id",
+)
+
+
+def _op_chunk_split(sf_dir: str) -> pa.Table:
+    from ..ops.transcripts import chunk_split
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    return _collect(chunk_split(ds, width=32, stride=24))
+
+
+REGISTRY["op_chunk_split"] = RawQ(
+    _op_chunk_split,
+    # context-window chunking (ops/transcripts.py chunk_split): chunks of
+    # 32 whitespace tokens starting every 24 (overlapping); empty text
+    # splits to [''] so every doc yields >= 1 chunk
+    r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, 24)) AS st FROM t)
+SELECT doc_id, (st // 24)::BIGINT AS chunk_idx,
+       least(32, len(toks) - st)::BIGINT AS n_tokens,
+       array_to_string(toks[st + 1 : st + 32], ' ') AS chunk
+FROM s""",
+)
+
+
 def _op_shuffle_shard(sf_dir: str) -> pa.Table:
     from ..ops.shard import shuffle_shard
 
