@@ -614,6 +614,11 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         turns3(), ["conv_id"], "ts", "turn_idx", window_rows=7,
         tiebreak="turn_idx").count())
 
+    from ksql_ray.ops.terms import top_ngrams
+
+    out["top_bigrams_200k"] = min2(lambda: top_ngrams(
+        docs_ds(), n=2, k=25).count())
+
     # PCA moments + projection over the 100k x 64d vector corpus
     from ksql_ray.ops.pca import pca_project, pca_train
 

@@ -1712,6 +1712,30 @@ REGISTRY["op_top_terms"] = RawQ(
 )
 
 
+def _op_top_ngrams(sf_dir: str) -> pa.Table:
+    from ..ops.terms import top_ngrams
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    return _collect(top_ngrams(ds, n=2, k=25))
+
+
+REGISTRY["op_top_ngrams"] = RawQ(
+    _op_top_ngrams,
+    # corpus bigram counts (ops/terms.py top_ngrams): space-joined token
+    # pairs inside each document; docs shorter than 2 tokens contribute
+    # nothing (generate_series(1, 0) is empty)
+    r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)
+SELECT array_to_string(toks[i : i + 1], ' ') AS term,
+       count(*)::BIGINT AS cnt
+FROM s GROUP BY 1 ORDER BY cnt DESC, term LIMIT 25""",
+)
+
+
 def _op_lm_score(sf_dir: str) -> pa.Table:
     from ..ops.lm import score_bigram_lm, train_bigram_lm
 

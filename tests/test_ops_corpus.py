@@ -188,3 +188,47 @@ def test_top_terms_tie_break(ray_session):
     # counts: a=2 b=2 d=2 c=1 -> top3 by (cnt desc, term asc) = a, b, d
     assert got["term"] == ["a", "b", "d"]
     assert got["cnt"] == [2, 2, 2]
+
+
+def test_top_ngrams_brute(ray_session):
+    from collections import Counter
+
+    from ksql_ray.ops.terms import top_ngrams
+
+    rng = np.random.default_rng(5)
+    words = ["aa", "bb", "cc", "dd"]
+    docs = [" ".join(words[j] for j in rng.integers(0, 4,
+                                                    rng.integers(0, 9)))
+            for _ in range(80)] + ["", "solo", None, "  x  y  "]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(docs)}))
+    for n in (2, 3):
+        want = Counter()
+        for d in docs:
+            toks = (d or "").strip().split()
+            toks = toks if toks else [""]
+            for i in range(len(toks) - n + 1):
+                want[" ".join(toks[i:i + n])] += 1
+        top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = collect(top_ngrams(ds, n=n, k=10)).to_pydict()
+        assert list(zip(got["term"], got["cnt"])) == top, n
+
+
+def test_top_ngrams_large_string(ray_session):
+    # bench's to_docs emits large_string text; the join-separator kernel
+    # must match that value type (regression: no kernel for
+    # (large_string, large_string, string))
+    from ksql_ray.ops.terms import top_ngrams
+
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(["a b a b", "b a"], type=pa.large_string())}))
+    got = collect(top_ngrams(ds, n=2, k=3)).to_pydict()
+    assert list(zip(got["term"], got["cnt"])) == [
+        ("a b", 2), ("b a", 2)]
+
+
+def test_top_ngrams_validation(ray_session):
+    from ksql_ray.ops.terms import top_ngrams
+
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(["a b"])}))
+    with pytest.raises(ValueError):
+        top_ngrams(ds, n=1)
