@@ -619,6 +619,53 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["top_bigrams_200k"] = min2(lambda: top_ngrams(
         docs_ds(), n=2, k=25).count())
 
+    # rank family, next-turn pairing, transition matrix, cumulative agg
+    from ksql_ray.ops.rows import (rank_per_key, transition_counts,
+                                   with_lead)
+
+    def turns5():
+        return ray.data.read_parquet(
+            paths["transcripts"], columns=["conv_id", "turn_idx", "ts",
+                                           "role"])
+
+    out["rank_per_key_200k"] = min2(lambda: rank_per_key(
+        turns5(), ["conv_id"], "role", tiebreak="turn_idx").count())
+    out["with_lead_200k"] = min2(lambda: with_lead(
+        turns5(), ["conv_id"], "ts", ["role"],
+        tiebreak="turn_idx").count())
+    out["transitions_200k"] = min2(lambda: transition_counts(
+        turns5(), ["conv_id"], "ts", "role",
+        tiebreak="turn_idx").count())
+    out["cumulative_agg_200k"] = min2(lambda: moving_agg(
+        turns3(), ["conv_id"], "ts", "turn_idx", window_rows=None,
+        tiebreak="turn_idx").count())
+
+    # set ops + broadcast semi-join + histogram over the turn stream
+    from ksql_ray.ops.hist import numeric_histogram
+    from ksql_ray.ops.sets import intersect_distinct, semi_join_filter
+
+    out["intersect_200k"] = min2(lambda: intersect_distinct(
+        turns5().filter(expr="role == 'user'"),
+        turns5().filter(expr="role == 'assistant'"),
+        ["conv_id"]).count())
+    out["semi_join_200k"] = min2(lambda: semi_join_filter(
+        turns5(), turns5().filter(expr="role == 'tool'"),
+        "conv_id", "conv_id").count())
+    out["histogram_200k"] = min2(lambda: numeric_histogram(
+        turns3(), "turn_idx", bins=32).count())
+
+    # rollup + pivot + quantile bucketize over the turn stream
+    from ksql_ray.ops.cube import pivot_agg, rollup_agg
+    from ksql_ray.ops.quantiles import quantile_bucketize
+
+    out["rollup_200k"] = min2(lambda: rollup_agg(
+        turns5(), ["role", "conv_id"], "turn_idx").count())
+    out["pivot_200k"] = min2(lambda: pivot_agg(
+        turns5(), "conv_id", "role",
+        ["user", "assistant", "tool"], "turn_idx").count())
+    out["bucketize_200k"] = min2(lambda: quantile_bucketize(
+        turns3(), "turn_idx", qs=[0.25, 0.5, 0.75]).count())
+
     # PCA moments + projection over the 100k x 64d vector corpus
     from ksql_ray.ops.pca import pca_project, pca_train
 

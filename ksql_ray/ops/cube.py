@@ -1,0 +1,196 @@
+"""Multi-level aggregation: GROUP BY ROLLUP and pivot (crosstab).
+
+ksqlDB has neither ROLLUP/CUBE nor PIVOT (absence verified across
+/root/reference/ksql/*.go — the builder emits plain GROUP BY only);
+corpus triage wants both: per-(source, lang) counts with per-source
+and grand totals in one answer, and per-key wide feature columns
+(one column per event type / role) for training tables.
+
+Scale shapes:
+
+* ``rollup_agg``: ONE scan computes per-batch partials grouped by the
+  full key (payload bounded by per-batch distinct keys); the base
+  groupby merges them, and each coarser level re-aggregates the
+  PREVIOUS level's already-aggregated output — so level L's shuffle
+  moves at most |distinct level-(L+1) keys| rows, never the input.
+  The grand total is a driver-side fold of the final level (one tiny
+  ``sum``). Rolled-up key columns are NULL, exactly like SQL ROLLUP.
+* ``pivot_agg``: per-batch partial pivot — a dense (batch keys ×
+  pivot values) ``np.add.at`` scatter — then one groupby(key) sum of
+  the wide columns. The shuffle carries ``|pivot values|`` numeric
+  columns per distinct per-batch key, never one row per input row.
+  Groups with no rows for a pivot value yield NULL (SQL
+  ``SUM(CASE WHEN ...)`` semantics), tracked via a parallel count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .dedup import _pin
+
+__all__ = ["rollup_agg", "pivot_agg"]
+
+
+def _base_partial(batch: pa.Table, keys: list[str],
+                  value_col: str) -> pa.Table:
+    """Per-batch (keys..., __sum, __cnt) partial via one pandas
+    groupby (hash-based; Arrow's TableGroupBy emission order is
+    unreliable — perf lesson #1)."""
+    import pandas as pd
+
+    cols = {k: batch.column(k).to_numpy(zero_copy_only=False)
+            for k in keys}
+    v = pc.cast(batch.column(value_col), pa.float64()).to_numpy(
+        zero_copy_only=False)
+    df = pd.DataFrame(cols)
+    df["__v"] = v
+    g = df.groupby(keys, dropna=False, sort=False)["__v"].agg(
+        ["sum", "count"]).reset_index()
+    out = {k: pa.array(g[k]) for k in keys}
+    out["__sum"] = pa.array(g["sum"].to_numpy(), type=pa.float64())
+    out["__cnt"] = pa.array(g["count"].to_numpy(), type=pa.int64())
+    return pa.table(out)
+
+
+def rollup_agg(ds: ray.data.Dataset, keys: list[str],
+               value_col: str) -> ray.data.Dataset:
+    """SQL ``GROUP BY ROLLUP(keys)``: one row per group at every key
+    prefix level (full keys, each shorter prefix, and the grand
+    total), with ``sum_v``/``cnt_v`` of ``value_col`` and NULL in the
+    rolled-up key columns. NULL sums follow SQL (a group of zero
+    non-null values is impossible here since partials count non-null
+    rows; all-NULL value groups yield sum NULL via cnt=0)."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+
+    parts = ds.map_batches(
+        _pin(lambda b: _base_partial(b, keys, value_col)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def _merge(level_keys: list[str], src: ray.data.Dataset):
+        agg = src.groupby(level_keys).sum(["__sum", "__cnt"])
+        return agg.map_batches(
+            lambda b: b.rename_columns(level_keys + ["__sum", "__cnt"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    key_types = {f.name: f.type for f in ds.schema().base_schema
+                 if f.name in keys}
+
+    def _widen(level: int):
+        """Append typed NULL columns for rolled-up keys + final names."""
+        rolled = keys[level:]
+
+        def fix(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            for k in rolled:
+                b = b.append_column(k, pa.nulls(n, key_types[k]))
+            b = b.select(keys + ["__sum", "__cnt"])
+            mask = pc.equal(b.column("__cnt"), 0)
+            s = pc.if_else(mask, pa.scalar(None, pa.float64()),
+                           b.column("__sum"))
+            return pa.table(
+                {**{k: b.column(k) for k in keys},
+                 "sum_v": s, "cnt_v": b.column("__cnt")})
+
+        return fix
+
+    levels = []
+    cur = _merge(keys, parts)                       # finest level
+    levels.append(cur.map_batches(_widen(len(keys)),
+                                  batch_format="pyarrow"))
+    for i in range(len(keys) - 1, 0, -1):
+        cur = _merge(keys[:i], cur)                 # re-agg previous
+        levels.append(cur.map_batches(_widen(i),
+                                      batch_format="pyarrow"))
+    # grand total: fold the coarsest level (already tiny)
+    tot = cur.sum(["__sum", "__cnt"])
+    total_tbl = pa.table({
+        **{k: pa.nulls(1, key_types[k]) for k in keys},
+        "sum_v": pa.array(
+            [None if tot["sum(__cnt)"] == 0 else tot["sum(__sum)"]],
+            type=pa.float64()),
+        "cnt_v": pa.array([tot["sum(__cnt)"]], type=pa.int64()),
+    })
+    levels.append(ray.data.from_arrow(total_tbl))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+class _PivotPartial:
+    """Actor-pool stage: dense per-batch (key × pivot value) scatter."""
+
+    def __init__(self, key_col: str, pivot_col: str, values: list[str],
+                 value_col: str):
+        self._k, self._p, self._vc = key_col, pivot_col, value_col
+        self._vals = list(values)
+        self._lookup = {v: i for i, v in enumerate(values)}
+        from ..streaming.driver import limit_worker_threads
+
+        limit_worker_threads()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = batch.column(self._k).to_numpy(zero_copy_only=False)
+        piv = batch.column(self._p)
+        # map pivot labels -> column index; unknown labels are dropped
+        codes = pc.index_in(
+            piv, value_set=pa.array(self._vals, type=piv.type)
+        ).to_numpy(zero_copy_only=False)
+        v = pc.cast(batch.column(self._vc), pa.float64())
+        vnp = v.to_numpy(zero_copy_only=False)
+        ok = ~pd.isna(codes) & ~np.isnan(vnp)
+        kcodes, uniq = pd.factorize(keys[ok])
+        pcodes = codes[ok].astype(np.int64)
+        nv = len(self._vals)
+        sums = np.zeros((len(uniq), nv))
+        cnts = np.zeros((len(uniq), nv), dtype=np.int64)
+        np.add.at(sums, (kcodes, pcodes), vnp[ok])
+        np.add.at(cnts, (kcodes, pcodes), 1)
+        out = {self._k: pa.array(uniq)}
+        for j, name in enumerate(self._vals):
+            out[f"__s_{name}"] = pa.array(sums[:, j])
+            out[f"__c_{name}"] = pa.array(cnts[:, j], type=pa.int64())
+        return pa.table(out)
+
+
+def pivot_agg(ds: ray.data.Dataset, key_col: str, pivot_col: str,
+              values: list[str], value_col: str,
+              concurrency=(1, 8)) -> ray.data.Dataset:
+    """Crosstab: one row per ``key_col`` with ``<value>_sum`` /
+    ``<value>_cnt`` columns per pivot value — SQL
+    ``SUM(CASE WHEN pivot = v THEN value END) AS v_sum`` (NULL when
+    the group has no such rows). Rows whose pivot label is not in
+    ``values`` are ignored (project the label list explicitly)."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    wide_cols = [c for v in values for c in (f"__s_{v}", f"__c_{v}")]
+    parts = ds.map_batches(
+        _PivotPartial,
+        fn_constructor_args=(key_col, pivot_col, values, value_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)
+    agg = parts.groupby(key_col).sum(wide_cols)
+    agg = agg.map_batches(
+        lambda b: b.rename_columns([key_col] + wide_cols),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        out = {key_col: b.column(key_col)}
+        for v in values:
+            c = b.column(f"__c_{v}")
+            empty = pc.equal(c, 0)
+            out[f"{v}_sum"] = pc.if_else(
+                empty, pa.scalar(None, pa.float64()),
+                b.column(f"__s_{v}"))
+            out[f"{v}_cnt"] = c
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["QuantileSketch", "dataset_quantiles"]
+__all__ = ["QuantileSketch", "dataset_quantiles", "quantile_bucketize"]
 
 
 class QuantileSketch:
@@ -207,3 +207,39 @@ def dataset_quantiles(ds: ray.data.Dataset, col: str,
     # remote task, not on the driver (refs passed top-level: lesson #3)
     return _ray.get(_merge_and_query.remote(
         qs, capacity, *parts.to_arrow_refs()))
+
+
+def quantile_bucketize(ds: ray.data.Dataset, col: str,
+                       qs: list[float] | None = None,
+                       capacity: int = 4096,
+                       out: str = "bucket",
+                       require_exact: bool = False) -> ray.data.Dataset:
+    """Rows with a quantile-bucket ordinal attached: ``bucket`` = the
+    number of quantile boundaries <= value (``searchsorted
+    side='right'``), boundaries taken from :func:`dataset_quantiles`
+    (exact ``quantile_disc`` values while max_rank_error is 0, which
+    the sketch guarantees until ~capacity² rows). NULL values get a
+    NULL bucket. Two passes (boundary sketch, then a stateless
+    assignment map) — the boundary list is a handful of floats shipped
+    in the task closure, never a shuffle."""
+    if qs is None:
+        qs = [0.25, 0.5, 0.75]
+    if not qs or any(not 0 <= q <= 1 for q in qs):
+        raise ValueError("qs must be fractions in [0, 1]")
+    t, err = dataset_quantiles(ds, col, sorted(qs), capacity)
+    if require_exact and err != 0:
+        raise ValueError(
+            f"rank error {err} != 0: raise capacity above the row count "
+            "for exact quantile_disc boundaries")
+    bounds = np.sort(t.column("value").to_numpy())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        nulls = np.isnan(v)
+        b = np.searchsorted(bounds, v, side="right")
+        return batch.append_column(
+            out, pa.array(b.astype(np.int64), mask=nulls))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -33,7 +33,8 @@ import ray.data
 
 from .dedup import _partition_by, _pin
 
-__all__ = ["top_n_per_key", "sessionize", "with_lag", "moving_agg"]
+__all__ = ["top_n_per_key", "sessionize", "with_lag", "with_lead",
+           "moving_agg", "rank_per_key", "transition_counts"]
 
 
 def _segment_starts(sort_keys: list[np.ndarray], n: int) -> np.ndarray:
@@ -124,12 +125,159 @@ def with_lag(ds: ray.data.Dataset, key_cols: list[str],
         _pin(label), batch_format="pyarrow")
 
 
+def with_lead(ds: ray.data.Dataset, key_cols: list[str],
+              order_col: str, lead_cols: list[str],
+              tiebreak: str | None = None, suffix: str = "_next",
+              num_partitions: int = 32) -> ray.data.Dataset:
+    """Rows with each ``lead_cols`` column's NEXT same-key value attached
+    as ``<col><suffix>`` (null on the key's last row) — SQL
+    ``LEAD(col) OVER (PARTITION BY key ORDER BY order_col[, tiebreak])``.
+    The mirror of :func:`with_lag`; the building block for
+    prompt→response pair extraction from turn streams (pair each user
+    turn with the assistant turn that answers it) and next-event
+    prediction features."""
+    sort_spec = ([(k, "ascending") for k in key_cols]
+                 + [(order_col, "ascending")]
+                 + ([(tiebreak, "ascending")] if tiebreak else []))
+
+    def label(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            for c in lead_cols:
+                group = group.append_column(
+                    c + suffix, pa.nulls(0, group.schema.field(c).type))
+            return group
+        tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
+        n = tbl.num_rows
+        last = np.zeros(n, dtype=bool)
+        last[-1] = True
+        for k in _key_arrays(tbl, key_cols):
+            last[:-1] |= k[1:] != k[:-1]
+        # next-row index, masked on each key's last row
+        nxt = np.arange(1, n + 1, dtype=np.int64)
+        nxt[-1] = 0  # masked anyway; keep the index in range
+        take = pa.array(nxt, mask=last)
+        for c in lead_cols:
+            tbl = tbl.append_column(c + suffix, tbl.column(c).take(take))
+        return tbl
+
+    return _partition_by(ds, key_cols, num_partitions).map_groups(
+        _pin(label), batch_format="pyarrow")
+
+
+def rank_per_key(ds: ray.data.Dataset, key_cols: list[str],
+                 order_col: str, descending: bool = False,
+                 tiebreak: str | None = None,
+                 num_partitions: int = 32) -> ray.data.Dataset:
+    """Rows with the SQL rank family attached per key over
+    ``order_col``: ``row_number`` (1-based, tiebreak-ordered so it is
+    deterministic when ``tiebreak`` completes a total order), ``rank``
+    (ties share the first row number, gaps after), and ``dense_rank``
+    (ties share, no gaps) — ``ROW_NUMBER()/RANK()/DENSE_RANK() OVER
+    (PARTITION BY key ORDER BY order_col [DESC])``. Ties are equal
+    ``order_col`` values; the tiebreak only sequences row_number.
+
+    Same shape as the other row ops: ONE key shuffle, one vectorized
+    per-partition sort + segment pass."""
+    direction = "descending" if descending else "ascending"
+    sort_spec = ([(k, "ascending") for k in key_cols]
+                 + [(order_col, direction)]
+                 + ([(tiebreak, "ascending")] if tiebreak else []))
+
+    def label(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            for c in ("row_number", "rank", "dense_rank"):
+                group = group.append_column(
+                    c, pa.array([], type=pa.int64()))
+            return group
+        tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
+        n = tbl.num_rows
+        keys = _key_arrays(tbl, key_cols)
+        seg = _segment_starts(keys, n)
+        rn = np.arange(n, dtype=np.int64) - seg + 1
+        # tie runs: equal key AND equal order value
+        order = tbl.column(order_col).to_numpy(zero_copy_only=False)
+        run = _segment_starts(keys + [order], n)
+        rank = run - seg + 1
+        # dense rank: per-key ordinal of the tie run (sessionize logic)
+        new = np.zeros(n, dtype=bool)
+        new[np.unique(run)] = True
+        csum = np.cumsum(new)
+        dense = csum - csum[seg] + 1
+        tbl = tbl.append_column("row_number", pa.array(rn))
+        tbl = tbl.append_column("rank", pa.array(rank))
+        return tbl.append_column("dense_rank", pa.array(dense))
+
+    return _partition_by(ds, key_cols, num_partitions).map_groups(
+        _pin(label), batch_format="pyarrow")
+
+
+def transition_counts(ds: ray.data.Dataset, key_cols: list[str],
+                      order_col: str, label_col: str,
+                      tiebreak: str | None = None,
+                      num_partitions: int = 32) -> ray.data.Dataset:
+    """Corpus-wide count of adjacent same-key label transitions
+    ``(from_label, to_label, cnt)`` — the role-transition matrix of a
+    turn stream (user→assistant, assistant→tool, ...) — SQL
+    ``LEAD(label) OVER (PARTITION BY key ORDER BY ...)`` then
+    ``GROUP BY label, next``. ONE key shuffle for the pairing; the
+    final groupby moves only per-partition (from, to, cnt) partials
+    (bounded by the label alphabet squared, not the row count)."""
+    sort_spec = ([(k, "ascending") for k in key_cols]
+                 + [(order_col, "ascending")]
+                 + ([(tiebreak, "ascending")] if tiebreak else []))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        empty = pa.table({
+            "from_label": pa.array([], type=pa.string()),
+            "to_label": pa.array([], type=pa.string()),
+            "cnt": pa.array([], type=pa.int64())})
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        n = group.num_rows
+        if n < 2:
+            return empty
+        tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
+        adj = np.ones(n - 1, dtype=bool)
+        for k in _key_arrays(tbl, key_cols):
+            adj &= k[1:] == k[:-1]
+        lab = tbl.column(label_col).to_numpy(zero_copy_only=False)
+        frm, to = lab[:-1][adj], lab[1:][adj]
+        if not len(frm):
+            return empty
+        # factorize over the combined alphabet, pack (from, to) codes
+        # into one int, bincount — no per-pair Python objects
+        m = len(frm)
+        codes, uniq = pd.factorize(np.concatenate([frm, to]))
+        packed = codes[:m].astype(np.int64) * len(uniq) + codes[m:]
+        cnt = np.bincount(packed)
+        nz = np.flatnonzero(cnt)
+        ua = np.asarray(uniq, dtype=object)
+        return pa.table({
+            "from_label": pa.array(ua[nz // len(uniq)], type=pa.string()),
+            "to_label": pa.array(ua[nz % len(uniq)], type=pa.string()),
+            "cnt": pa.array(cnt[nz], type=pa.int64())})
+
+    parts = _partition_by(ds, key_cols, num_partitions).map_groups(
+        _pin(pairs), batch_format="pyarrow")
+    agg = parts.groupby(["from_label", "to_label"]).sum("cnt")
+    return agg.map_batches(
+        lambda b: b.rename_columns(["from_label", "to_label", "cnt"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def moving_agg(ds: ray.data.Dataset, key_cols: list[str],
-               order_col: str, value_col: str, window_rows: int,
+               order_col: str, value_col: str,
+               window_rows: int | None,
                tiebreak: str | None = None,
                num_partitions: int = 32) -> ray.data.Dataset:
     """Rows with the per-key ROLLING sum/avg/count of ``value_col`` over
-    the last ``window_rows`` rows (current row inclusive) attached as
+    the last ``window_rows`` rows (current row inclusive; ``None`` =
+    cumulative / ROWS UNBOUNDED PRECEDING) attached as
     ``<col>_rsum/_ravg/_rcnt`` — SQL ``SUM/AVG/COUNT(col) OVER
     (PARTITION BY key ORDER BY order_col[, tiebreak] ROWS BETWEEN w-1
     PRECEDING AND CURRENT ROW)``. NULLs are skipped (rcnt counts
@@ -139,8 +287,8 @@ def moving_agg(ds: ray.data.Dataset, key_cols: list[str],
     Vectorized as two cumulative sums per sorted partition (values with
     NULL→0, plus a non-null indicator); the window start is clamped to
     the key's segment start so windows never cross keys."""
-    if window_rows < 1:
-        raise ValueError("window_rows must be >= 1")
+    if window_rows is not None and window_rows < 1:
+        raise ValueError("window_rows must be >= 1 (or None)")
     sort_spec = ([(k, "ascending") for k in key_cols]
                  + [(order_col, "ascending")]
                  + ([(tiebreak, "ascending")] if tiebreak else []))
@@ -162,8 +310,11 @@ def moving_agg(ds: ray.data.Dataset, key_cols: list[str],
         v = pc.fill_null(pc.cast(col, pa.float64()), 0.0).to_numpy(
             zero_copy_only=False)
         seg = _segment_starts(_key_arrays(tbl, key_cols), n)
-        start = np.maximum(np.arange(n, dtype=np.int64) - window_rows + 1,
-                           seg)
+        if window_rows is None:      # cumulative: UNBOUNDED PRECEDING
+            start = seg
+        else:
+            start = np.maximum(
+                np.arange(n, dtype=np.int64) - window_rows + 1, seg)
         # prefix sums with a leading 0 so window = csum[i+1] - csum[start]
         csum = np.zeros(n + 1)
         np.cumsum(v, out=csum[1:])

@@ -2895,6 +2895,307 @@ REGISTRY["op_moving_agg"] = RawQ(
 )
 
 
+def _op_with_lead(sf_dir: str) -> pa.Table:
+    from ..ops.rows import with_lead
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "ts", "value", "event_type"])
+    t = _collect(with_lead(ds, ["user_id"], "ts",
+                           ["value", "event_type"],
+                           tiebreak="event_id"))
+    t = t.select(["user_id", "event_id", "value_next",
+                  "event_type_next"])
+    return _round_cols(t, {"value_next": 4})
+
+
+REGISTRY["op_with_lead"] = RawQ(
+    _op_with_lead,
+    # next-event attributes per user (ops/rows.py with_lead) — the
+    # prompt→response pairing primitive for turn streams
+    "SELECT user_id, event_id,"
+    "  ROUND(LEAD(value) OVER w, 4) AS value_next,"
+    "  LEAD(event_type) OVER w AS event_type_next "
+    "FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+)
+
+
+def _op_rank_per_key(sf_dir: str) -> pa.Table:
+    from ..ops.rows import rank_per_key
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "event_type"])
+    t = _collect(rank_per_key(ds, ["user_id"], "event_type",
+                              tiebreak="event_id"))
+    return t.select(["user_id", "event_id", "row_number", "rank",
+                     "dense_rank"])
+
+
+REGISTRY["op_rank_per_key"] = RawQ(
+    _op_rank_per_key,
+    # SQL rank family per key (ops/rows.py rank_per_key). event_type's
+    # small alphabet guarantees real ties, so RANK/DENSE_RANK diverge
+    # from ROW_NUMBER; the event_id tiebreak makes row_number total
+    "SELECT user_id, event_id,"
+    "  ROW_NUMBER() OVER (PARTITION BY user_id"
+    "    ORDER BY event_type, event_id) AS row_number,"
+    "  RANK() OVER (PARTITION BY user_id"
+    "    ORDER BY event_type) AS rank,"
+    "  DENSE_RANK() OVER (PARTITION BY user_id"
+    "    ORDER BY event_type) AS dense_rank "
+    "FROM events",
+)
+
+
+def _op_transition_counts(sf_dir: str) -> pa.Table:
+    from ..ops.rows import transition_counts
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "ts", "event_type"])
+    return _collect(transition_counts(ds, ["user_id"], "ts",
+                                      "event_type",
+                                      tiebreak="event_id"))
+
+
+REGISTRY["op_transition_counts"] = RawQ(
+    _op_transition_counts,
+    # corpus transition matrix (ops/rows.py transition_counts): counts
+    # of adjacent same-key label pairs — the role-transition profile of
+    # a turn stream; shuffle payload bounded by |alphabet|^2 partials
+    "WITH x AS (SELECT event_type AS from_label,"
+    "  LEAD(event_type) OVER (PARTITION BY user_id"
+    "    ORDER BY ts, event_id) AS to_label FROM events) "
+    "SELECT from_label, to_label, count(*)::BIGINT AS cnt "
+    "FROM x WHERE to_label IS NOT NULL GROUP BY 1, 2",
+)
+
+
+def _op_cumulative_agg(sf_dir: str) -> pa.Table:
+    from ..ops.rows import moving_agg
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "ts", "value"])
+    t = _collect(moving_agg(ds, ["user_id"], "ts", "value",
+                            window_rows=None, tiebreak="event_id"))
+    t = t.select(["user_id", "event_id", "value_rsum", "value_rcnt"])
+    return _round_cols(t, {"value_rsum": 4})
+
+
+REGISTRY["op_cumulative_agg"] = RawQ(
+    _op_cumulative_agg,
+    # cumulative per-key running sum/count (moving_agg window_rows=None
+    # = ROWS UNBOUNDED PRECEDING). Gate checks sum+count only: 2-decimal
+    # inputs make the 4th-decimal sum round tie-free, but AVG divides by
+    # an arbitrary count so its ties are not excludable (ravg is pinned
+    # by test_moving_agg_cumulative instead)
+    "SELECT user_id, event_id,"
+    "  ROUND(SUM(value) OVER w, 4) AS value_rsum,"
+    "  COUNT(value) OVER w AS value_rcnt "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+)
+
+
+def _op_intersect(sf_dir: str) -> pa.Table:
+    from ..ops.sets import intersect_distinct
+
+    ev = _read_clean(f"{sf_dir}/events.parquet")
+    left = ev.filter(expr="event_type == 'click' and value > 150.0")
+    right = _read_clean(f"{sf_dir}/events.parquet").filter(
+        expr="event_type == 'purchase' and value > 150.0")
+    return _collect(intersect_distinct(left, right, ["user_id"]))
+
+
+REGISTRY["op_intersect"] = RawQ(
+    _op_intersect,
+    # distributed INTERSECT (ops/sets.py): users with a big click AND a
+    # big purchase (value filter keeps the result a PROPER subset — every
+    # user has every event type unfiltered); tagged union, one key
+    # shuffle, reduceat segment scan
+    "SELECT DISTINCT user_id FROM events"
+    " WHERE event_type = 'click' AND value > 150.0 "
+    "INTERSECT "
+    "SELECT DISTINCT user_id FROM events"
+    " WHERE event_type = 'purchase' AND value > 150.0",
+)
+
+
+def _op_except(sf_dir: str) -> pa.Table:
+    from ..ops.sets import except_distinct
+
+    left = _read_clean(f"{sf_dir}/events.parquet").filter(
+        expr="event_type == 'view' and value > 150.0")
+    right = _read_clean(f"{sf_dir}/events.parquet").filter(
+        expr="event_type == 'error' and value > 150.0")
+    return _collect(except_distinct(left, right, ["user_id"]))
+
+
+REGISTRY["op_except"] = RawQ(
+    _op_except,
+    # distributed EXCEPT: users with a big view but no big error
+    "SELECT DISTINCT user_id FROM events"
+    " WHERE event_type = 'view' AND value > 150.0 "
+    "EXCEPT "
+    "SELECT DISTINCT user_id FROM events"
+    " WHERE event_type = 'error' AND value > 150.0",
+)
+
+
+def _op_semi_join(sf_dir: str) -> pa.Table:
+    from ..ops.sets import semi_join_filter
+
+    ev = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_id", "user_id", "event_type"])
+    big = _read_clean(f"{sf_dir}/orders.parquet").filter(
+        expr="o_totalprice > 400000.0")
+    return _collect(semi_join_filter(ev, big, "user_id", "o_custkey"))
+
+
+REGISTRY["op_semi_join"] = RawQ(
+    _op_semi_join,
+    # broadcast semi-join (ops/sets.py): events whose user placed a
+    # >400k order — distinct right keys reduced then broadcast once,
+    # one is_in kernel per batch
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE user_id IN (SELECT o_custkey FROM orders"
+    "                  WHERE o_totalprice > 400000.0)",
+)
+
+
+def _op_anti_join(sf_dir: str) -> pa.Table:
+    from ..ops.sets import semi_join_filter
+
+    ev = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_id", "user_id", "event_type"])
+    big = _read_clean(f"{sf_dir}/orders.parquet").filter(
+        expr="o_totalprice > 400000.0")
+    return _collect(semi_join_filter(ev, big, "user_id", "o_custkey",
+                                     anti=True))
+
+
+REGISTRY["op_anti_join"] = RawQ(
+    _op_anti_join,
+    # broadcast anti-join: NOT-EXISTS semantics (null probes kept)
+    "SELECT event_id, user_id, event_type FROM events e "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o"
+    "  WHERE o.o_custkey = e.user_id AND o.o_totalprice > 400000.0)",
+)
+
+
+def _op_histogram_bins(sf_dir: str) -> pa.Table:
+    from ..ops.hist import numeric_histogram
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["value"])
+    t = _collect(numeric_histogram(ds, "value", bins=16))
+    return _round_cols(t.select(["bin", "lo", "hi", "cnt"]),
+                       {"lo": 4, "hi": 4})
+
+
+REGISTRY["op_histogram_bins"] = RawQ(
+    _op_histogram_bins,
+    # equal-width bins (ops/hist.py): bin = LEAST(FLOOR((v-lo)/w), n-1)
+    # is IEEE-identical on both sides (same two divisions + floor); the
+    # lo/hi bin bounds round to 4dp for the hash
+    "WITH m AS (SELECT min(value) AS mn, max(value) AS mx FROM events"
+    "           WHERE value IS NOT NULL), "
+    "b AS (SELECT LEAST(FLOOR((value - mn) / ((mx - mn) / 16)),"
+    "             15)::BIGINT AS bin, count(*)::BIGINT AS cnt "
+    "      FROM events, m WHERE value IS NOT NULL GROUP BY 1) "
+    "SELECT bin,"
+    "  ROUND(mn + bin * ((mx - mn) / 16), 4) AS lo,"
+    "  ROUND(CASE WHEN bin = 15 THEN mx"
+    "        ELSE mn + (bin + 1) * ((mx - mn) / 16) END, 4) AS hi,"
+    "  cnt "
+    "FROM b, m",
+)
+
+
+def _op_rollup(sf_dir: str) -> pa.Table:
+    from ..ops.cube import rollup_agg
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_type", "user_id", "value"])
+    t = _collect(rollup_agg(ds, ["event_type", "user_id"], "value"))
+    return _round_cols(t, {"sum_v": 4})
+
+
+REGISTRY["op_rollup"] = RawQ(
+    _op_rollup,
+    # GROUP BY ROLLUP (ops/cube.py): every key-prefix level in one
+    # scan; coarser levels re-aggregate the previous level's output
+    "SELECT event_type, user_id,"
+    "  ROUND(SUM(value), 4) AS sum_v,"
+    "  COUNT(value) AS cnt_v "
+    "FROM events GROUP BY ROLLUP(event_type, user_id)",
+)
+
+
+def _op_pivot(sf_dir: str) -> pa.Table:
+    from ..ops.cube import pivot_agg
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_type", "value"])
+    t = _collect(pivot_agg(ds, "user_id", "event_type",
+                           ["click", "purchase", "error"], "value"))
+    return _round_cols(t, {"click_sum": 4, "purchase_sum": 4,
+                           "error_sum": 4})
+
+
+REGISTRY["op_pivot"] = RawQ(
+    _op_pivot,
+    # crosstab (ops/cube.py pivot_agg): per-user wide sums, one column
+    # per projected event type; SUM(CASE WHEN) NULL semantics via the
+    # parallel count matrix. Keys with rows ONLY outside the projected
+    # labels would be absent on the engine side, so the oracle filters
+    # to the projected labels too (documented drop rule)
+    "SELECT user_id,"
+    "  ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 4)"
+    "    AS click_sum,"
+    "  COUNT(CASE WHEN event_type = 'click' THEN value END)"
+    "    AS click_cnt,"
+    "  ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 4)"
+    "    AS purchase_sum,"
+    "  COUNT(CASE WHEN event_type = 'purchase' THEN value END)"
+    "    AS purchase_cnt,"
+    "  ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 4)"
+    "    AS error_sum,"
+    "  COUNT(CASE WHEN event_type = 'error' THEN value END)"
+    "    AS error_cnt "
+    "FROM events"
+    " WHERE event_type IN ('click', 'purchase', 'error')"
+    " GROUP BY user_id",
+)
+
+
+def _op_bucketize(sf_dir: str) -> pa.Table:
+    from ..ops.quantiles import quantile_bucketize
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_id", "value"])
+    # capacity above the fixture volume -> exact quantile_disc
+    # boundaries (same oracle-gated configuration as op_quantiles)
+    t = _collect(quantile_bucketize(ds, "value", qs=[0.25, 0.5, 0.75],
+                                    capacity=1 << 18,
+                                    require_exact=True))
+    return t.select(["event_id", "bucket"])
+
+
+REGISTRY["op_bucketize"] = RawQ(
+    _op_bucketize,
+    # quantile bucketize (ops/quantiles.py): bucket = #boundaries <=
+    # value; require_exact pins rank error 0 at this capacity, making
+    # the boundaries exactly quantile_disc
+    "WITH q AS (SELECT quantile_disc(value, [0.25, 0.5, 0.75]) AS qs"
+    "           FROM events) "
+    "SELECT event_id,"
+    "  CASE WHEN value IS NULL THEN NULL"
+    "       ELSE len(list_filter(qs, x -> x <= value)) END::BIGINT"
+    "    AS bucket "
+    "FROM events, q",
+)
+
+
 def _op_assemble_convs(sf_dir: str) -> pa.Table:
     from ..ops.transcripts import assemble_conversations
 

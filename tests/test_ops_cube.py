@@ -1,0 +1,124 @@
+"""ROLLUP / pivot (ops/cube.py) + quantile bucketize: brute-force
+pins. sf0.01 DuckDB oracles run via op_rollup / op_pivot /
+op_bucketize in test_driver_contract.py."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from conftest import collect
+from ksql_ray.ops.cube import pivot_agg, rollup_agg
+from ksql_ray.ops.quantiles import quantile_bucketize
+
+
+def _tbl(seed=7, n=600):
+    rng = np.random.default_rng(seed)
+    vals = np.round(rng.uniform(0, 50, n), 2)
+    vals[rng.random(n) < 0.05] = np.nan
+    return pa.table({
+        "a": pa.array([f"s{v}" for v in rng.integers(0, 4, n)]),
+        "b": pa.array(rng.integers(0, 6, n), pa.int64()),
+        "v": pa.array(vals),
+    })
+
+
+def test_rollup_brute(ray_session):
+    t = _tbl()
+    got = collect(rollup_agg(ray.data.from_arrow(t).repartition(4),
+                             ["a", "b"], "v"))
+    rows = list(zip(t.column("a").to_pylist(),
+                    t.column("b").to_pylist(),
+                    t.column("v").to_pylist()))
+    want = {}
+    for a, b, v in rows:
+        for key in ((a, b), (a, None), (None, None)):
+            s, c = want.get(key, (0.0, 0))
+            if v is not None and not np.isnan(v):
+                s, c = s + v, c + 1
+            want[key] = (s, c)
+    got_map = {}
+    for r in got.to_pylist():
+        got_map[(r["a"], r["b"])] = (r["sum_v"], r["cnt_v"])
+    assert set(got_map) == set(want)
+    for k, (s, c) in want.items():
+        gs, gc = got_map[k]
+        assert gc == c, k
+        if c == 0:
+            assert gs is None, k
+        else:
+            assert gs == pytest.approx(s, rel=1e-9), k
+    # level sizes: |a×b| + |a| + 1
+    na = len(set(t.column("a").to_pylist()))
+    assert sum(1 for k in got_map if k[0] is not None and k[1] is None) == na
+    assert (None, None) in got_map
+
+
+def test_pivot_brute(ray_session):
+    t = _tbl(9)
+    vals = ["s0", "s1", "s2"]          # s3 deliberately not projected
+    got = collect(pivot_agg(ray.data.from_arrow(t).repartition(4),
+                            "b", "a", vals, "v"))
+    want = {}
+    for a, b, v in zip(t.column("a").to_pylist(),
+                       t.column("b").to_pylist(),
+                       t.column("v").to_pylist()):
+        if a not in vals or v is None or np.isnan(v):
+            continue
+        s, c = want.setdefault(b, {}).get(a, (0.0, 0))
+        want[b][a] = (s + v, c + 1)
+    assert got.num_rows == len(want)
+    for r in got.to_pylist():
+        for a in vals:
+            s, c = want[r["b"]].get(a, (None, 0))
+            assert r[f"{a}_cnt"] == c
+            if c == 0:
+                assert r[f"{a}_sum"] is None
+            else:
+                assert r[f"{a}_sum"] == pytest.approx(s, rel=1e-9)
+
+
+def test_pivot_null_group(ray_session):
+    # a key with rows only outside the projected pivot values still
+    # appears?  No: partials drop unprojected labels entirely, so keys
+    # with NO projected rows are absent (SQL GROUP BY would keep them;
+    # the op documents 'rows ignored').
+    t = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "p": pa.array(["x", "y", "z"]),
+        "v": pa.array([1.0, 2.0, 3.0]),
+    })
+    got = collect(pivot_agg(ray.data.from_arrow(t), "k", "p",
+                            ["x", "y"], "v"))
+    assert got.num_rows == 1
+    r = got.to_pylist()[0]
+    assert r == {"k": 1, "x_sum": 1.0, "x_cnt": 1,
+                 "y_sum": 2.0, "y_cnt": 1}
+    with pytest.raises(ValueError):
+        pivot_agg(ray.data.from_arrow(t), "k", "p", [], "v")
+
+
+def test_bucketize_brute(ray_session):
+    t = _tbl(11)
+    got = collect(quantile_bucketize(
+        ray.data.from_arrow(t).repartition(4), "v",
+        qs=[0.25, 0.5, 0.75]))
+    v = t.column("v").to_numpy()
+    clean = np.sort(v[~np.isnan(v)])
+    # quantile_disc: value at ceil(q*n)-1 (1-based) == index int(q*n+0.5)?
+    # use the sketch's own exactness contract: boundaries equal
+    # np.quantile(..., method='inverted_cdf')
+    bounds = np.quantile(clean, [0.25, 0.5, 0.75],
+                         method="inverted_cdf")
+    got_sorted = got.sort_by("v")
+    gb = got_sorted.column("bucket").to_numpy(zero_copy_only=False)
+    gv = got_sorted.column("v").to_numpy(zero_copy_only=False)
+    wb = np.searchsorted(bounds, gv[~np.isnan(gv)], side="right")
+    nn = ~np.isnan(gv)
+    assert (gb[nn] == wb).all()
+    # NULL values -> NULL bucket
+    assert all(r["bucket"] is None for r in got.to_pylist()
+               if r["v"] is None)
+    assert len(set(gb[nn])) == 4        # all four buckets populated
+    with pytest.raises(ValueError):
+        quantile_bucketize(ray.data.from_arrow(t), "v", qs=[1.5])

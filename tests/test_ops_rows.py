@@ -128,3 +128,119 @@ def test_with_lag_brute(ray_session):
     got_map = {r["eid"]: r["v_prev"] for r in got.to_pylist()}
     assert got_map == want
     assert sum(1 for v in got_map.values() if v is None) == len(bykey)
+
+
+def test_with_lead_brute(ray_session):
+    from ksql_ray.ops.rows import with_lead
+
+    t = _events()
+    got = collect(with_lead(ray.data.from_arrow(t).repartition(4),
+                            ["k"], "ts", ["v", "eid"], tiebreak="eid"))
+    bykey = {}
+    for k, ts, e, v in zip(t.column("k").to_pylist(),
+                           t.column("ts").to_pylist(),
+                           t.column("eid").to_pylist(),
+                           t.column("v").to_pylist()):
+        bykey.setdefault(k, []).append((ts, e, v))
+    want = {}
+    for k, lst in bykey.items():
+        s = sorted(lst)
+        for i, (ts, e, v) in enumerate(s):
+            want[e] = (s[i + 1][2], s[i + 1][1]) if i + 1 < len(s) \
+                else (None, None)
+    got_map = {r["eid"]: (r["v_next"], r["eid_next"])
+               for r in got.to_pylist()}
+    assert got_map == want
+    assert sum(1 for v, _ in got_map.values() if v is None) == len(bykey)
+
+
+def test_rank_per_key_brute(ray_session):
+    from ksql_ray.ops.rows import rank_per_key
+
+    rng = np.random.default_rng(11)
+    n = 400
+    # small integer order values so ties are common
+    t = pa.table({
+        "k": pa.array([f"u{v}" for v in rng.integers(0, 12, n)]),
+        "eid": pa.array(np.arange(n), pa.int64()),
+        "score": pa.array(rng.integers(0, 6, n), pa.int64()),
+    })
+    for desc in (False, True):
+        got = collect(rank_per_key(
+            ray.data.from_arrow(t).repartition(4), ["k"], "score",
+            descending=desc, tiebreak="eid"))
+        bykey = {}
+        for k, e, s in zip(t.column("k").to_pylist(),
+                           t.column("eid").to_pylist(),
+                           t.column("score").to_pylist()):
+            bykey.setdefault(k, []).append((-s if desc else s, e, s))
+        want = {}
+        for k, lst in bykey.items():
+            lst.sort()
+            first_of_val, dense = {}, {}
+            for i, (o, e, s) in enumerate(lst):
+                if s not in first_of_val:
+                    first_of_val[s] = i + 1
+                    dense[s] = len(dense) + 1
+                want[e] = (i + 1, first_of_val[s], dense[s])
+        got_map = {r["eid"]: (r["row_number"], r["rank"], r["dense_rank"])
+                   for r in got.to_pylist()}
+        assert got_map == want, desc
+
+
+def test_transition_counts_brute(ray_session):
+    from collections import Counter
+
+    from ksql_ray.ops.rows import transition_counts
+
+    rng = np.random.default_rng(13)
+    n = 600
+    labels = ["user", "assistant", "tool", "system"]
+    t = pa.table({
+        "k": pa.array([f"c{v}" for v in rng.integers(0, 25, n)]),
+        "eid": pa.array(np.arange(n), pa.int64()),
+        "role": pa.array([labels[i] for i in rng.integers(0, 4, n)]),
+        "ts": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+    })
+    got = collect(transition_counts(
+        ray.data.from_arrow(t).repartition(4), ["k"], "ts", "role",
+        tiebreak="eid"))
+    bykey = {}
+    for k, ts, e, r in zip(t.column("k").to_pylist(),
+                           t.column("ts").to_pylist(),
+                           t.column("eid").to_pylist(),
+                           t.column("role").to_pylist()):
+        bykey.setdefault(k, []).append((ts, e, r))
+    want = Counter()
+    for k, lst in bykey.items():
+        s = sorted(lst)
+        for a, b in zip(s, s[1:]):
+            want[(a[2], b[2])] += 1
+    got_map = {(r["from_label"], r["to_label"]): r["cnt"]
+               for r in got.to_pylist()}
+    assert got_map == dict(want)
+
+
+def test_moving_agg_cumulative(ray_session):
+    from ksql_ray.ops.rows import moving_agg
+
+    t = _events()
+    got = collect(moving_agg(ray.data.from_arrow(t).repartition(4),
+                             ["k"], "ts", "v", window_rows=None,
+                             tiebreak="eid"))
+    bykey = {}
+    for k, ts, e, v in zip(t.column("k").to_pylist(),
+                           t.column("ts").to_pylist(),
+                           t.column("eid").to_pylist(),
+                           t.column("v").to_pylist()):
+        bykey.setdefault(k, []).append((ts, e, v))
+    want = {}
+    for k, lst in bykey.items():
+        run, cnt = 0.0, 0
+        for ts, e, v in sorted(lst):
+            run += v
+            cnt += 1
+            want[e] = (round(run, 6), cnt)
+    got_map = {r["eid"]: (round(r["v_rsum"], 6), r["v_rcnt"])
+               for r in got.to_pylist()}
+    assert got_map == want
