@@ -34,6 +34,55 @@ from .dedup import _pin
 
 __all__ = ["rollup_agg", "pivot_agg"]
 
+# Partials at or under this size are merged in ONE remote task instead
+# of one Ray sort-groupby per rollup level (each costs ~2.4 s fixed on
+# this Ray version regardless of row count — BASELINE.md lesson; same
+# budget as the bounded engine's small-partial fast path). Partials are
+# bounded by per-batch distinct keys, so real corpora with bounded key
+# cardinality take this path even at 100 TB input.
+_SMALL_PARTIAL_BYTES = 64 * 1024 * 1024
+
+
+@ray.remote
+def _rollup_merge_task(keys: list[str], *blocks: pa.Table) -> pa.Table:
+    """All rollup levels + grand total from small partials, one task.
+
+    Bit-equal to the distributed per-level path: every level is a
+    pandas hash groupby with dropna=False over float64 __sum / int64
+    __cnt partials, exactly like _base_partial, and all-NULL groups
+    (cnt 0) get a NULL sum via the validity mask.
+    """
+    import pandas as pd
+
+    t = pa.concat_tables(blocks, promote_options="default")
+    key_types = {k: t.schema.field(k).type for k in keys}
+    df = t.to_pandas()
+    outs = []
+    for lvl in range(len(keys), 0, -1):
+        g = df.groupby(keys[:lvl], dropna=False, sort=False).agg(
+            __sum=("__sum", "sum"), __cnt=("__cnt", "sum")).reset_index()
+        n = len(g)
+        cols = {}
+        for k in keys[:lvl]:
+            cols[k] = pa.Array.from_pandas(g[k], type=key_types[k])
+        for k in keys[lvl:]:
+            cols[k] = pa.nulls(n, key_types[k])
+        cnt = g["__cnt"].to_numpy(np.int64)
+        cols["sum_v"] = pa.array(g["__sum"].to_numpy(np.float64),
+                                 type=pa.float64(), mask=cnt == 0)
+        cols["cnt_v"] = pa.array(cnt, type=pa.int64())
+        outs.append(pa.table(cols))
+        df = g  # coarser levels re-aggregate the previous level
+    tot_cnt = int(df["__cnt"].sum())
+    outs.append(pa.table({
+        **{k: pa.nulls(1, key_types[k]) for k in keys},
+        "sum_v": pa.array(
+            [None if tot_cnt == 0 else float(df["__sum"].sum())],
+            type=pa.float64()),
+        "cnt_v": pa.array([tot_cnt], type=pa.int64()),
+    }))
+    return pa.concat_tables(outs)
+
 
 def _base_partial(batch: pa.Table, keys: list[str],
                   value_col: str) -> pa.Table:
@@ -69,7 +118,13 @@ def rollup_agg(ds: ray.data.Dataset, keys: list[str],
 
     parts = ds.map_batches(
         _pin(lambda b: _base_partial(b, keys, value_col)),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if parts.size_bytes() <= _SMALL_PARTIAL_BYTES:
+        # one task computes every level; refs stay in the object store
+        # (passed as top-level args so Ray resolves them — lesson #3)
+        ref = _rollup_merge_task.remote(keys, *parts.to_arrow_refs())
+        return ray.data.from_arrow_refs([ref])
 
     def _merge(level_keys: list[str], src: ray.data.Dataset):
         agg = src.groupby(level_keys).sum(["__sum", "__cnt"])

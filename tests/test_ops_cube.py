@@ -54,6 +54,27 @@ def test_rollup_brute(ray_session):
     assert (None, None) in got_map
 
 
+def test_rollup_paths_agree(ray_session, monkeypatch):
+    """The one-task small-partial fast path and the distributed
+    per-level groupby path emit identical rows."""
+    import ksql_ray.ops.cube as cube
+
+    t = _tbl(13)
+    fast = collect(rollup_agg(ray.data.from_arrow(t).repartition(4),
+                              ["a", "b"], "v"))
+    monkeypatch.setattr(cube, "_SMALL_PARTIAL_BYTES", 0)
+    slow = collect(rollup_agg(ray.data.from_arrow(t).repartition(4),
+                              ["a", "b"], "v"))
+
+    def norm(tbl):
+        return sorted(
+            (str(r["a"]), str(r["b"]), r["cnt_v"],
+             None if r["sum_v"] is None else round(r["sum_v"], 9))
+            for r in tbl.to_pylist())
+
+    assert norm(fast) == norm(slow)
+
+
 def test_pivot_brute(ray_session):
     t = _tbl(9)
     vals = ["s0", "s1", "s2"]          # s3 deliberately not projected
