@@ -666,6 +666,28 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["bucketize_200k"] = min2(lambda: quantile_bucketize(
         turns3(), "turn_idx", qs=[0.25, 0.5, 0.75]).count())
 
+    # unnest, regex extract, profiling, deterministic sampling family
+    from ksql_ray.ops.explode import split_tokens
+    from ksql_ray.ops.extract import regex_extract
+    from ksql_ray.ops.profile import profile_columns
+    from ksql_ray.ops.sample import (sample_per_key, split_assign,
+                                     weighted_sample)
+
+    out["unnest_tokens_200k"] = min2(lambda: split_tokens(
+        turns4(), "text", ["conv_id", "turn_idx"]).count())
+    out["regex_extract_200k"] = min2(lambda: regex_extract(
+        turns4(), "text", r"^(?P<first>\S+)",
+        keep=["conv_id", "turn_idx"]).count())
+    out["profile_200k"] = min2(lambda: profile_columns(
+        turns5(), ["conv_id", "role", "turn_idx"]).count())
+    out["weighted_sample_200k"] = min2(lambda: weighted_sample(
+        turns3(), "conv_id", "turn_idx", rate=0.05, scale=8.0,
+        method="fast").count())
+    out["split_assign_200k"] = min2(lambda: split_assign(
+        turns5(), "conv_id", method="fast").count())
+    out["sample_per_key_200k"] = min2(lambda: sample_per_key(
+        turns5(), ["conv_id"], "turn_idx", n=4, method="fast").count())
+
     # PCA moments + projection over the 100k x 64d vector corpus
     from ksql_ray.ops.pca import pca_project, pca_train
 

@@ -1,0 +1,151 @@
+"""Distributed column profiling: nulls, exact distinct counts, ranges.
+
+The data-quality preflight every 100 TB ingest needs before the real
+pipeline runs: per-column row/null counts, EXACT distinct counts, and
+numeric min/max. (ksqlDB's DESCRIBE reports schema only — reference
+ksql/ddl.go List/Describe — not value statistics.)
+
+Scale shapes:
+
+* counts/min/max: one row per (batch, column) partial — a few floats
+  per block regardless of block size — merged in ONE remote task.
+* exact distinct: per-batch per-column UNIQUE (payload bounded by
+  per-batch distinct values, not rows), then either one merge task
+  (small) or a ``groupby(col, val).count -> groupby(col).count``
+  exchange (the payload is already distinct pairs, so the shuffle
+  moves |distinct| rows). Values travel stringified so one partial
+  schema serves every column type; counts stay exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .cube import _SMALL_PARTIAL_BYTES
+from .dedup import _pin
+
+__all__ = ["profile_columns"]
+
+_NUMERIC = (pa.types.is_integer, pa.types.is_floating)
+
+
+def _is_numeric(t: pa.DataType) -> bool:
+    return any(f(t) for f in _NUMERIC)
+
+
+def _stats_partial(batch: pa.Table, cols: list[str]) -> pa.Table:
+    names, ns, nulls, mins, maxs = [], [], [], [], []
+    for c in cols:
+        col = batch.column(c)
+        names.append(c)
+        ns.append(batch.num_rows)
+        nulls.append(col.null_count)
+        if _is_numeric(col.type) and batch.num_rows > col.null_count:
+            as_f = pc.cast(col, pa.float64())
+            # SQL MIN/MAX ignore NaN (Arrow's propagate it): mask to null
+            if pa.types.is_floating(col.type):
+                as_f = pc.if_else(pc.is_nan(as_f),
+                                  pa.scalar(None, pa.float64()), as_f)
+            mins.append(pc.min(as_f).as_py())
+            maxs.append(pc.max(as_f).as_py())
+        else:
+            mins.append(None)
+            maxs.append(None)
+    return pa.table({
+        "col": pa.array(names), "n": pa.array(ns, pa.int64()),
+        "nulls": pa.array(nulls, pa.int64()),
+        "min_v": pa.array(mins, pa.float64()),
+        "max_v": pa.array(maxs, pa.float64()),
+    })
+
+
+def _pairs_partial(batch: pa.Table, cols: list[str]) -> pa.Table:
+    names, vals = [], []
+    for c in cols:
+        u = pc.unique(pc.cast(batch.column(c), pa.string()))
+        u = u.drop_null()
+        names.append(pa.array([c] * len(u)))
+        vals.append(u)
+    return pa.table({"col": pa.concat_arrays(names) if names else
+                     pa.array([], pa.string()),
+                     "val": pa.concat_arrays(
+                         [v.combine_chunks() if isinstance(
+                             v, pa.ChunkedArray) else v for v in vals])
+                     if vals else pa.array([], pa.string())})
+
+
+@ray.remote
+def _profile_merge(cols: list[str], n_stats: int, *blocks) -> pa.Table:
+    """Fold stats partials + (optionally) distinct pairs in one task.
+
+    ``blocks[:n_stats]`` are stats partials; the rest are either raw
+    distinct-pair partials (small path) or pre-reduced
+    (col, n_distinct) rows from the exchange fallback."""
+    import pandas as pd
+
+    stats = pa.concat_tables(blocks[:n_stats]).to_pandas()
+    g = stats.groupby("col", sort=False).agg(
+        n_rows=("n", "sum"), n_null=("nulls", "sum"),
+        min_v=("min_v", "min"), max_v=("max_v", "max"))
+    rest = pa.concat_tables(blocks[n_stats:],
+                            promote_options="default").to_pandas()
+    if "val" in rest.columns:
+        nd = rest.drop_duplicates().groupby("col", sort=False)["val"].size()
+    else:
+        nd = rest.set_index("col")["n_distinct"]
+    out_cols = [c for c in cols if c in g.index]
+    return pa.table({
+        "col": pa.array(out_cols),
+        "n_rows": pa.array([int(g.loc[c, "n_rows"]) for c in out_cols],
+                           pa.int64()),
+        "n_null": pa.array([int(g.loc[c, "n_null"]) for c in out_cols],
+                           pa.int64()),
+        "n_distinct": pa.array(
+            [int(nd.get(c, 0)) for c in out_cols], pa.int64()),
+        # NaN here means "no numeric partial ever saw a value" (e.g. a
+        # string column) — that is SQL NULL, not float NaN
+        "min_v": pa.array([None if pd.isna(g.loc[c, "min_v"])
+                           else float(g.loc[c, "min_v"])
+                           for c in out_cols], pa.float64()),
+        "max_v": pa.array([None if pd.isna(g.loc[c, "max_v"])
+                           else float(g.loc[c, "max_v"])
+                           for c in out_cols], pa.float64()),
+    })
+
+
+def profile_columns(ds: ray.data.Dataset,
+                    cols: list[str]) -> ray.data.Dataset:
+    """One row per profiled column: ``n_rows``, ``n_null``, exact
+    ``n_distinct`` (of non-null values), and float64 ``min_v`` /
+    ``max_v`` (NULL for non-numeric columns) — SQL
+    ``COUNT(*) / COUNT(*)-COUNT(c) / COUNT(DISTINCT c) /
+    CAST(MIN(c) AS DOUBLE) / CAST(MAX(c) AS DOUBLE)``."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    ds = ds.select_columns(cols)
+    stats = ds.map_batches(
+        _pin(lambda b: _stats_partial(b, cols)),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    pairs = ds.map_batches(
+        _pin(lambda b: _pairs_partial(b, cols)),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if pairs.size_bytes() <= _SMALL_PARTIAL_BYTES:
+        dist_refs = pairs.to_arrow_refs()
+    else:
+        # exchange path: global dedup of (col, val) then count per col;
+        # both shuffles move distinct pairs, never input rows
+        dd = pairs.groupby(["col", "val"]).count()
+        counts = dd.groupby("col").count().map_batches(
+            lambda b: b.rename_columns(["col", "n_distinct"]),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        dist_refs = counts.to_arrow_refs()
+
+    stats_refs = stats.to_arrow_refs()
+    ref = _profile_merge.remote(cols, len(stats_refs),
+                                *stats_refs, *dist_refs)
+    return ray.data.from_arrow_refs([ref])

@@ -31,7 +31,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["add_sample_hash", "stratified_sample"]
+__all__ = ["add_sample_hash", "stratified_sample", "weighted_sample",
+           "split_assign", "sample_per_key"]
 
 _2_32 = float(1 << 32)
 
@@ -91,3 +92,97 @@ def stratified_sample(
         return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    rate: float,
+    scale: float,
+    method: str = "md5",
+    seed: str = "",
+) -> ray.data.Dataset:
+    """Deterministic Bernoulli sampling with per-row inclusion
+    probability ``weight/scale * rate`` (clamped at 1): keep row iff
+    ``hash(key) < ((weight * rate) * 2^32) / scale``.
+
+    Every arithmetic op on the threshold is IEEE correctly-rounded
+    (*, /) with this exact association, so DuckDB reproduces the kept
+    set bit-for-bit — no transcendental (ln/pow) whose libm rounding
+    could flip a boundary row. NULL weights are never kept (SQL
+    ``NULL < x`` is not TRUE). Stateless per-batch filter, no shuffle."""
+    if scale <= 0 or rate < 0:
+        raise ValueError("scale must be > 0 and rate >= 0")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = add_sample_hash(batch, key_col, "__sh", method=method,
+                            seed=seed)
+        h = b.column("__sh").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        w = pc.cast(batch.column(weight_col),
+                    pa.float64()).to_numpy(zero_copy_only=False)
+        thr = ((w * rate) * _2_32) / scale
+        with np.errstate(invalid="ignore"):
+            keep = h < thr                      # NaN weight -> False
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_assign(
+    ds: ray.data.Dataset,
+    key_col: str,
+    splits: list[tuple[str, int]] | None = None,
+    out: str = "split",
+    method: str = "md5",
+    seed: str = "",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: ``hash(key) % 100``
+    lands in cumulative integer buckets (default 80/10/10). Pure
+    integer arithmetic — reproducible across retries, resumes and in
+    SQL; a key always lands in the same split regardless of which
+    shard or epoch carries it. Stateless per-batch map, no shuffle."""
+    splits = splits or [("train", 80), ("val", 10), ("test", 10)]
+    total = sum(p for _, p in splits)
+    if total != 100 or any(p <= 0 for _, p in splits):
+        raise ValueError("split percents must be positive and sum to 100")
+    names = [n for n, _ in splits]
+    bounds = np.cumsum([p for _, p in splits])     # e.g. [80, 90, 100]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = add_sample_hash(batch, key_col, "__sh", method=method,
+                            seed=seed)
+        h = b.column("__sh").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(bounds, h % 100, side="right")
+        lab = pa.DictionaryArray.from_arrays(
+            pa.array(idx, type=pa.int32()), pa.array(names)).cast(
+            pa.string())
+        return batch.append_column(out, lab)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_per_key(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    id_col: str,
+    n: int,
+    method: str = "md5",
+    seed: str = "",
+) -> ray.data.Dataset:
+    """Deterministic n-per-group sample: rank rows within each key by
+    ``(hash(id), id)`` and keep rank < n — SQL ``ROW_NUMBER() OVER
+    (PARTITION BY key ORDER BY hash_expr, id) <= n``. One key shuffle
+    + per-partition sort (ops/rows.top_n_per_key); the hash order is a
+    uniform random permutation that is stable under re-execution."""
+    from .rows import top_n_per_key
+
+    hashed = ds.map_batches(
+        lambda b: add_sample_hash(b, id_col, "__sh", method=method,
+                                  seed=seed),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = top_n_per_key(hashed, key_cols, "__sh", n, descending=False,
+                        tiebreak=id_col)
+    return out.map_batches(lambda b: b.drop_columns(["__sh", "rank"]),
+                           batch_format="pyarrow", zero_copy_batch=True)

@@ -3691,6 +3691,121 @@ REGISTRY["ddl_migrations"] = RawQ(
 )
 
 
+def _op_unnest(sf_dir: str) -> pa.Table:
+    from ..ops.explode import split_tokens
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet").select_columns(
+        ["doc_id", "text"])
+    return _collect(split_tokens(ds, "text", ["doc_id"]))
+
+
+REGISTRY["op_unnest"] = RawQ(
+    _op_unnest,
+    # SQL UNNEST with ordinality: DuckDB zips parallel unnests
+    "SELECT doc_id, unnest(str_split(text, ' ')) AS tok, "
+    "unnest(generate_series(1, len(str_split(text, ' ')))) AS pos "
+    "FROM documents",
+)
+
+
+def _op_regex_extract(sf_dir: str) -> pa.Table:
+    from ..ops.extract import regex_extract
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_id", "props"])
+    out = regex_extract(ds, "props", '"k":\\s*(?P<kv>[0-9]+)',
+                        keep=["event_id"])
+    return _collect(out)
+
+
+REGISTRY["op_regex_extract"] = RawQ(
+    _op_regex_extract,
+    # both engines run RE2; DuckDB returns '' on miss, hence NULLIF
+    "SELECT event_id, "
+    "NULLIF(regexp_extract(props, '\"k\":\\s*([0-9]+)', 1), '') AS kv "
+    "FROM events",
+)
+
+
+def _op_profile(sf_dir: str) -> pa.Table:
+    from ..ops.profile import profile_columns
+
+    ds = _read_clean(f"{sf_dir}/events.parquet")
+    return _collect(profile_columns(ds, ["user_id", "event_type",
+                                         "value"]))
+
+
+REGISTRY["op_profile"] = RawQ(
+    _op_profile,
+    " UNION ALL ".join(
+        f"SELECT '{c}' AS col, COUNT(*)::BIGINT AS n_rows, "
+        f"(COUNT(*)-COUNT({c}))::BIGINT AS n_null, "
+        f"COUNT(DISTINCT {c})::BIGINT AS n_distinct, "
+        + (f"CAST(MIN({c}) AS DOUBLE) AS min_v, "
+           f"CAST(MAX({c}) AS DOUBLE) AS max_v"
+           if c != "event_type" else
+           "CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v")
+        + " FROM events"
+        for c in ["user_id", "event_type", "value"]),
+)
+
+
+def _op_weighted_sample(sf_dir: str) -> pa.Table:
+    from ..ops.sample import weighted_sample
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_id", "user_id", "value"])
+    return _collect(weighted_sample(ds, "event_id", "value",
+                                    rate=0.2, scale=100.0))
+
+
+REGISTRY["op_weighted_sample"] = RawQ(
+    _op_weighted_sample,
+    # Bernoulli p = value/100 * 0.2; threshold uses only IEEE
+    # correctly-rounded ops (*, /) in this exact association, so the
+    # kept set is bit-reproducible across numpy and DuckDB
+    "SELECT event_id, user_id, value FROM events "
+    "WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))"
+    "::UBIGINT AS DOUBLE) < ((value * 0.2) * 4294967296.0) / 100.0",
+)
+
+
+def _op_split_assign(sf_dir: str) -> pa.Table:
+    from ..ops.sample import split_assign
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_id", "user_id"])
+    return _collect(split_assign(ds, "user_id"))
+
+
+_SPLIT_HASH = ("('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))"
+               "::UBIGINT % 100")
+REGISTRY["op_split_assign"] = RawQ(
+    _op_split_assign,
+    "SELECT event_id, user_id, "
+    f"CASE WHEN {_SPLIT_HASH} < 80 THEN 'train' "
+    f"WHEN {_SPLIT_HASH} < 90 THEN 'val' ELSE 'test' END AS split "
+    "FROM events",
+)
+
+
+def _op_sample_per_key(sf_dir: str) -> pa.Table:
+    from ..ops.sample import sample_per_key
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_id", "user_id", "event_type"])
+    return _collect(sample_per_key(ds, ["user_id"], "event_id", n=3))
+
+
+REGISTRY["op_sample_per_key"] = RawQ(
+    _op_sample_per_key,
+    "SELECT event_id, user_id, event_type FROM events "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY "
+    "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT, "
+    "event_id) <= 3",
+)
+
+
 def queries() -> dict[str, Callable[[str], pa.Table]]:
     return {name: (lambda sf_dir, _q=qq: _q.run(sf_dir)) for name, qq in REGISTRY.items()}
 
