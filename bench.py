@@ -666,6 +666,14 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["bucketize_200k"] = min2(lambda: quantile_bucketize(
         turns3(), "turn_idx", qs=[0.25, 0.5, 0.75]).count())
 
+    from ksql_ray.ops.cube import cube_agg
+    from ksql_ray.ops.explode import melt
+
+    out["cube_200k"] = min2(lambda: cube_agg(
+        turns5(), ["role", "conv_id"], "turn_idx").count())
+    out["melt_200k"] = min2(lambda: melt(
+        turns5(), ["conv_id", "role"], ["turn_idx"]).count())
+
     # unnest, regex extract, profiling, deterministic sampling family
     from ksql_ray.ops.explode import split_tokens
     from ksql_ray.ops.extract import regex_extract

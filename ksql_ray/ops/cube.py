@@ -32,7 +32,7 @@ import ray.data
 
 from .dedup import _pin
 
-__all__ = ["rollup_agg", "pivot_agg"]
+__all__ = ["rollup_agg", "cube_agg", "pivot_agg"]
 
 # Partials at or under this size are merged in ONE remote task instead
 # of one Ray sort-groupby per rollup level (each costs ~2.4 s fixed on
@@ -103,6 +103,121 @@ def _base_partial(batch: pa.Table, keys: list[str],
     out["__sum"] = pa.array(g["sum"].to_numpy(), type=pa.float64())
     out["__cnt"] = pa.array(g["count"].to_numpy(), type=pa.int64())
     return pa.table(out)
+
+
+@ray.remote
+def _cube_merge_task(keys: list[str], *blocks: pa.Table) -> pa.Table:
+    """All 2^k CUBE groupings from small partials, one task. Every
+    subset re-aggregates the merged base level (bounded by distinct
+    full keys), not the input."""
+    import pandas as pd
+    from itertools import combinations
+
+    t = pa.concat_tables(blocks, promote_options="default")
+    key_types = {k: t.schema.field(k).type for k in keys}
+    base = t.to_pandas().groupby(keys, dropna=False, sort=False).agg(
+        __sum=("__sum", "sum"), __cnt=("__cnt", "sum")).reset_index()
+    outs = []
+    for r in range(len(keys), -1, -1):
+        for sub in combinations(keys, r):
+            if sub:
+                g = base.groupby(list(sub), dropna=False,
+                                 sort=False).agg(
+                    __sum=("__sum", "sum"),
+                    __cnt=("__cnt", "sum")).reset_index()
+            else:
+                g = pd.DataFrame({"__sum": [base["__sum"].sum()],
+                                  "__cnt": [base["__cnt"].sum()]})
+            n = len(g)
+            cols = {}
+            for k in keys:
+                if k in sub:
+                    cols[k] = pa.Array.from_pandas(g[k],
+                                                   type=key_types[k])
+                else:
+                    cols[k] = pa.nulls(n, key_types[k])
+            cnt = g["__cnt"].to_numpy(np.int64)
+            cols["sum_v"] = pa.array(g["__sum"].to_numpy(np.float64),
+                                     type=pa.float64(), mask=cnt == 0)
+            cols["cnt_v"] = pa.array(cnt, type=pa.int64())
+            outs.append(pa.table(cols))
+    return pa.concat_tables(outs)
+
+
+def cube_agg(ds: ray.data.Dataset, keys: list[str],
+             value_col: str) -> ray.data.Dataset:
+    """SQL ``GROUP BY CUBE(keys)``: one row per group for EVERY subset
+    of the key columns (2^k grouping sets), NULL in the unused key
+    columns, ``sum_v``/``cnt_v`` like ``rollup_agg``.
+
+    Scale shape: identical partial scheme to rollup (one scan, per-
+    batch distinct-key partials); every grouping set re-aggregates the
+    merged BASE level, whose size is the distinct full-key count — so
+    the small-partial one-task path covers any corpus whose full-key
+    cardinality is bounded. The large-cardinality fallback runs one
+    ``groupby`` per subset against the base level (2^k exchanges of at
+    most |distinct keys| rows each); k is capped at 6 to keep that
+    explicit."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if len(keys) > 6:
+        raise ValueError("cube_agg caps at 6 key columns (2^k sets)")
+
+    parts = ds.map_batches(
+        _pin(lambda b: _base_partial(b, keys, value_col)),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if parts.size_bytes() <= _SMALL_PARTIAL_BYTES:
+        ref = _cube_merge_task.remote(keys, *parts.to_arrow_refs())
+        return ray.data.from_arrow_refs([ref])
+
+    from itertools import combinations
+
+    key_types = {f.name: f.type for f in ds.schema().base_schema
+                 if f.name in keys}
+    base = parts.groupby(keys).sum(["__sum", "__cnt"]).map_batches(
+        lambda b: b.rename_columns(keys + ["__sum", "__cnt"]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def _widen_sub(sub: tuple[str, ...]):
+        def fix(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            for k in keys:
+                if k not in sub:
+                    b = b.append_column(k, pa.nulls(n, key_types[k]))
+            mask = pc.equal(b.column("__cnt"), 0)
+            s = pc.if_else(mask, pa.scalar(None, pa.float64()),
+                           b.column("__sum"))
+            return pa.table({**{k: b.column(k) for k in keys},
+                             "sum_v": s, "cnt_v": b.column("__cnt")})
+        return fix
+
+    levels = []
+    for r in range(len(keys), 0, -1):
+        for sub in combinations(keys, r):
+            if r == len(keys):
+                agg = base
+            else:
+                agg = base.groupby(list(sub)).sum(
+                    ["__sum", "__cnt"]).map_batches(
+                    lambda b, _s=sub: b.rename_columns(
+                        list(_s) + ["__sum", "__cnt"]),
+                    batch_format="pyarrow", zero_copy_batch=True)
+            levels.append(agg.map_batches(_widen_sub(sub),
+                                          batch_format="pyarrow"))
+    tot = base.sum(["__sum", "__cnt"])
+    total_tbl = pa.table({
+        **{k: pa.nulls(1, key_types[k]) for k in keys},
+        "sum_v": pa.array(
+            [None if tot["sum(__cnt)"] == 0 else tot["sum(__sum)"]],
+            type=pa.float64()),
+        "cnt_v": pa.array([tot["sum(__cnt)"]], type=pa.int64()),
+    })
+    levels.append(ray.data.from_arrow(total_tbl))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
 
 
 def rollup_agg(ds: ray.data.Dataset, keys: list[str],

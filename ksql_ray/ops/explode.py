@@ -24,7 +24,7 @@ import ray.data
 
 from .dedup import _pin
 
-__all__ = ["explode_list", "split_tokens"]
+__all__ = ["explode_list", "split_tokens", "melt"]
 
 
 def _explode_batch(batch: pa.Table, list_col: str, keep: list[str],
@@ -64,6 +64,32 @@ def explode_list(ds: ray.data.Dataset, list_col: str,
         _pin(lambda b: _explode_batch(b, list_col, keep, value_out,
                                       pos_col, pos_base)),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def melt(ds: ray.data.Dataset, id_cols: list[str],
+         value_cols: list[str], name_out: str = "name",
+         value_out: str = "value") -> ray.data.Dataset:
+    """UNPIVOT / wide-to-long: one output row per (input row, value
+    column) with the column's name and its value cast to float64 —
+    SQL ``UNPIVOT INCLUDE NULLS (value FOR name IN (...))``. Note
+    DuckDB's UNPIVOT *excludes* NULL values unless INCLUDE NULLS is
+    given. Stateless per-batch concat of column slices — no shuffle,
+    no row loop."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        outs = []
+        for c in value_cols:
+            outs.append(pa.table({
+                **{k: batch.column(k) for k in id_cols},
+                name_out: pa.array([c] * batch.num_rows),
+                value_out: pc.cast(batch.column(c), pa.float64()),
+            }))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(_pin(fn), batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def split_tokens(ds: ray.data.Dataset, text_col: str,

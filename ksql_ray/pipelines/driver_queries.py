@@ -3806,6 +3806,42 @@ REGISTRY["op_sample_per_key"] = RawQ(
 )
 
 
+def _op_cube(sf_dir: str) -> pa.Table:
+    from ..ops.cube import cube_agg
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_type", "user_id", "value"])
+    t = _collect(cube_agg(ds, ["event_type", "user_id"], "value"))
+    return _round_cols(t, {"sum_v": 4})
+
+
+REGISTRY["op_cube"] = RawQ(
+    _op_cube,
+    "SELECT event_type, user_id, ROUND(SUM(value), 4) AS sum_v, "
+    "COUNT(value)::BIGINT AS cnt_v FROM events "
+    "GROUP BY CUBE (event_type, user_id)",
+)
+
+
+def _op_melt(sf_dir: str) -> pa.Table:
+    from ..ops.explode import melt
+
+    ds = _read_clean(f"{sf_dir}/lineitem.parquet").select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+         "l_tax"])
+    return _collect(melt(ds, ["l_orderkey", "l_linenumber"],
+                         ["l_quantity", "l_discount", "l_tax"]))
+
+
+REGISTRY["op_melt"] = RawQ(
+    _op_melt,
+    "SELECT l_orderkey, l_linenumber, name, value FROM "
+    "(SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax "
+    "FROM lineitem) UNPIVOT INCLUDE NULLS "
+    "(value FOR name IN (l_quantity, l_discount, l_tax))",
+)
+
+
 def queries() -> dict[str, Callable[[str], pa.Table]]:
     return {name: (lambda sf_dir, _q=qq: _q.run(sf_dir)) for name, qq in REGISTRY.items()}
 

@@ -75,6 +75,68 @@ def test_rollup_paths_agree(ray_session, monkeypatch):
     assert norm(fast) == norm(slow)
 
 
+def test_cube_brute_and_paths_agree(ray_session, monkeypatch):
+    import ksql_ray.ops.cube as cube
+    from ksql_ray.ops.cube import cube_agg
+
+    t = _tbl(17)
+    fast = collect(cube_agg(ray.data.from_arrow(t).repartition(4),
+                            ["a", "b"], "v"))
+    # brute force: every subset of {a, b}
+    rows = list(zip(t.column("a").to_pylist(),
+                    t.column("b").to_pylist(),
+                    t.column("v").to_pylist()))
+    want = {}
+    for a, b, v in rows:
+        for key in ((a, b), (a, None), (None, b), (None, None)):
+            s, c = want.get(key, (0.0, 0))
+            if v is not None and not np.isnan(v):
+                s, c = s + v, c + 1
+            want[key] = (s, c)
+    got_map = {(r["a"], r["b"]): (r["sum_v"], r["cnt_v"])
+               for r in fast.to_pylist()}
+    assert set(got_map) == set(want)
+    for k, (s, c) in want.items():
+        gs, gc = got_map[k]
+        assert gc == c and (gs is None if c == 0
+                            else gs == pytest.approx(s, rel=1e-9)), k
+
+    monkeypatch.setattr(cube, "_SMALL_PARTIAL_BYTES", 0)
+    slow = collect(cube_agg(ray.data.from_arrow(t).repartition(4),
+                            ["a", "b"], "v"))
+
+    def norm(tbl):
+        return sorted(
+            (str(r["a"]), str(r["b"]), r["cnt_v"],
+             None if r["sum_v"] is None else round(r["sum_v"], 9))
+            for r in tbl.to_pylist())
+
+    assert norm(fast) == norm(slow)
+    with pytest.raises(ValueError):
+        cube_agg(ray.data.from_arrow(t), list("abcdefg"), "v")
+
+
+def test_melt_include_nulls(ray_session):
+    from ksql_ray.ops.explode import melt
+
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "x": pa.array([1.5, None]),
+        "y": pa.array([None, 4], pa.int64()),
+    })
+    got = sorted(collect(melt(ray.data.from_arrow(t), ["id"],
+                              ["x", "y"])).to_pylist(),
+                 key=lambda r: (r["id"], r["name"]))
+    assert got == [
+        {"id": 1, "name": "x", "value": 1.5},
+        {"id": 1, "name": "y", "value": None},
+        {"id": 2, "name": "x", "value": None},
+        {"id": 2, "name": "y", "value": 4.0},
+    ]
+    with pytest.raises(ValueError):
+        melt(ray.data.from_arrow(t), ["id"], [])
+
+
 def test_pivot_brute(ray_session):
     t = _tbl(9)
     vals = ["s0", "s1", "s2"]          # s3 deliberately not projected
