@@ -346,10 +346,10 @@ def pivot_agg(ds: ray.data.Dataset, key_col: str, pivot_col: str,
         fn_constructor_args=(key_col, pivot_col, values, value_col),
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency)
-    agg = parts.groupby(key_col).sum(wide_cols)
-    agg = agg.map_batches(
-        lambda b: b.rename_columns([key_col] + wide_cols),
-        batch_format="pyarrow", zero_copy_batch=True)
+    from .smallagg import grouped_sum
+
+    # partials carry one row per per-batch distinct key -> usually small
+    agg = grouped_sum(parts, [key_col], wide_cols)
 
     def finish(b: pa.Table) -> pa.Table:
         out = {key_col: b.column(key_col)}

@@ -67,11 +67,14 @@ def numeric_histogram(ds: ray.data.Dataset, col: str, bins: int = 16,
             "cnt": pa.array(cnt, type=pa.int64()),
         })
 
-    agg = ds.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True).groupby("bin").sum("cnt")
+    from .smallagg import grouped_sum
+
+    # partials are exactly `bins` rows per batch -> always a small merge
+    agg = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), ["bin"], ["cnt"])
 
     def finish(batch: pa.Table) -> pa.Table:
-        batch = batch.rename_columns(["bin", "cnt"])
         b = batch.column("bin").to_numpy(zero_copy_only=False)
         batch = batch.append_column("lo", pa.array(lo + b * w))
         batch = batch.append_column(

@@ -264,10 +264,10 @@ def transition_counts(ds: ray.data.Dataset, key_cols: list[str],
 
     parts = _partition_by(ds, key_cols, num_partitions).map_groups(
         _pin(pairs), batch_format="pyarrow")
-    agg = parts.groupby(["from_label", "to_label"]).sum("cnt")
-    return agg.map_batches(
-        lambda b: b.rename_columns(["from_label", "to_label", "cnt"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+    from .smallagg import grouped_sum
+
+    # partials are bounded by the label alphabet squared -> small merge
+    return grouped_sum(parts, ["from_label", "to_label"], ["cnt"])
 
 
 def moving_agg(ds: ray.data.Dataset, key_cols: list[str],

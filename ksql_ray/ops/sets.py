@@ -38,40 +38,78 @@ __all__ = ["intersect_distinct", "except_distinct", "semi_join_filter"]
 
 
 def _tagged(ds: ray.data.Dataset, cols: list[str], tag: int):
+    """Per-batch-DISTINCT key projection tagged with its side: the
+    set-op shuffle ships batch-distinct keys, never one row per input
+    row (the result is distinct anyway, so batch-level dedup is free
+    payload reduction)."""
+
     def add(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         t = batch.select(cols)
+        if t.num_rows:
+            df = t.to_pandas().drop_duplicates()
+            t = pa.table({c: pa.Array.from_pandas(
+                df[c], type=t.schema.field(c).type) for c in cols})
         return t.append_column(
             "__src", pa.array(np.full(t.num_rows, tag, dtype=np.int8)))
 
-    return ds.map_batches(add, batch_format="pyarrow",
+    return ds.map_batches(_pin(add), batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def _emit_set(group: pa.Table, cols: list[str],
+              keep_right: bool) -> pa.Table:
+    """Sorted-segment reduceat over the side tag: emit each distinct
+    key once iff it satisfies the INTERSECT / EXCEPT membership rule."""
+    if "__part" in group.column_names:
+        group = group.drop_columns(["__part"])
+    if group.num_rows == 0:
+        return group.select(cols)
+    tbl = group.take(pc.sort_indices(
+        group, sort_keys=[(c, "ascending") for c in cols]))
+    n = tbl.num_rows
+    starts = np.unique(_segment_starts(_key_arrays(tbl, cols), n))
+    src = tbl.column("__src").to_numpy(zero_copy_only=False)
+    lo = np.minimum.reduceat(src, starts)
+    hi = np.maximum.reduceat(src, starts)
+    if keep_right:          # INTERSECT: key seen on both sides
+        mask = (lo == 0) & (hi == 1)
+    else:                   # EXCEPT: key seen on the left only
+        mask = hi == 0
+    return tbl.take(pa.array(starts[mask])).select(cols)
+
+
+@ray.remote
+def _setop_merge_task(cols: list[str], keep_right: bool,
+                      *blocks: pa.Table) -> pa.Table:
+    from .smallagg import _with_schema
+
+    blocks = _with_schema(blocks, cols + ["__src"])
+    if not blocks:
+        return pa.table({})
+    return _emit_set(pa.concat_tables(blocks, promote_options="default"),
+                     cols, keep_right)
 
 
 def _set_op(left: ray.data.Dataset, right: ray.data.Dataset,
             cols: list[str], keep_right: bool,
             num_partitions: int) -> ray.data.Dataset:
-    union = _tagged(left, cols, 0).union(_tagged(right, cols, 1))
+    union = _tagged(left, cols, 0).union(
+        _tagged(right, cols, 1)).materialize()
 
-    def emit(group: pa.Table) -> pa.Table:
-        if "__part" in group.column_names:
-            group = group.drop_columns(["__part"])
-        if group.num_rows == 0:
-            return group.select(cols)
-        tbl = group.take(pc.sort_indices(
-            group, sort_keys=[(c, "ascending") for c in cols]))
-        n = tbl.num_rows
-        starts = np.unique(_segment_starts(_key_arrays(tbl, cols), n))
-        src = tbl.column("__src").to_numpy(zero_copy_only=False)
-        lo = np.minimum.reduceat(src, starts)
-        hi = np.maximum.reduceat(src, starts)
-        if keep_right:          # INTERSECT: key seen on both sides
-            mask = (lo == 0) & (hi == 1)
-        else:                   # EXCEPT: key seen on the left only
-            mask = hi == 0
-        return tbl.take(pa.array(starts[mask])).select(cols)
+    from .cube import _SMALL_PARTIAL_BYTES
+
+    if union.size_bytes() <= _SMALL_PARTIAL_BYTES:
+        # batch-deduped tagged keys fit the small budget: one task
+        # instead of a key exchange
+        ref = _setop_merge_task.remote(cols, keep_right,
+                                       *union.to_arrow_refs())
+        return ray.data.from_arrow_refs([ref])
 
     return _partition_by(union, cols, num_partitions).map_groups(
-        _pin(emit), batch_format="pyarrow")
+        _pin(lambda g: _emit_set(g, cols, keep_right)),
+        batch_format="pyarrow")
 
 
 def intersect_distinct(left: ray.data.Dataset, right: ray.data.Dataset,
@@ -135,9 +173,14 @@ def semi_join_filter(left: ray.data.Dataset, right: ray.data.Dataset,
         u = pc.unique(batch.column(right_on))
         return pa.table({right_on: pc.drop_null(u)})
 
-    keys_ds = right.select_columns([right_on]).map_batches(
-        per_batch_unique, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby(right_on).count()
+    from .smallagg import distinct_small
+
+    # per-batch-unique partials are small whenever the broadcast
+    # contract holds -> one merge task, no exchange
+    keys_ds = distinct_small(
+        right.select_columns([right_on]).map_batches(
+            per_batch_unique, batch_format="pyarrow",
+            zero_copy_batch=True), [right_on])
     # the DISTINCT key set is the broadcast side: small by contract.
     # Sparse groupby outputs include schema-less EMPTY blocks (perf
     # lesson #16) that concat_tables rejects — drop them first.

@@ -1,0 +1,91 @@
+"""Shared small-partial merge for ops whose partials are compact.
+
+Ray's sort-based groupby costs ~2.4 s FIXED per exchange on this
+version regardless of row count (measured; BASELINE.md perf lesson
+#14). Many ops reduce per-batch partials that are bounded by something
+small — a histogram's bin count, a transition matrix's alphabet², a
+pivot's distinct keys — so the final merge should be one remote task,
+not an all-to-all exchange. This module centralizes that pattern:
+materialize the partials, and when they fit the same 64 MB budget as
+the bounded engine's fast path, merge them in ONE task (refs stay in
+the object store; the driver never touches rows). Above the budget the
+distributed groupby runs unchanged, so semantics never depend on size.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from .cube import _SMALL_PARTIAL_BYTES
+
+__all__ = ["grouped_sum", "distinct_small"]
+
+
+def _with_schema(blocks: tuple[pa.Table, ...],
+                 cols: list[str]) -> list[pa.Table]:
+    """Sparse map_groups outputs include schema-less EMPTY blocks
+    (BASELINE.md perf lesson #16) that concat/pandas reject."""
+    return [b for b in blocks
+            if all(c in b.column_names for c in cols)]
+
+
+@ray.remote
+def _sum_merge_task(key_cols: list[str], sum_cols: list[str],
+                    *blocks: pa.Table) -> pa.Table:
+    blocks = _with_schema(blocks, key_cols + sum_cols)
+    if not blocks:
+        return pa.table({})
+    t = pa.concat_tables(blocks, promote_options="default")
+    df = t.to_pandas()
+    g = df.groupby(key_cols, dropna=False, sort=False)[sum_cols].sum(
+    ).reset_index()
+    out = {}
+    for k in key_cols:
+        out[k] = pa.Array.from_pandas(g[k], type=t.schema.field(k).type)
+    for c in sum_cols:
+        out[c] = pa.Array.from_pandas(g[c], type=t.schema.field(c).type)
+    return pa.table(out)
+
+
+def grouped_sum(parts: ray.data.Dataset, key_cols: list[str],
+                sum_cols: list[str]) -> ray.data.Dataset:
+    """``parts.groupby(key_cols).sum(sum_cols)`` with the output
+    columns named ``key_cols + sum_cols`` — merged in one task when
+    the materialized partials fit the small budget."""
+    m = parts.materialize()
+    if m.size_bytes() <= _SMALL_PARTIAL_BYTES:
+        ref = _sum_merge_task.remote(key_cols, sum_cols,
+                                     *m.to_arrow_refs())
+        return ray.data.from_arrow_refs([ref])
+    agg = m.groupby(key_cols).sum(sum_cols)
+    return agg.map_batches(
+        lambda b: b.rename_columns(key_cols + sum_cols),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@ray.remote
+def _distinct_merge_task(cols: list[str], *blocks: pa.Table) -> pa.Table:
+    blocks = _with_schema(blocks, cols)
+    if not blocks:
+        return pa.table({})
+    t = pa.concat_tables(blocks, promote_options="default")
+    df = t.to_pandas().drop_duplicates()
+    return pa.table({c: pa.Array.from_pandas(df[c],
+                                             type=t.schema.field(c).type)
+                     for c in cols})
+
+
+def distinct_small(parts: ray.data.Dataset,
+                   cols: list[str]) -> ray.data.Dataset:
+    """Global DISTINCT over already per-batch-deduped partials: one
+    merge task when small, ``groupby(cols).count`` exchange otherwise."""
+    m = parts.materialize()
+    if m.size_bytes() <= _SMALL_PARTIAL_BYTES:
+        ref = _distinct_merge_task.remote(cols, *m.to_arrow_refs())
+        return ray.data.from_arrow_refs([ref])
+    agg = m.groupby(cols).count()
+    return agg.map_batches(
+        lambda b: b.rename_columns(cols + ["__cnt"]).select(cols),
+        batch_format="pyarrow", zero_copy_batch=True)
