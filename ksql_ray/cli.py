@@ -271,8 +271,20 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--fingerprint", default="fast",
                     choices=["fast", "md5"])
 
+    pf = sub.add_parser(
+        "profile",
+        help="column profiling preflight (ray-job entrypoint): per-"
+             "column rows/nulls/exact distinct/min-max over a parquet "
+             "dir, one JSON line out")
+    pf.add_argument("--input", required=True,
+                    help="parquet file or directory")
+    pf.add_argument("--cols", required=True,
+                    help="comma-separated column names")
+
     args = p.parse_args(argv)
 
+    if args.cmd == "profile":
+        return _run_profile(args)
     if args.cmd == "prep":
         return _run_prep(args)
     if args.cmd == "compact":
@@ -378,6 +390,27 @@ def _run_asof(args) -> int:
     }))
     if owns_session:
         ray.shutdown()
+    return 0
+
+
+def _run_profile(args) -> int:
+    import json
+    import time as _time
+
+    import ray
+    import ray.data
+
+    from .ops.profile import profile_columns
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False)
+    cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+    t0 = _time.time()
+    ds = ray.data.read_parquet(args.input)
+    rows = sorted(profile_columns(ds, cols).take_all(),
+                  key=lambda r: cols.index(r["col"]))
+    print(json.dumps({"sec": round(_time.time() - t0, 3),
+                      "columns": rows, "input": args.input}))
     return 0
 
 
