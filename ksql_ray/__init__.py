@@ -17,9 +17,11 @@ from .aggregates import (
     Max,
     Min,
     Percentile,
+    StdDev,
     Sum,
     TopK,
     TopKDistinct,
+    VarSamp,
 )
 from .builder import Schema, Select, SelectAsStruct, SelectBuilder
 from .catalog import Catalog, Ref, Relation, STREAM, TABLE, TOPIC, testdata_catalog
@@ -56,8 +58,8 @@ from .windows import (
 __all__ = [
     "Avg", "CollectList", "CollectSet", "Count", "CountDistinct",
     "EarliestByOffset",
-    "Histogram", "LatestByOffset", "Max", "Min", "Percentile", "Sum",
-    "TopK",
+    "Histogram", "LatestByOffset", "Max", "Min", "Percentile",
+    "StdDev", "Sum", "TopK", "VarSamp",
     "TopKDistinct", "Schema", "Select", "SelectAsStruct", "SelectBuilder", "Catalog", "Ref",
     "Relation", "STREAM", "TABLE", "TOPIC", "testdata_catalog",
     "CatalogError", "KsqlRayError", "PlanError", "SchemaError", "Engine",

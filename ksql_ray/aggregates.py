@@ -691,6 +691,84 @@ class Histogram(AggExpr):
         return {f"{a}_list": vals_arr, f"{a}_hcnt": cnts_arr}
 
 
+class VarSamp(AggExpr):
+    """VAR_SAMP(col): sample variance per group — algebraic over the
+    (sum, sum-of-squares, count) triple, so partials are three floats
+    per (key, batch) regardless of row count and every re-merge is a
+    segment sum. Extends the reference's aggregate set
+    (ksql/aggregate_fn.go:9-34 has no variance). NULLs skipped; NULL
+    for groups with fewer than two non-null values (SQL semantics).
+    The final ``(ss - s²/n) / (n-1)`` is clamped at 0 against negative
+    float residue."""
+
+    fn_name = "var_samp"
+
+    def out_type(self, schema):
+        t = self.arg.out_type(schema)
+        if not (pa.types.is_floating(t) or pa.types.is_integer(t)):
+            raise TypeError_(f"VAR_SAMP over non-numeric type {t}")
+        return pa.float64()
+
+    def p1_kernels(self, a):
+        return [(a, "sum"), (a, "count"), (a, "list")]
+
+    def p1_post(self, tbl, a):
+        # fold the raw value list into one sum-of-squares per group;
+        # the list never leaves the phase-1 task
+        name = f"{a}_list"
+        col = tbl.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts.astype(np.float64)).astype(np.int64)
+        values = pc.list_flatten(col)
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        seg = np.repeat(np.arange(tbl.num_rows), counts)
+        mask = pc.is_valid(values).to_numpy(zero_copy_only=False)
+        v = _np_valid(pc.cast(values, pa.float64()))[mask]
+        ss = np.zeros(tbl.num_rows, dtype=np.float64)
+        np.add.at(ss, seg[mask], v * v)
+        idx = tbl.column_names.index(name)
+        return tbl.set_column(idx, f"{a}_sumsq",
+                              pa.array(ss, type=pa.float64()))
+
+    def _moments(self, ctx, a):
+        s = _np(ctx.seg_sum(f"{a}_sum", pa.float64()))
+        n = _np(ctx.seg_sum(f"{a}_count", pa.float64()))
+        ss = _np(ctx.seg_sum(f"{a}_sumsq", pa.float64()))
+        return s, n, ss
+
+    def _var(self, ctx, a) -> tuple[np.ndarray, np.ndarray]:
+        s, n, ss = self._moments(ctx, a)
+        small = n < 2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = np.maximum(ss - (s * s) / n, 0.0) / (n - 1.0)
+        return var, small
+
+    def finalize(self, ctx, a, ordcols):
+        var, small = self._var(ctx, a)
+        return pa.array(var, type=pa.float64(), mask=small)
+
+    def repartial(self, ctx, a, ordcols):
+        s, n, ss = self._moments(ctx, a)
+        return {
+            f"{a}_sum": pa.array(s, type=pa.float64()),
+            f"{a}_count": pa.array(n.astype(np.int64), type=pa.int64()),
+            f"{a}_sumsq": pa.array(ss, type=pa.float64()),
+        }
+
+
+class StdDev(VarSamp):
+    """STDDEV_SAMP(col) = sqrt(VAR_SAMP)."""
+
+    fn_name = "stddev_samp"
+
+    def finalize(self, ctx, a, ordcols):
+        var, small = self._var(ctx, a)
+        return pa.array(np.sqrt(var), type=pa.float64(), mask=small)
+
+
 class CountDistinct(AggExpr):
     """COUNT(DISTINCT col): exact per-group distinct count (NULLs
     ignored, SQL semantics). Extends the reference's aggregate set

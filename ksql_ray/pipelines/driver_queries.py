@@ -218,6 +218,26 @@ def _agg_count_distinct():
             .From(Schema("lineitem")).GroupBy(F("l_linestatus")))
 
 
+@q("agg_stddev",
+   "SELECT l_returnflag, ROUND(var_samp(l_extendedprice), 4) AS vs, "
+   "ROUND(stddev_samp(l_extendedprice), 4) AS sd, "
+   "ROUND(var_samp(l_discount), 6) AS vd, "
+   "count(l_orderkey) AS cnt FROM lineitem GROUP BY l_returnflag")
+def _agg_stddev():
+    from ..aggregates import StdDev, VarSamp
+
+    return (Select(F("l_returnflag"),
+                   VarSamp(F("l_extendedprice")).As("vs"),
+                   StdDev(F("l_extendedprice")).As("sd"),
+                   VarSamp(F("l_discount")).As("vd"),
+                   Count(F("l_orderkey")).As("cnt"))
+            .From(Schema("lineitem")).GroupBy(F("l_returnflag")))
+
+
+REGISTRY["agg_stddev"].post = lambda t: _round_cols(
+    t, {"vs": 4, "sd": 4, "vd": 6})
+
+
 # --------------------------------------------------------------- §2.3 aggregates
 @q("agg_basic",
    "SELECT l_returnflag, l_linestatus, ROUND(sum(l_quantity), 4) AS sum_qty, "
@@ -2089,6 +2109,54 @@ REGISTRY["streaming_percentile"] = RawQ(
     f"{HOUR_US}) AS window_end, "
     "user_id, ROUND(quantile_disc(value, 0.5), 4) AS p50, "
     "ROUND(quantile_disc(value, 0.9), 4) AS p90 "
+    "FROM events GROUP BY 1, 2, 3",
+)
+
+
+def _streaming_stddev(sf_dir: str) -> pa.Table:
+    """VAR_SAMP/STDDEV_SAMP under the streaming engine: tumbling
+    EMIT FINAL via the algebraic (sum, sumsq, count) accumulator.
+
+    Gate form note: the 2-decimal event values make per-(window, user)
+    variances exact rationals with denominator n(n-1)·10^4, which TIE
+    at any fixed-decimal ROUND (measured: DuckDB and the engine land
+    on opposite sides of the .00005 boundary) — so the gate carries
+    the variance as the exact integer var·n(n-1)·10^4 instead, and the
+    irrational stddev rounded at 4 (ties measure-zero)."""
+    import numpy as np
+
+    from ..aggregates import Count as CountAgg
+    from ..aggregates import StdDev, VarSamp
+
+    def b():
+        return (Select(F("user_id"),
+                       VarSamp(F("value")).As("vv"),
+                       StdDev(F("value")).As("sv"),
+                       CountAgg(F("value")).As("cnt"))
+                .From(Schema("events")).GroupBy(F("user_id"))
+                .Windowed(Tumbling(1, HOURS)).EmitFinal())
+
+    t = _stream_events(sf_dir, b, "stdd")
+    vv = t.column("vv").to_numpy(zero_copy_only=False)
+    n = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+    scaled = vv * (n * (n - 1.0)) * 10000.0
+    idx = t.column_names.index("vv")
+    t = t.set_column(idx, "vv_scaled", pa.array(
+        np.where(np.isnan(scaled), np.nan, np.rint(scaled)),
+        type=pa.float64(), from_pandas=True))
+    return _round_cols(t, {"sv": 4})
+
+
+REGISTRY["streaming_stddev"] = RawQ(
+    _streaming_stddev,
+    f"SELECT make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US}) "
+    "AS window_start, "
+    f"make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US} + "
+    f"{HOUR_US}) AS window_end, "
+    "user_id, ROUND(var_samp(value) * (count(value) * "
+    "(count(value) - 1.0)) * 10000.0, 0) AS vv_scaled, "
+    "ROUND(stddev_samp(value), 4) AS sv, "
+    "count(value)::BIGINT AS cnt "
     "FROM events GROUP BY 1, 2, 3",
 )
 

@@ -16,7 +16,7 @@ from typing import Any
 from ..aggregates import (
     AggExpr, Avg, CollectList, CollectSet, Count, EarliestByOffset,
     CountDistinct, Histogram, LatestByOffset, Max, Min, Percentile,
-    Sum, TopK, TopKDistinct,
+    StdDev, Sum, TopK, TopKDistinct, VarSamp,
 )
 
 
@@ -262,6 +262,33 @@ class _PercentileAcc(StreamingAcc):
         return s[target - 1]
 
 
+class _VarAcc(StreamingAcc):
+    """VAR_SAMP / STDDEV_SAMP: algebraic (sum, sumsq, count) triple,
+    mirrors aggregates.VarSamp._var exactly."""
+
+    def __init__(self, sqrt: bool):
+        self.s = 0.0
+        self.ss = 0.0
+        self.n = 0
+        self.sqrt = sqrt
+
+    def update(self, row, a, ords):
+        self.s += row[f"{a}_sum"] or 0.0
+        self.ss += row[f"{a}_sumsq"] or 0.0
+        self.n += row[f"{a}_count"] or 0
+
+    def merge(self, o):
+        self.s += o.s
+        self.ss += o.ss
+        self.n += o.n
+
+    def result(self):
+        if self.n < 2:
+            return None
+        var = max(self.ss - (self.s * self.s) / self.n, 0.0) / (self.n - 1)
+        return var ** 0.5 if self.sqrt else var
+
+
 class _CountDistinctAcc(StreamingAcc):
     def __init__(self):
         self.vals: set = set()
@@ -307,4 +334,8 @@ def make_acc(agg: AggExpr) -> StreamingAcc:
         return _PercentileAcc(agg.q)
     if isinstance(agg, CountDistinct):
         return _CountDistinctAcc()
+    if isinstance(agg, StdDev):
+        return _VarAcc(sqrt=True)
+    if isinstance(agg, VarSamp):
+        return _VarAcc(sqrt=False)
     raise TypeError(f"no streaming accumulator for {agg!r}")

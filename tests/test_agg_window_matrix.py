@@ -15,7 +15,7 @@ from ksql_ray import (
     F, Histogram, Hopping, LatestByOffset, Max, Min, MINUTES, Schema, Select,
     Session, Sum, TopK, TopKDistinct,
 )
-from ksql_ray.aggregates import CountDistinct, Percentile
+from ksql_ray.aggregates import CountDistinct, Percentile, StdDev, VarSamp
 from ksql_ray.catalog import Ref
 from ksql_ray.pipelines.driver_queries import _map_to_json
 
@@ -80,6 +80,10 @@ AGGS = {
                    "quantile_disc(v, 0.75) AS a", False),
     "count_distinct": (lambda: CountDistinct(F("tag")).As("a"),
                        "count(DISTINCT tag) AS a", False),
+    "var_samp": (lambda: VarSamp(F("v")).As("a"),
+                 "var_samp(v) AS a", False),
+    "stddev": (lambda: StdDev(F("v")).As("a"),
+               "stddev_samp(v) AS a", False),
 }
 
 WINDOWS = ["none", "tumbling", "hopping", "session"]
