@@ -688,6 +688,19 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         keep=["conv_id", "turn_idx"]).count())
     out["profile_200k"] = min2(lambda: profile_columns(
         turns5(), ["conv_id", "role", "turn_idx"]).count())
+    from ksql_ray.ops.profile import grouped_corr
+
+    def _corr_src():
+        def add(b):
+            import pyarrow.compute as _pc
+            return b.append_column(
+                "tlen", _pc.cast(_pc.utf8_length(b.column("text")),
+                                 pa.float64()))
+        return turns4().map_batches(add, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    out["grouped_corr_200k"] = min2(lambda: grouped_corr(
+        _corr_src(), ["role"], "turn_idx", "tlen").count())
     out["weighted_sample_200k"] = min2(lambda: weighted_sample(
         turns3(), "conv_id", "turn_idx", rate=0.05, scale=8.0,
         method="fast").count())

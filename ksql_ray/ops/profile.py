@@ -28,7 +28,7 @@ import ray.data
 from .cube import _SMALL_PARTIAL_BYTES
 from .dedup import _pin
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "grouped_corr"]
 
 _NUMERIC = (pa.types.is_integer, pa.types.is_floating)
 
@@ -115,6 +115,74 @@ def _profile_merge(cols: list[str], n_stats: int, *blocks) -> pa.Table:
                            else float(g.loc[c, "max_v"])
                            for c in out_cols], pa.float64()),
     })
+
+
+def grouped_corr(ds: ray.data.Dataset, key_cols: list[str], x: str,
+                 y: str) -> ray.data.Dataset:
+    """Per-group Pearson correlation and sample covariance of two
+    numeric columns — SQL ``CORR(x, y)`` / ``COVAR_SAMP(x, y)`` /
+    ``COUNT`` over rows where BOTH are non-null (SQL pairwise
+    semantics). Algebraic over the (n, Σx, Σy, Σx², Σy², Σxy) tuple:
+    six floats per (key, batch) partial, one compact merge
+    (smallagg.grouped_sum), final kernels vectorized per key. NULL
+    corr for n<2 or zero variance on either side."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = {k: batch.column(k).to_numpy(zero_copy_only=False)
+                for k in key_cols}
+        xv = pc.cast(batch.column(x), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        yv = pc.cast(batch.column(y), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        ok = ~(np.isnan(xv) | np.isnan(yv))
+        df = pd.DataFrame({**{k: v[ok] for k, v in keys.items()},
+                           "__x": xv[ok], "__y": yv[ok]})
+        df["__xx"] = df["__x"] * df["__x"]
+        df["__yy"] = df["__y"] * df["__y"]
+        df["__xy"] = df["__x"] * df["__y"]
+        df["__n"] = 1
+        g = df.groupby(key_cols, dropna=False, sort=False).sum(
+        ).reset_index()
+        out = {k: pa.Array.from_pandas(
+            g[k], type=batch.schema.field(k).type) for k in key_cols}
+        for c in ["__n", "__x", "__y", "__xx", "__yy", "__xy"]:
+            out[c] = pa.array(g[c].to_numpy(np.float64),
+                              type=pa.float64())
+        return pa.table(out)
+
+    from .smallagg import grouped_sum
+
+    mom = ["__n", "__x", "__y", "__xx", "__yy", "__xy"]
+    merged = grouped_sum(
+        ds.map_batches(_pin(partial), batch_format="pyarrow",
+                       zero_copy_batch=True), key_cols, mom)
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("__n").to_numpy(zero_copy_only=False)
+        sx = b.column("__x").to_numpy(zero_copy_only=False)
+        sy = b.column("__y").to_numpy(zero_copy_only=False)
+        sxx = b.column("__xx").to_numpy(zero_copy_only=False)
+        syy = b.column("__yy").to_numpy(zero_copy_only=False)
+        sxy = b.column("__xy").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = (sxy - sx * sy / n) / (n - 1.0)
+            vx = np.maximum(sxx - sx * sx / n, 0.0)
+            vy = np.maximum(syy - sy * sy / n, 0.0)
+            corr = (sxy - sx * sy / n) / np.sqrt(vx * vy)
+        bad = (n < 2) | (vx <= 0.0) | (vy <= 0.0)
+        return pa.table({
+            **{k: b.column(k) for k in key_cols},
+            "corr": pa.array(np.where(bad, np.nan, corr),
+                             type=pa.float64(), from_pandas=True),
+            "covar": pa.array(np.where(n < 2, np.nan, cov),
+                              type=pa.float64(), from_pandas=True),
+            "n": pa.array(n.astype(np.int64), type=pa.int64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def profile_columns(ds: ray.data.Dataset,

@@ -3910,6 +3910,35 @@ REGISTRY["op_melt"] = RawQ(
 )
 
 
+def _op_corr(sf_dir: str) -> pa.Table:
+    import numpy as np
+
+    from ..ops.profile import grouped_corr
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_type", "user_id", "value"])
+    t = _collect(grouped_corr(ds, ["event_type"], "value", "user_id"))
+    # 2-decimal x against integer y: covar*n*(n-1)*100 is an exact
+    # integer (fixed-decimal ROUND of the rational covar can tie);
+    # corr carries a sqrt, irrational, safe at 6 decimals
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    cv = t.column("covar").to_numpy(zero_copy_only=False)
+    scaled = np.rint(cv * (n * (n - 1.0)) * 100.0)
+    t = t.set_column(t.column_names.index("covar"), "covar_scaled",
+                     pa.array(scaled, type=pa.float64(),
+                              from_pandas=True))
+    return _round_cols(t, {"corr": 6})
+
+
+REGISTRY["op_corr"] = RawQ(
+    _op_corr,
+    "SELECT event_type, ROUND(corr(value, user_id), 6) AS corr, "
+    "ROUND(covar_samp(value, user_id) * (count(*) * (count(*) - 1.0)) "
+    "* 100.0, 0) AS covar_scaled, count(*)::BIGINT AS n FROM events "
+    "GROUP BY event_type",
+)
+
+
 def queries() -> dict[str, Callable[[str], pa.Table]]:
     return {name: (lambda sf_dir, _q=qq: _q.run(sf_dir)) for name, qq in REGISTRY.items()}
 

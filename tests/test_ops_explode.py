@@ -91,6 +91,40 @@ def test_profile_paths_agree(ray_session, monkeypatch):
     assert key(fast) == key(slow)
 
 
+def test_grouped_corr_brute(ray_session):
+    from ksql_ray.ops.profile import grouped_corr
+
+    rng = np.random.default_rng(5)
+    n = 900
+    x = np.round(rng.normal(10, 3, n), 2)
+    y = x * 0.5 + rng.normal(0, 1, n)
+    x[rng.random(n) < 0.05] = np.nan
+    y[rng.random(n) < 0.05] = np.nan
+    k = rng.integers(0, 5, n)
+    t = pa.table({"k": pa.array(k, pa.int64()), "x": pa.array(x),
+                  "y": pa.array(y)})
+    got = {r["k"]: r for r in collect(grouped_corr(
+        ray.data.from_arrow(t).repartition(4), ["k"], "x",
+        "y")).to_pylist()}
+    for g in range(5):
+        ok = (k == g) & ~np.isnan(x) & ~np.isnan(y)
+        want = np.corrcoef(x[ok], y[ok])[0, 1]
+        cov = np.cov(x[ok], y[ok])[0, 1]
+        r = got[g]
+        assert r["n"] == int(ok.sum())
+        assert r["corr"] == pytest.approx(want, rel=1e-9)
+        assert r["covar"] == pytest.approx(cov, rel=1e-9)
+    # degenerate groups: n < 2 and zero variance -> NULL
+    t2 = pa.table({"k": pa.array([0, 1, 1], pa.int64()),
+                   "x": pa.array([1.0, 2.0, 2.0]),
+                   "y": pa.array([1.0, 3.0, 4.0])})
+    got2 = {r["k"]: r for r in collect(grouped_corr(
+        ray.data.from_arrow(t2), ["k"], "x", "y")).to_pylist()}
+    assert got2[0]["corr"] is None and got2[0]["covar"] is None
+    assert got2[1]["corr"] is None          # zero x-variance
+    assert got2[1]["covar"] == 0.0
+
+
 def test_weighted_sample_null_and_clamp(ray_session):
     t = pa.table({"id": pa.array(list(range(200)), pa.int64()),
                   "w": pa.array([None, 0.0] + [1e9] * 98 + [50.0] * 100)})
