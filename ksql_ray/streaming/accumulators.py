@@ -1,4 +1,4 @@
-"""Streaming per-key accumulators for the 12 aggregates.
+"""Streaming per-key accumulators for the 16 aggregates.
 
 These consume the *partial rows* produced by the vectorized phase-1
 combiner (exec/groupby.GroupByPlan.partial_fn) — one row per (key, batch)
