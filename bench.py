@@ -665,6 +665,10 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         ["user", "assistant", "tool"], "turn_idx").count())
     out["bucketize_200k"] = min2(lambda: quantile_bucketize(
         turns3(), "turn_idx", qs=[0.25, 0.5, 0.75]).count())
+    from ksql_ray.ops.quantiles import grouped_quantiles
+
+    out["grouped_quantiles_200k"] = min2(lambda: grouped_quantiles(
+        turns5(), ["role"], "turn_idx", qs=[0.5, 0.9, 0.99]).count())
 
     from ksql_ray.ops.cube import cube_agg
     from ksql_ray.ops.explode import melt

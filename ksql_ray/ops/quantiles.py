@@ -33,7 +33,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["QuantileSketch", "dataset_quantiles", "quantile_bucketize"]
+__all__ = ["QuantileSketch", "dataset_quantiles", "quantile_bucketize",
+           "grouped_quantiles"]
 
 
 class QuantileSketch:
@@ -243,3 +244,130 @@ def quantile_bucketize(ds: ray.data.Dataset, col: str,
 
     return ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def _gq_finalize(df, key_cols: list[str], qs: list[float],
+                 key_types: dict) -> pa.Table:
+    """(key..., __val, __cnt) histogram rows -> one row per (key, q)
+    with the exact quantile_disc value. Vectorized: one sort, one
+    per-key cumsum, one boolean pick per q (exactly one row per key
+    satisfies cum >= target > cum - cnt)."""
+    import math
+
+    import pandas as pd
+
+    df = df.groupby(key_cols + ["__val"], dropna=False,
+                    sort=False)["__cnt"].sum().reset_index()
+    df = df.sort_values(key_cols + ["__val"], kind="mergesort")
+    cnt = df["__cnt"].to_numpy(np.int64)
+    keys = [df[k].to_numpy() for k in key_cols]
+    n = len(df)
+    new = np.zeros(n, dtype=bool)
+    new[:1] = True
+    for k in keys:
+        new[1:] |= k[1:] != k[:-1]
+    gid = np.cumsum(new) - 1
+    totals = np.bincount(gid, weights=cnt).astype(np.int64)
+    csum = np.cumsum(cnt)
+    base = np.concatenate(([0], csum))[np.flatnonzero(new)]
+    cum = csum - np.repeat(base, np.bincount(gid))
+    vals = df["__val"].to_numpy(np.float64)
+    outs = {k: [] for k in key_cols}
+    out_q, out_v = [], []
+    for q in qs:
+        tgt = np.maximum(1, np.ceil(q * totals - 1e-9)).astype(np.int64)
+        tgt_row = np.repeat(tgt, np.bincount(gid))
+        pick = (cum >= tgt_row) & ((cum - cnt) < tgt_row)
+        idx = np.flatnonzero(pick)
+        for k, arr in zip(key_cols, keys):
+            outs[k].append(arr[idx])
+        out_q.append(np.full(len(idx), q))
+        out_v.append(vals[idx])
+    cols = {}
+    for k in key_cols:
+        cols[k] = pa.array(np.concatenate(outs[k]), type=key_types[k],
+                           from_pandas=True)
+    cols["q"] = pa.array(np.concatenate(out_q), type=pa.float64())
+    cols["value"] = pa.array(np.concatenate(out_v), type=pa.float64())
+    return pa.table(cols)
+
+
+@ray.remote
+def _gq_merge_task(key_cols: list[str], qs: list[float],
+                   *blocks: pa.Table) -> pa.Table:
+    from .smallagg import _with_schema
+
+    blocks = _with_schema(blocks, key_cols + ["__val", "__cnt"])
+    if not blocks:
+        return pa.table({})
+    t = pa.concat_tables(blocks, promote_options="default")
+    key_types = {k: t.schema.field(k).type for k in key_cols}
+    return _gq_finalize(t.to_pandas(), key_cols, qs, key_types)
+
+
+def grouped_quantiles(ds: ray.data.Dataset, key_cols: list[str],
+                      col: str, qs: list[float] | None = None,
+                      num_partitions: int = 32) -> ray.data.Dataset:
+    """EXACT per-key discrete quantiles — SQL
+    ``quantile_disc(col, q) GROUP BY keys`` — via (key, value, count)
+    HISTOGRAM partials: each batch collapses to its distinct
+    (key, value) pairs, so shuffle payload and state are bounded by
+    the key x value-domain cardinality, never the row count. This is
+    the scale path for the bounded domains training pipelines bucket
+    on (scores, lengths, ratings, turn indices); for unbounded
+    continuous domains use the bounded-state sketch
+    (``dataset_quantiles``) instead — the Percentile AGGREGATE's
+    full-list partials are exact for any domain but carry O(rows)
+    state. One merge task when the histogram fits the small budget; a
+    key-partitioned exchange of histogram rows otherwise. Output: one
+    row per (key, q) with float64 ``value``; NaN/NULL input values are
+    ignored, and keys whose values are ALL null are absent from the
+    output (SQL emits them with NULL quantiles — filter the oracle or
+    the input accordingly)."""
+    if qs is None:
+        qs = [0.5, 0.9, 0.99]
+    if not qs or any(not 0 <= q <= 1 for q in qs):
+        raise ValueError("qs must be fractions in [0, 1]")
+    qs = sorted(qs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = pc.cast(batch.column(col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        ok = ~np.isnan(v)
+        d = {k: batch.column(k).to_numpy(zero_copy_only=False)[ok]
+             for k in key_cols}
+        d["__val"] = v[ok]
+        g = pd.DataFrame(d).groupby(key_cols + ["__val"], dropna=False,
+                                    sort=False).size().rename(
+            "__cnt").reset_index()
+        out = {k: pa.Array.from_pandas(
+            g[k], type=batch.schema.field(k).type) for k in key_cols}
+        out["__val"] = pa.array(g["__val"].to_numpy(np.float64),
+                                type=pa.float64())
+        out["__cnt"] = pa.array(g["__cnt"].to_numpy(np.int64),
+                                type=pa.int64())
+        return pa.table(out)
+
+    from .dedup import _partition_by, _pin
+    from .smallagg import _SMALL_PARTIAL_BYTES
+
+    parts = ds.map_batches(_pin(partial), batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    if parts.size_bytes() <= _SMALL_PARTIAL_BYTES:
+        ref = _gq_merge_task.remote(key_cols, qs, *parts.to_arrow_refs())
+        return ray.data.from_arrow_refs([ref])
+
+    key_types = {f.name: f.type for f in ds.schema().base_schema
+                 if f.name in key_cols}
+
+    def per_part(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            return pa.table({})
+        return _gq_finalize(group.to_pandas(), key_cols, qs, key_types)
+
+    return _partition_by(parts, key_cols, num_partitions).map_groups(
+        _pin(per_part), batch_format="pyarrow")

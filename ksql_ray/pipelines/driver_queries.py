@@ -3939,6 +3939,24 @@ REGISTRY["op_corr"] = RawQ(
 )
 
 
+def _op_grouped_quantiles(sf_dir: str) -> pa.Table:
+    from ..ops.quantiles import grouped_quantiles
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "value"])
+    return _collect(grouped_quantiles(ds, ["user_id"], "value",
+                                      qs=[0.25, 0.5, 0.9]))
+
+
+REGISTRY["op_grouped_quantiles"] = RawQ(
+    _op_grouped_quantiles,
+    # DuckDB zips parallel unnests: one row per (key, q)
+    "SELECT user_id, unnest([0.25, 0.5, 0.9]) AS q, "
+    "unnest([quantile_disc(value, 0.25), quantile_disc(value, 0.5), "
+    "quantile_disc(value, 0.9)]) AS value FROM events GROUP BY user_id",
+)
+
+
 def queries() -> dict[str, Callable[[str], pa.Table]]:
     return {name: (lambda sf_dir, _q=qq: _q.run(sf_dir)) for name, qq in REGISTRY.items()}
 

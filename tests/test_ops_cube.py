@@ -205,3 +205,35 @@ def test_bucketize_brute(ray_session):
     assert len(set(gb[nn])) == 4        # all four buckets populated
     with pytest.raises(ValueError):
         quantile_bucketize(ray.data.from_arrow(t), "v", qs=[1.5])
+
+
+def test_grouped_quantiles_brute_and_paths(ray_session, monkeypatch):
+    from ksql_ray.ops.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    k = rng.integers(0, 12, n)
+    v = np.round(rng.uniform(0, 100, n), 2)
+    v[rng.random(n) < 0.03] = np.nan
+    t = pa.table({"k": pa.array(k, pa.int64()), "v": pa.array(v)})
+    fast = collect(grouped_quantiles(
+        ray.data.from_arrow(t).repartition(5), ["k"], "v",
+        qs=[0.25, 0.5, 0.9]))
+    got = {(r["k"], r["q"]): r["value"] for r in fast.to_pylist()}
+    for g in range(12):
+        vals = np.sort(v[(k == g) & ~np.isnan(v)])
+        for q in (0.25, 0.5, 0.9):
+            # quantile_disc: value at rank max(1, ceil(q*n)) (1-based)
+            tgt = max(1, int(np.ceil(q * len(vals) - 1e-9)))
+            assert got[(g, q)] == vals[tgt - 1], (g, q)
+
+    import ksql_ray.ops.smallagg as sa
+    monkeypatch.setattr(sa, "_SMALL_PARTIAL_BYTES", 0)
+    slow = collect(grouped_quantiles(
+        ray.data.from_arrow(t).repartition(5), ["k"], "v",
+        qs=[0.25, 0.5, 0.9]))
+    norm = lambda tb: sorted((r["k"], r["q"], r["value"])
+                             for r in tb.to_pylist())
+    assert norm(fast) == norm(slow)
+    with pytest.raises(ValueError):
+        grouped_quantiles(ray.data.from_arrow(t), ["k"], "v", qs=[2.0])
