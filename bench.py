@@ -669,6 +669,10 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["grouped_quantiles_200k"] = min2(lambda: grouped_quantiles(
         turns5(), ["role"], "turn_idx", qs=[0.5, 0.9, 0.99]).count())
+    from ksql_ray.ops.hll import grouped_hll
+
+    out["grouped_hll_200k"] = min2(lambda: grouped_hll(
+        turns5(), ["role"], "conv_id", p=10, hash="fast").count())
 
     from ksql_ray.ops.cube import cube_agg
     from ksql_ray.ops.explode import melt

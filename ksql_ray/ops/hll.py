@@ -39,7 +39,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["hll_registers", "hll_estimate"]
+__all__ = ["hll_registers", "hll_estimate", "grouped_hll_registers",
+           "grouped_hll"]
 
 
 def _bitlen_u64(w: np.ndarray) -> np.ndarray:
@@ -123,3 +124,113 @@ def hll_estimate(registers: pa.Table, p: int = 8) -> float:
     if e <= 2.5 * m and v > 0:
         return float(m * np.log(m / v))
     return float(e)
+
+
+def grouped_hll_registers(ds: ray.data.Dataset, key_cols: list[str],
+                          col: str, p: int = 8,
+                          hash: str = "md5") -> ray.data.Dataset:
+    """Per-key HLL register state: (key..., register, rho) rows with
+    rho max-merged — the bounded-state counterpart of the exact
+    COUNT_DISTINCT aggregate (whose partials carry per-key distinct
+    VALUE lists, O(distinct) state per key; this carries <= 2^p small
+    ints per key no matter how many distinct values the key has).
+    Partials: per batch, a dense (batch keys x 2^p) ``np.maximum.at``
+    scatter, emitted as nonzero rows only; merge is one compact
+    ``grouped_max``. NULL values are skipped."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        col_a = batch.column(col)
+        valid = pc.is_valid(col_a).to_numpy(zero_copy_only=False)
+        vals = pc.fill_null(pc.cast(col_a, pa.string()), "").to_numpy(
+            zero_copy_only=False)
+        keys = {k: batch.column(k).to_numpy(zero_copy_only=False)
+                for k in key_cols}
+        if not valid.any():
+            return pa.table({
+                **{k: pa.array([], batch.schema.field(k).type)
+                   for k in key_cols},
+                "register": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.int64())})
+        vals = vals[valid]
+        kcodes, uniq_idx = pd.factorize(
+            pd.MultiIndex.from_arrays([v[valid] for v in keys.values()])
+            if len(key_cols) > 1 else next(iter(keys.values()))[valid])
+        reg, rho = registers_from_keys(vals, p, hash)
+        m = 1 << p
+        best = np.zeros((len(uniq_idx), m), dtype=np.int64)
+        np.maximum.at(best, (kcodes, reg), rho)
+        krow, regcol = np.nonzero(best)
+        out = {}
+        for k, arr in keys.items():
+            first = np.zeros(len(uniq_idx), dtype=np.int64)
+            # first occurrence index of each factorized key
+            seen = np.full(len(uniq_idx), -1, dtype=np.int64)
+            idxs = np.arange(len(kcodes))
+            # reverse fill: later writes overwrite, so write reversed
+            seen[kcodes[::-1]] = idxs[::-1]
+            first = seen
+            src = arr[valid][first]
+            out[k] = pa.array(src[krow],
+                              type=batch.schema.field(k).type,
+                              from_pandas=True)
+        out["register"] = pa.array(regcol.astype(np.int64))
+        out["rho"] = pa.array(best[krow, regcol])
+        return pa.table(out)
+
+    from .dedup import _pin
+    from .smallagg import grouped_max
+
+    parts = ds.map_batches(_pin(partial), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return grouped_max(parts, key_cols + ["register"], ["rho"])
+
+
+def grouped_hll(ds: ray.data.Dataset, key_cols: list[str], col: str,
+                p: int = 8, hash: str = "md5") -> ray.data.Dataset:
+    """Per-key approximate distinct count: the standard HLL raw
+    estimator + linear-counting small-range correction applied to the
+    per-key register state. Output: (key..., est float64). The
+    reduction is two compact passes — register max-merge, then per-key
+    (sum 2^-rho, nonzero-register count) via ``grouped_sum`` — so
+    nothing key-set-sized ever concentrates."""
+    regs = grouped_hll_registers(ds, key_cols, col, p, hash=hash)
+    m = 1 << p
+
+    def powsum(batch: pa.Table) -> pa.Table:
+        rho = batch.column("rho").to_numpy(zero_copy_only=False)
+        return pa.table({
+            **{k: batch.column(k) for k in key_cols},
+            "__pw": pa.array(np.power(2.0, -rho.astype(np.float64))),
+            "__nz": pa.array(np.ones(len(rho), dtype=np.int64)),
+        })
+
+    from .dedup import _pin
+    from .smallagg import grouped_sum
+
+    merged = grouped_sum(
+        regs.map_batches(_pin(powsum), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key_cols, ["__pw", "__nz"])
+
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(
+        p, 0.7213 / (1 + 1.079 / m))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pw = batch.column("__pw").to_numpy(zero_copy_only=False)
+        nz = batch.column("__nz").to_numpy(zero_copy_only=False)
+        zeros = m - nz
+        denom = pw + zeros            # zero registers contribute 2^0
+        est = alpha * m * m / denom
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lin = m * np.log(m / np.maximum(zeros, 1e-300))
+        est = np.where(small, lin, est)
+        return pa.table({**{k: batch.column(k) for k in key_cols},
+                         "est": pa.array(est, type=pa.float64())})
+
+    return merged.map_batches(_pin(finish), batch_format="pyarrow",
+                              zero_copy_batch=True)

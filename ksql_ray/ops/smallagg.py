@@ -20,7 +20,7 @@ import ray.data
 
 from .cube import _SMALL_PARTIAL_BYTES
 
-__all__ = ["grouped_sum", "distinct_small"]
+__all__ = ["grouped_sum", "grouped_max", "distinct_small"]
 
 
 def _with_schema(blocks: tuple[pa.Table, ...],
@@ -62,6 +62,40 @@ def grouped_sum(parts: ray.data.Dataset, key_cols: list[str],
     agg = m.groupby(key_cols).sum(sum_cols)
     return agg.map_batches(
         lambda b: b.rename_columns(key_cols + sum_cols),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@ray.remote
+def _max_merge_task(key_cols: list[str], max_cols: list[str],
+                    *blocks: pa.Table) -> pa.Table:
+    blocks = _with_schema(blocks, key_cols + max_cols)
+    if not blocks:
+        return pa.table({})
+    t = pa.concat_tables(blocks, promote_options="default")
+    df = t.to_pandas()
+    g = df.groupby(key_cols, dropna=False, sort=False)[max_cols].max(
+    ).reset_index()
+    out = {}
+    for k in key_cols:
+        out[k] = pa.Array.from_pandas(g[k], type=t.schema.field(k).type)
+    for c in max_cols:
+        out[c] = pa.Array.from_pandas(g[c], type=t.schema.field(c).type)
+    return pa.table(out)
+
+
+def grouped_max(parts: ray.data.Dataset, key_cols: list[str],
+                max_cols: list[str]) -> ray.data.Dataset:
+    """``parts.groupby(key_cols).max(max_cols)`` with the output
+    columns named ``key_cols + max_cols`` — merged in one task when
+    the materialized partials fit the small budget."""
+    m = parts.materialize()
+    if m.size_bytes() <= _SMALL_PARTIAL_BYTES:
+        ref = _max_merge_task.remote(key_cols, max_cols,
+                                     *m.to_arrow_refs())
+        return ray.data.from_arrow_refs([ref])
+    agg = m.groupby(key_cols).max(max_cols)
+    return agg.map_batches(
+        lambda b: b.rename_columns(key_cols + max_cols),
         batch_format="pyarrow", zero_copy_batch=True)
 
 

@@ -3957,6 +3957,38 @@ REGISTRY["op_grouped_quantiles"] = RawQ(
 )
 
 
+def _op_grouped_hll(sf_dir: str) -> pa.Table:
+    from ..ops.hll import grouped_hll_registers
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id"])
+    return _collect(grouped_hll_registers(ds, ["user_id"], "event_id",
+                                          p=8))
+
+
+REGISTRY["op_grouped_hll"] = RawQ(
+    _op_grouped_hll,
+    # per-key register STATE (distinct event_ids per user): same md5
+    # register/rho construction as _HLL_SQL, grouped by user
+    r"""
+WITH h AS (
+  SELECT user_id,
+         ('0x' || substr(md5(coalesce(event_id::VARCHAR, '')), 1, 16))::UBIGINT
+         AS h
+  FROM events
+), rw AS (
+  SELECT user_id, (h >> 56)::BIGINT AS register,
+         h & ((1::UBIGINT << 56) - 1) AS w
+  FROM h
+), rr AS (
+  SELECT user_id, register,
+         CASE WHEN w = 0 THEN 57
+              ELSE strpos(lpad(bin(w), 56, '0'), '1') END AS rho
+  FROM rw)
+SELECT user_id, register, max(rho)::BIGINT AS rho FROM rr GROUP BY 1, 2""",
+)
+
+
 def queries() -> dict[str, Callable[[str], pa.Table]]:
     return {name: (lambda sf_dir, _q=qq: _q.run(sf_dir)) for name, qq in REGISTRY.items()}
 

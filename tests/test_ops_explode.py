@@ -171,3 +171,33 @@ def test_sample_per_key_stable(ray_session):
         counts[k] = counts.get(k, 0) + 1
     assert all(c == 4 for c in counts.values())
     assert set(a.column_names) == {"k", "id"}
+
+
+def test_grouped_hll_accuracy_and_paths(ray_session, monkeypatch):
+    from ksql_ray.ops.hll import grouped_hll, grouped_hll_registers
+
+    rng = np.random.default_rng(31)
+    n = 20000
+    k = rng.integers(0, 8, n)
+    v = rng.integers(0, 3000, n)
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    est = {r["k"]: r["est"] for r in collect(grouped_hll(
+        ray.data.from_arrow(t).repartition(4), ["k"], "v",
+        p=10)).to_pylist()}
+    for g in range(8):
+        exact = len(set(v[k == g].tolist()))
+        assert abs(est[g] - exact) / exact < 0.15, (g, exact, est[g])
+
+    # register state is partition-layout invariant and path-invariant
+    fast = collect(grouped_hll_registers(
+        ray.data.from_arrow(t).repartition(3), ["k"], "v", p=6))
+    import ksql_ray.ops.smallagg as sa
+    monkeypatch.setattr(sa, "_SMALL_PARTIAL_BYTES", 0)
+    slow = collect(grouped_hll_registers(
+        ray.data.from_arrow(t).repartition(7), ["k"], "v", p=6))
+    norm = lambda tb: sorted((r["k"], r["register"], r["rho"])
+                             for r in tb.to_pylist())
+    assert norm(fast) == norm(slow)
+    with pytest.raises(ValueError):
+        grouped_hll_registers(ray.data.from_arrow(t), ["k"], "v", p=2)
