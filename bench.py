@@ -673,6 +673,10 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["grouped_hll_200k"] = min2(lambda: grouped_hll(
         turns5(), ["role"], "conv_id", p=10, hash="fast").count())
+    from ksql_ray.ops.rows import top_values_per_key
+
+    out["top_values_per_key_200k"] = min2(lambda: top_values_per_key(
+        turns5(), ["role"], "conv_id", k=5).count())
 
     from ksql_ray.ops.cube import cube_agg
     from ksql_ray.ops.explode import melt

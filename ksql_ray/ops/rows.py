@@ -34,7 +34,8 @@ import ray.data
 from .dedup import _partition_by, _pin
 
 __all__ = ["top_n_per_key", "sessionize", "with_lag", "with_lead",
-           "moving_agg", "rank_per_key", "transition_counts"]
+           "moving_agg", "rank_per_key", "transition_counts",
+           "top_values_per_key"]
 
 
 def _segment_starts(sort_keys: list[np.ndarray], n: int) -> np.ndarray:
@@ -376,3 +377,46 @@ def sessionize(ds: ray.data.Dataset, key_cols: list[str], ts_col: str,
 
     return _partition_by(ds, key_cols, num_partitions).map_groups(
         _pin(label), batch_format="pyarrow")
+
+
+def top_values_per_key(ds: ray.data.Dataset, key_cols: list[str],
+                       col: str, k: int,
+                       num_partitions: int = 32) -> ray.data.Dataset:
+    """EXACT per-key heavy hitters: the k most frequent ``col`` values
+    per key with their counts and 0-based rank — SQL
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY cnt DESC, value)``
+    over ``GROUP BY key, value`` counts. Same compact shape as
+    grouped_quantiles: each batch collapses to its distinct
+    (key, value, count) rows, the merge is one compact ``grouped_sum``
+    (one task when small), and only the merged histogram — bounded by
+    key x value-domain cardinality — ever reaches the final per-key
+    pick. NULL values are skipped. For unbounded value domains use the
+    Misra-Gries streaming top-k (streaming/topk.py) with its counted
+    undercount bound instead."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cols = {c: batch.column(c).to_numpy(zero_copy_only=False)
+                for c in key_cols + [col]}
+        df = pd.DataFrame(cols)
+        df = df[df[col].notna()]
+        g = df.groupby(key_cols + [col], dropna=False,
+                       sort=False).size().rename("cnt").reset_index()
+        out = {c: pa.Array.from_pandas(
+            g[c], type=batch.schema.field(c).type)
+            for c in key_cols + [col]}
+        out["cnt"] = pa.array(g["cnt"].to_numpy(np.int64),
+                              type=pa.int64())
+        return pa.table(out)
+
+    from .smallagg import grouped_sum
+
+    merged = grouped_sum(
+        ds.map_batches(_pin(partial), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_cols + [col], ["cnt"])
+    return top_n_per_key(merged, key_cols, "cnt", k, descending=True,
+                         tiebreak=col, num_partitions=num_partitions)

@@ -3989,6 +3989,25 @@ SELECT user_id, register, max(rho)::BIGINT AS rho FROM rr GROUP BY 1, 2""",
 )
 
 
+def _op_top_values_per_key(sf_dir: str) -> pa.Table:
+    from ..ops.rows import top_values_per_key
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_type"])
+    return _collect(top_values_per_key(ds, ["user_id"], "event_type",
+                                       k=2))
+
+
+REGISTRY["op_top_values_per_key"] = RawQ(
+    _op_top_values_per_key,
+    "SELECT user_id, event_type, cnt, "
+    "(ROW_NUMBER() OVER (PARTITION BY user_id "
+    "ORDER BY cnt DESC, event_type) - 1)::BIGINT AS rank FROM "
+    "(SELECT user_id, event_type, count(*)::BIGINT AS cnt FROM events "
+    "GROUP BY 1, 2) QUALIFY rank < 2",
+)
+
+
 def queries() -> dict[str, Callable[[str], pa.Table]]:
     return {name: (lambda sf_dir, _q=qq: _q.run(sf_dir)) for name, qq in REGISTRY.items()}
 

@@ -244,3 +244,38 @@ def test_moving_agg_cumulative(ray_session):
     got_map = {r["eid"]: (round(r["v_rsum"], 6), r["v_rcnt"])
                for r in got.to_pylist()}
     assert got_map == want
+
+
+def test_top_values_per_key_brute(ray_session, monkeypatch):
+    import collections
+
+    from ksql_ray.ops.rows import top_values_per_key
+
+    rng = np.random.default_rng(41)
+    k = rng.integers(0, 6, 2500)
+    v = rng.choice(list("abcdefgh"), 2500,
+                   p=[.3, .2, .15, .1, .1, .05, .05, .05])
+    vo = v.astype(object)
+    vo[rng.random(2500) < 0.04] = None
+    t = pa.table({"k": pa.array(k, pa.int64()), "v": pa.array(vo)})
+    got = collect(top_values_per_key(
+        ray.data.from_arrow(t).repartition(4), ["k"], "v", 3))
+    for g in range(6):
+        c = collections.Counter(x for x, kk in zip(vo, k)
+                                if kk == g and x is not None)
+        want = sorted(c.items(), key=lambda x: (-x[1], x[0]))[:3]
+        mine = sorted(((r["v"], r["cnt"]) for r in got.to_pylist()
+                       if r["k"] == g), key=lambda x: (-x[1], x[0]))
+        assert want == mine, g
+    ranks = [r["rank"] for r in got.to_pylist()]
+    assert set(ranks) <= {0, 1, 2}
+
+    import ksql_ray.ops.smallagg as sa
+    monkeypatch.setattr(sa, "_SMALL_PARTIAL_BYTES", 0)
+    slow = collect(top_values_per_key(
+        ray.data.from_arrow(t).repartition(4), ["k"], "v", 3))
+    norm = lambda tb: sorted((r["k"], r["v"], r["cnt"], r["rank"])
+                             for r in tb.to_pylist())
+    assert norm(got) == norm(slow)
+    with pytest.raises(ValueError):
+        top_values_per_key(ray.data.from_arrow(t), ["k"], "v", 0)
