@@ -678,6 +678,31 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["top_values_per_key_200k"] = min2(lambda: top_values_per_key(
         turns5(), ["role"], "conv_id", k=5).count())
 
+    from ksql_ray.ops.graph import pagerank
+
+    def edge_stream():
+        # link graph derived from the turn stream: conversation ->
+        # hashed reply bucket (multi-edges, skewed degree — the shape
+        # of a crawl graph at 200k edges / ~50k nodes)
+        def mk(b):
+            import pyarrow.compute as _pc
+            conv = b.column("conv_id")
+            tix = b.column("turn_idx")
+            bucket = _pc.add(
+                _pc.multiply(_pc.cast(tix, pa.int64()), 2654435761),
+                _pc.cast(_pc.utf8_length(conv), pa.int64()))
+            bucket = _pc.cast(
+                _pc.bit_wise_and(bucket, 0xFFFF), pa.string())
+            return pa.table({
+                "s": conv,
+                "d": _pc.binary_join_element_wise("b", bucket, ""),
+            })
+        return turns5().map_batches(mk, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    out["pagerank_200k_edges"] = min2(lambda: pagerank(
+        edge_stream(), "s", "d", damping=0.85, iters=5).count())
+
     from ksql_ray.ops.cube import cube_agg
     from ksql_ray.ops.explode import melt
 

@@ -4008,6 +4008,51 @@ REGISTRY["op_top_values_per_key"] = RawQ(
 )
 
 
+def _op_pagerank(sf_dir: str) -> pa.Table:
+    from ..ops.graph import pagerank
+
+    ds = _read_clean(f"{sf_dir}/lineitem.parquet").select_columns(
+        ["l_suppkey", "l_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": pc.binary_join_element_wise(
+                "s", pc.cast(b.column("l_suppkey"), pa.string()), ""),
+            "d": pc.binary_join_element_wise(
+                "p", pc.cast(b.column("l_partkey"), pa.string()), ""),
+        })
+
+    e = ds.map_batches(edges, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    t = _collect(pagerank(e, "s", "d", damping=0.85, iters=3))
+    return _round_cols(t, {"rank": 9})
+
+
+_PR_STEP = """
+  SELECT nodes.n, (1 - 0.85) / (SELECT nn FROM cnt)
+         + 0.85 * coalesce(agg.sc, 0) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.d AS n, SUM({prev}.r / deg.c) AS sc
+    FROM e JOIN {prev} ON {prev}.n = e.s JOIN deg ON deg.s = e.s
+    GROUP BY e.d) agg ON agg.n = nodes.n"""
+REGISTRY["op_pagerank"] = RawQ(
+    _op_pagerank,
+    # 3 unrolled iterations of the multi-edge recurrence; supplier and
+    # part keys prefixed into one string namespace (bipartite graph)
+    "WITH e AS (SELECT 's' || l_suppkey AS s, 'p' || l_partkey AS d "
+    "FROM lineitem), "
+    "nodes AS (SELECT DISTINCT s AS n FROM e "
+    "UNION SELECT DISTINCT d FROM e), "
+    "cnt AS (SELECT count(*)::DOUBLE AS nn FROM nodes), "
+    "deg AS (SELECT s, count(*)::DOUBLE AS c FROM e GROUP BY s), "
+    "r0 AS (SELECT n, 1.0 / (SELECT nn FROM cnt) AS r FROM nodes), "
+    f"r1 AS ({_PR_STEP.format(prev='r0')}), "
+    f"r2 AS ({_PR_STEP.format(prev='r1')}), "
+    f"r3 AS ({_PR_STEP.format(prev='r2')}) "
+    "SELECT n AS node, ROUND(r, 9) AS rank FROM r3",
+)
+
+
 def queries() -> dict[str, Callable[[str], pa.Table]]:
     return {name: (lambda sf_dir, _q=qq: _q.run(sf_dir)) for name, qq in REGISTRY.items()}
 
