@@ -281,8 +281,24 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("--cols", required=True,
                     help="comma-separated column names")
 
+    pg = sub.add_parser(
+        "pagerank",
+        help="link-graph centrality (ray-job entrypoint): multi-edge "
+             "PageRank over an edge parquet dir, ranks written as "
+             "parquet")
+    pg.add_argument("--input", required=True,
+                    help="edge parquet file or directory")
+    pg.add_argument("--src", required=True)
+    pg.add_argument("--dst", required=True)
+    pg.add_argument("--damping", type=float, default=0.85)
+    pg.add_argument("--iters", type=int, default=3)
+    pg.add_argument("--out", required=True,
+                    help="output directory for (node, rank) parquet")
+
     args = p.parse_args(argv)
 
+    if args.cmd == "pagerank":
+        return _run_pagerank(args)
     if args.cmd == "profile":
         return _run_profile(args)
     if args.cmd == "prep":
@@ -390,6 +406,29 @@ def _run_asof(args) -> int:
     }))
     if owns_session:
         ray.shutdown()
+    return 0
+
+
+def _run_pagerank(args) -> int:
+    import json
+    import time as _time
+
+    import ray
+    import ray.data
+
+    from .ops.graph import pagerank
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False)
+    t0 = _time.time()
+    ds = ray.data.read_parquet(args.input)
+    out = pagerank(ds, args.src, args.dst, damping=args.damping,
+                   iters=args.iters)
+    out.write_parquet(args.out)
+    n = ray.data.read_parquet(args.out).count()
+    print(json.dumps({"sec": round(_time.time() - t0, 3), "nodes": n,
+                      "iters": args.iters, "damping": args.damping,
+                      "out": args.out}))
     return 0
 
 
