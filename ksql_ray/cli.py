@@ -197,6 +197,9 @@ def main(argv: list[str] | None = None) -> int:
     hl.add_argument("--key-col", required=True)
     hl.add_argument("--p", type=int, default=12,
                     help="2^p registers (~1.04/sqrt(2^p) rel. error)")
+    hl.add_argument("--val-col", default=None,
+                    help="per-KEY mode: count distinct values of this "
+                         "column per --key-col (StreamingGroupedHLLJob)")
     hl.add_argument("--partitions", type=int, default=4)
     hl.add_argument("--files-per-epoch", type=int, default=8)
     hl.add_argument("--checkpoint-dir", default=None)
@@ -571,6 +574,26 @@ def _run_hll(args) -> int:
         print(f"error: no parquet files under {args.input}", file=sys.stderr)
         return 1
     t0 = _time.perf_counter()
+    if args.val_col:
+        from .streaming.cardinality import StreamingGroupedHLLJob
+
+        gjob = StreamingGroupedHLLJob(
+            key_col=args.key_col, val_col=args.val_col, p=args.p,
+            columns=[args.key_col, args.val_col],
+            num_partitions=args.partitions,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every, resume=args.resume)
+        gjob.run(files, files_per_epoch=args.files_per_epoch)
+        gm = gjob.finish()
+        print(json.dumps({
+            "files": len(files), "epochs": gm["epochs"],
+            "sec": round(_time.perf_counter() - t0, 3),
+            "rows_in": gm["rows_in"], "keys": gm["keys"],
+            "state_records": gm["state_records"],
+        }))
+        if owns_session:
+            ray.shutdown()
+        return 0
     job = StreamingHLLJob(
         key_col=args.key_col, p=args.p, columns=[args.key_col],
         num_partitions=args.partitions, checkpoint_dir=args.checkpoint_dir,

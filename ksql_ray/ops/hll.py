@@ -140,53 +140,58 @@ def grouped_hll_registers(ds: ray.data.Dataset, key_cols: list[str],
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
 
-    def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        col_a = batch.column(col)
-        valid = pc.is_valid(col_a).to_numpy(zero_copy_only=False)
-        vals = pc.fill_null(pc.cast(col_a, pa.string()), "").to_numpy(
-            zero_copy_only=False)
-        keys = {k: batch.column(k).to_numpy(zero_copy_only=False)
-                for k in key_cols}
-        if not valid.any():
-            return pa.table({
-                **{k: pa.array([], batch.schema.field(k).type)
-                   for k in key_cols},
-                "register": pa.array([], pa.int64()),
-                "rho": pa.array([], pa.int64())})
-        vals = vals[valid]
-        kcodes, uniq_idx = pd.factorize(
-            pd.MultiIndex.from_arrays([v[valid] for v in keys.values()])
-            if len(key_cols) > 1 else next(iter(keys.values()))[valid])
-        reg, rho = registers_from_keys(vals, p, hash)
-        m = 1 << p
-        best = np.zeros((len(uniq_idx), m), dtype=np.int64)
-        np.maximum.at(best, (kcodes, reg), rho)
-        krow, regcol = np.nonzero(best)
-        out = {}
-        for k, arr in keys.items():
-            first = np.zeros(len(uniq_idx), dtype=np.int64)
-            # first occurrence index of each factorized key
-            seen = np.full(len(uniq_idx), -1, dtype=np.int64)
-            idxs = np.arange(len(kcodes))
-            # reverse fill: later writes overwrite, so write reversed
-            seen[kcodes[::-1]] = idxs[::-1]
-            first = seen
-            src = arr[valid][first]
-            out[k] = pa.array(src[krow],
-                              type=batch.schema.field(k).type,
-                              from_pandas=True)
-        out["register"] = pa.array(regcol.astype(np.int64))
-        out["rho"] = pa.array(best[krow, regcol])
-        return pa.table(out)
-
     from .dedup import _pin
     from .smallagg import grouped_max
 
-    parts = ds.map_batches(_pin(partial), batch_format="pyarrow",
-                           zero_copy_batch=True)
+    parts = ds.map_batches(
+        _pin(lambda b: grouped_partial(b, key_cols, col, p, hash)),
+        batch_format="pyarrow", zero_copy_batch=True)
     return grouped_max(parts, key_cols + ["register"], ["rho"])
+
+
+def grouped_partial(batch: pa.Table, key_cols: list[str], col: str,
+                    p: int, hash: str) -> pa.Table:
+    """Per-batch per-key nonzero (key..., register, rho) maxima —
+    shared by the bounded op and the streaming per-key job."""
+    import pandas as pd
+
+    col_a = batch.column(col)
+    valid = pc.is_valid(col_a).to_numpy(zero_copy_only=False)
+    vals = pc.fill_null(pc.cast(col_a, pa.string()), "").to_numpy(
+        zero_copy_only=False)
+    keys = {k: batch.column(k).to_numpy(zero_copy_only=False)
+            for k in key_cols}
+    if not valid.any():
+        return pa.table({
+            **{k: pa.array([], batch.schema.field(k).type)
+               for k in key_cols},
+            "register": pa.array([], pa.int64()),
+            "rho": pa.array([], pa.int64())})
+    vals = vals[valid]
+    kcodes, uniq_idx = pd.factorize(
+        pd.MultiIndex.from_arrays([v[valid] for v in keys.values()])
+        if len(key_cols) > 1 else next(iter(keys.values()))[valid])
+    reg, rho = registers_from_keys(vals, p, hash)
+    m = 1 << p
+    best = np.zeros((len(uniq_idx), m), dtype=np.int64)
+    np.maximum.at(best, (kcodes, reg), rho)
+    krow, regcol = np.nonzero(best)
+    out = {}
+    for k, arr in keys.items():
+        first = np.zeros(len(uniq_idx), dtype=np.int64)
+        # first occurrence index of each factorized key
+        seen = np.full(len(uniq_idx), -1, dtype=np.int64)
+        idxs = np.arange(len(kcodes))
+        # reverse fill: later writes overwrite, so write reversed
+        seen[kcodes[::-1]] = idxs[::-1]
+        first = seen
+        src = arr[valid][first]
+        out[k] = pa.array(src[krow],
+                          type=batch.schema.field(k).type,
+                          from_pandas=True)
+    out["register"] = pa.array(regcol.astype(np.int64))
+    out["rho"] = pa.array(best[krow, regcol])
+    return pa.table(out)
 
 
 def grouped_hll(ds: ray.data.Dataset, key_cols: list[str], col: str,

@@ -2792,6 +2792,67 @@ def _streaming_hll(sf_dir: str) -> pa.Table:
 REGISTRY["streaming_hll"] = RawQ(_streaming_hll, _HLL_SQL)
 
 
+_GROUPED_HLL_SQL = r"""
+WITH h AS (
+  SELECT user_id,
+         ('0x' || substr(md5(coalesce(event_id::VARCHAR, '')), 1, 16))::UBIGINT
+         AS h
+  FROM events
+), rw AS (
+  SELECT user_id, (h >> 56)::BIGINT AS register,
+         h & ((1::UBIGINT << 56) - 1) AS w
+  FROM h
+), rr AS (
+  SELECT user_id, register,
+         CASE WHEN w = 0 THEN 57
+              ELSE strpos(lpad(bin(w), 56, '0'), '1') END AS rho
+  FROM rw)
+SELECT user_id, register, max(rho)::BIGINT AS rho FROM rr GROUP BY 1, 2"""
+
+
+def _streaming_grouped_hll(sf_dir: str) -> pa.Table:
+    """PER-KEY distinct-count on ingest (distinct event_ids per user):
+    events replayed as 8 micro-batch files through
+    StreamingGroupedHLLJob; the merged per-key register state must
+    equal the bounded grouped op's (max-merge is order- and
+    replay-insensitive) and the same per-key md5 SQL oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.cardinality import StreamingGroupedHLLJob
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    n = tbl.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_sghll_in_")
+    try:
+        files = []
+        for i in range(8):
+            s = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingGroupedHLLJob(
+            key_col="user_id", val_col="event_id", p=8, hash="md5",
+            columns=["user_id", "event_id"], num_partitions=4)
+        job.run(files, files_per_epoch=2)
+        m = job.finish()
+        assert m["rows_in"] == n, m
+        return job.registers()
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+
+
+REGISTRY["streaming_grouped_hll"] = RawQ(
+    _streaming_grouped_hll,
+    _GROUPED_HLL_SQL,
+)
+
+
 def _op_normalize_text(sf_dir: str) -> pa.Table:
     """Unicode canonicalization over documents with a doc-derived
     accent suffix (the fixture is ASCII; the suffix makes NFC, case
@@ -3970,22 +4031,7 @@ REGISTRY["op_grouped_hll"] = RawQ(
     _op_grouped_hll,
     # per-key register STATE (distinct event_ids per user): same md5
     # register/rho construction as _HLL_SQL, grouped by user
-    r"""
-WITH h AS (
-  SELECT user_id,
-         ('0x' || substr(md5(coalesce(event_id::VARCHAR, '')), 1, 16))::UBIGINT
-         AS h
-  FROM events
-), rw AS (
-  SELECT user_id, (h >> 56)::BIGINT AS register,
-         h & ((1::UBIGINT << 56) - 1) AS w
-  FROM h
-), rr AS (
-  SELECT user_id, register,
-         CASE WHEN w = 0 THEN 57
-              ELSE strpos(lpad(bin(w), 56, '0'), '1') END AS rho
-  FROM rw)
-SELECT user_id, register, max(rho)::BIGINT AS rho FROM rr GROUP BY 1, 2""",
+    _GROUPED_HLL_SQL,
 )
 
 

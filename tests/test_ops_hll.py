@@ -116,3 +116,65 @@ def test_streaming_hll_checkpoint_resume(ray_session, tmp_path):
     m2 = job2.finish()
     assert m2["rows_in"] == 0
     assert job2.registers().equals(want)
+
+
+def _kv(n, nkeys, nvals, seed=0):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "k": pa.array([f"g{v}" for v in rng.integers(0, nkeys, n)]),
+        "v": pa.array(rng.integers(0, nvals, n), pa.int64()),
+    })
+
+
+def test_streaming_grouped_hll_equals_bounded(ray_session, tmp_path):
+    from ksql_ray.ops.hll import grouped_hll_registers
+    from ksql_ray.streaming.cardinality import StreamingGroupedHLLJob
+
+    t = _kv(4200, 7, 900, seed=21)
+    files = []
+    for i in range(6):
+        p = os.path.join(tmp_path, f"g{i}.parquet")
+        pq.write_table(t.slice(i * 700, 700), p)
+        files.append(p)
+    job = StreamingGroupedHLLJob(key_col="k", val_col="v", p=8,
+                                 hash="fast", num_partitions=3)
+    job.run(files, files_per_epoch=2)
+    sregs = job.registers()
+    bregs = collect(grouped_hll_registers(
+        ray.data.from_arrow(t), ["k"], "v", p=8, hash="fast"))
+    bregs = bregs.take(pa.compute.sort_indices(
+        bregs, sort_keys=[("k", "ascending"),
+                          ("register", "ascending")]))
+    assert sregs.equals(bregs)
+    m = job.finish()
+    assert m["rows_in"] == 4200 and m["keys"] == 7
+
+
+def test_streaming_grouped_hll_checkpoint_replay(ray_session, tmp_path):
+    from ksql_ray.streaming.cardinality import StreamingGroupedHLLJob
+
+    t = _kv(2000, 5, 400, seed=27)
+    files = []
+    for i in range(4):
+        p = os.path.join(tmp_path, f"g{i}.parquet")
+        pq.write_table(t.slice(i * 500, 500), p)
+        files.append(p)
+    ck = str(tmp_path / "ck")
+    job = StreamingGroupedHLLJob(key_col="k", val_col="v", p=8,
+                                 hash="fast", num_partitions=2,
+                                 checkpoint_dir=ck, checkpoint_every=1)
+    job.run(files, files_per_epoch=2)
+    want = job.registers()
+    # resumed run replays nothing and restores identical state
+    job2 = StreamingGroupedHLLJob(key_col="k", val_col="v", p=8,
+                                  hash="fast", num_partitions=2,
+                                  checkpoint_dir=ck, resume=True)
+    job2.run(files, files_per_epoch=2)
+    assert job2.finish()["rows_in"] == 0
+    assert job2.registers().equals(want)
+    # replaying the same files AGAIN into a live job cannot corrupt
+    # state (register max-merge is replay-insensitive)
+    job3 = StreamingGroupedHLLJob(key_col="k", val_col="v", p=8,
+                                  hash="fast", num_partitions=2)
+    job3.run(files + files, files_per_epoch=2)
+    assert job3.registers().equals(want)
