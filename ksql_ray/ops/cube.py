@@ -292,47 +292,38 @@ def rollup_agg(ds: ray.data.Dataset, keys: list[str],
     return out
 
 
-class _PivotPartial:
-    """Actor-pool stage: dense per-batch (key × pivot value) scatter."""
+def _pivot_partial(batch: pa.Table, key_col: str, pivot_col: str,
+                   values: list[str], value_col: str) -> pa.Table:
+    """Dense per-batch (key × pivot value) scatter — stateless (the
+    label lookup costs nothing to rebuild, so plain tasks beat an
+    actor pool: the pool's startup was 4× the whole op's runtime)."""
+    import pandas as pd
 
-    def __init__(self, key_col: str, pivot_col: str, values: list[str],
-                 value_col: str):
-        self._k, self._p, self._vc = key_col, pivot_col, value_col
-        self._vals = list(values)
-        self._lookup = {v: i for i, v in enumerate(values)}
-        from ..streaming.driver import limit_worker_threads
-
-        limit_worker_threads()
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        keys = batch.column(self._k).to_numpy(zero_copy_only=False)
-        piv = batch.column(self._p)
-        # map pivot labels -> column index; unknown labels are dropped
-        codes = pc.index_in(
-            piv, value_set=pa.array(self._vals, type=piv.type)
-        ).to_numpy(zero_copy_only=False)
-        v = pc.cast(batch.column(self._vc), pa.float64())
-        vnp = v.to_numpy(zero_copy_only=False)
-        ok = ~pd.isna(codes) & ~np.isnan(vnp)
-        kcodes, uniq = pd.factorize(keys[ok])
-        pcodes = codes[ok].astype(np.int64)
-        nv = len(self._vals)
-        sums = np.zeros((len(uniq), nv))
-        cnts = np.zeros((len(uniq), nv), dtype=np.int64)
-        np.add.at(sums, (kcodes, pcodes), vnp[ok])
-        np.add.at(cnts, (kcodes, pcodes), 1)
-        out = {self._k: pa.array(uniq)}
-        for j, name in enumerate(self._vals):
-            out[f"__s_{name}"] = pa.array(sums[:, j])
-            out[f"__c_{name}"] = pa.array(cnts[:, j], type=pa.int64())
-        return pa.table(out)
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+    piv = batch.column(pivot_col)
+    # map pivot labels -> column index; unknown labels are dropped
+    codes = pc.index_in(
+        piv, value_set=pa.array(values, type=piv.type)
+    ).to_numpy(zero_copy_only=False)
+    v = pc.cast(batch.column(value_col), pa.float64())
+    vnp = v.to_numpy(zero_copy_only=False)
+    ok = ~pd.isna(codes) & ~np.isnan(vnp)
+    kcodes, uniq = pd.factorize(keys[ok])
+    pcodes = codes[ok].astype(np.int64)
+    nv = len(values)
+    sums = np.zeros((len(uniq), nv))
+    cnts = np.zeros((len(uniq), nv), dtype=np.int64)
+    np.add.at(sums, (kcodes, pcodes), vnp[ok])
+    np.add.at(cnts, (kcodes, pcodes), 1)
+    out = {key_col: pa.array(uniq)}
+    for j, name in enumerate(values):
+        out[f"__s_{name}"] = pa.array(sums[:, j])
+        out[f"__c_{name}"] = pa.array(cnts[:, j], type=pa.int64())
+    return pa.table(out)
 
 
 def pivot_agg(ds: ray.data.Dataset, key_col: str, pivot_col: str,
-              values: list[str], value_col: str,
-              concurrency=(1, 8)) -> ray.data.Dataset:
+              values: list[str], value_col: str) -> ray.data.Dataset:
     """Crosstab: one row per ``key_col`` with ``<value>_sum`` /
     ``<value>_cnt`` columns per pivot value — SQL
     ``SUM(CASE WHEN pivot = v THEN value END) AS v_sum`` (NULL when
@@ -342,10 +333,9 @@ def pivot_agg(ds: ray.data.Dataset, key_col: str, pivot_col: str,
         raise ValueError("values must be non-empty")
     wide_cols = [c for v in values for c in (f"__s_{v}", f"__c_{v}")]
     parts = ds.map_batches(
-        _PivotPartial,
-        fn_constructor_args=(key_col, pivot_col, values, value_col),
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency)
+        _pin(lambda b: _pivot_partial(b, key_col, pivot_col,
+                                      list(values), value_col)),
+        batch_format="pyarrow", zero_copy_batch=True)
     from .smallagg import grouped_sum
 
     # partials carry one row per per-batch distinct key -> usually small

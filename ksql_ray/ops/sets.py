@@ -36,6 +36,11 @@ from .rows import _key_arrays, _segment_starts
 
 __all__ = ["intersect_distinct", "except_distinct", "semi_join_filter"]
 
+# key sets at or under this size ride the task closure (serialized once
+# per worker); larger sets go through ray.put + an actor pool so the
+# bytes live in plasma instead of every task spec
+_CLOSURE_KEYS_BYTES = 8 * 1024 * 1024
+
 
 def _tagged(ds: ray.data.Dataset, cols: list[str], tag: int):
     """Per-batch-DISTINCT key projection tagged with its side: the
@@ -190,6 +195,17 @@ def semi_join_filter(left: ray.data.Dataset, right: ray.data.Dataset,
     else:  # empty right side: semi keeps nothing, anti keeps all
         keys = pa.array(
             [], type=left.schema().base_schema.field(left_on).type)
+    if keys.nbytes <= _CLOSURE_KEYS_BYTES:
+        # small key set: ship it in the task closure (serialized once
+        # per worker process) — plain tasks skip the actor pool's
+        # ~2 s startup, which was 3x the whole op's runtime
+        def fil(batch: pa.Table) -> pa.Table:
+            m = pc.fill_null(
+                pc.is_in(batch.column(left_on), value_set=keys), False)
+            return batch.filter(pc.invert(m) if anti else m)
+
+        return left.map_batches(_pin(fil), batch_format="pyarrow",
+                                zero_copy_batch=True)
     ref = ray.put(keys)
     return left.map_batches(
         _IsInFilter, fn_constructor_args=(ref, left_on, anti),
