@@ -201,3 +201,38 @@ def test_grouped_hll_accuracy_and_paths(ray_session, monkeypatch):
     assert norm(fast) == norm(slow)
     with pytest.raises(ValueError):
         grouped_hll_registers(ray.data.from_arrow(t), ["k"], "v", p=2)
+
+
+def test_weighted_sample_monotone_in_rate(ray_session):
+    """kept(rate1) is a SUBSET of kept(rate2) for rate1 < rate2 — the
+    threshold is monotone in rate per row, so raising the rate can only
+    add rows (the property resumable sampling pipelines rely on)."""
+    rng = np.random.default_rng(47)
+    t = pa.table({"id": pa.array(np.arange(3000), pa.int64()),
+                  "w": pa.array(np.round(rng.uniform(0, 100, 3000), 2))})
+
+    def kept(rate):
+        got = collect(weighted_sample(
+            ray.data.from_arrow(t).repartition(4), "id", "w",
+            rate=rate, scale=100.0, method="fast"))
+        return {r["id"] for r in got.to_pylist()}
+
+    a, b, c = kept(0.05), kept(0.2), kept(0.8)
+    assert a <= b <= c
+    assert len(a) < len(b) < len(c)
+
+
+def test_split_assign_seed_reshuffles_but_partitions(ray_session):
+    t = pa.table({"k": pa.array([f"u{i}" for i in range(800)])})
+
+    def splits(seed):
+        got = collect(split_assign(ray.data.from_arrow(t), "k",
+                                   seed=seed))
+        return {r["k"]: r["split"] for r in got.to_pylist()}
+
+    s1, s2 = splits(""), splits("v2")
+    assert set(s1) == set(s2)                      # total partition
+    assert any(s1[k] != s2[k] for k in s1)         # seed reshuffles
+    for s in (s1, s2):                             # proportions hold
+        frac = sum(1 for v in s.values() if v == "train") / len(s)
+        assert 0.7 < frac < 0.9
