@@ -1003,13 +1003,27 @@ def main() -> None:
     ops = run_ops_bench(sf_dir, num_cpus)
     total = round(sum(queries.values()) + streaming["sec"], 3)
     print(json.dumps({
+        "metric": "detail: per-op timings (see final summary line)",
+        "value": total,
+        "unit": "sec",
+        "ops": ops,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }))
+    # compact summary LAST: the driver keeps only the TAIL of bench
+    # stdout, and the full ops dict (65+ entries) once pushed the
+    # parseable headline out of the truncation window (BENCH_r03
+    # recorded "parsed": null). Everything the driver needs to parse
+    # lives on this short final line.
+    print(json.dumps({
         "metric": "end-to-end windowed-aggregate + join throughput "
                   "(headline queries + transcript streaming)",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "streaming": streaming,
-        "ops": ops,
+        "ops_benched": len(ops),
+        "suite_sec": total,
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }))

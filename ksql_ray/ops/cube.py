@@ -308,14 +308,19 @@ def _pivot_partial(batch: pa.Table, key_col: str, pivot_col: str,
     v = pc.cast(batch.column(value_col), pa.float64())
     vnp = v.to_numpy(zero_copy_only=False)
     ok = ~pd.isna(codes) & ~np.isnan(vnp)
-    kcodes, uniq = pd.factorize(keys[ok])
+    # use_na_sentinel=False: a NULL key is a REAL pivot row (SQL GROUP
+    # BY keeps it; rollup/cube in this module use dropna=False), not
+    # the -1 sentinel that would np.add.at-fold null-key rows into the
+    # LAST factorized key's sums.
+    kcodes, uniq = pd.factorize(keys[ok], use_na_sentinel=False)
     pcodes = codes[ok].astype(np.int64)
     nv = len(values)
     sums = np.zeros((len(uniq), nv))
     cnts = np.zeros((len(uniq), nv), dtype=np.int64)
     np.add.at(sums, (kcodes, pcodes), vnp[ok])
     np.add.at(cnts, (kcodes, pcodes), 1)
-    out = {key_col: pa.array(uniq)}
+    out = {key_col: pa.array(uniq, type=batch.schema.field(key_col).type,
+                             from_pandas=True)}
     for j, name in enumerate(values):
         out[f"__s_{name}"] = pa.array(sums[:, j])
         out[f"__c_{name}"] = pa.array(cnts[:, j], type=pa.int64())

@@ -42,8 +42,17 @@ def numeric_histogram(ds: ray.data.Dataset, col: str, bins: int = 16,
         from ray.data.aggregate import Max, Min
 
         mm = ds.aggregate(Min(col), Max(col))
-        lo = float(mm[f"min({col})"]) if lo is None else lo
-        hi = float(mm[f"max({col})"]) if hi is None else hi
+        mn, mx = mm[f"min({col})"], mm[f"max({col})"]
+        if (lo is None and mn is None) or (hi is None and mx is None):
+            # empty / all-NULL column: no rows to bin -> empty result
+            # (not a float(None) TypeError)
+            return ray.data.from_arrow(pa.table({
+                "bin": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.float64()),
+                "hi": pa.array([], pa.float64()),
+                "cnt": pa.array([], pa.int64())}))
+        lo = float(mn) if lo is None else lo
+        hi = float(mx) if hi is None else hi
     if not hi > lo:             # constant column: everything in bin 0
         bins = 1
     w = (hi - lo) / bins

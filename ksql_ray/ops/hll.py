@@ -136,7 +136,9 @@ def grouped_hll_registers(ds: ray.data.Dataset, key_cols: list[str],
     ints per key no matter how many distinct values the key has).
     Partials: per batch, a dense (batch keys x 2^p) ``np.maximum.at``
     scatter, emitted as nonzero rows only; merge is one compact
-    ``grouped_max``. NULL values are skipped."""
+    ``grouped_max``. NULL values are skipped; NULL keys form their own
+    group (SQL GROUP BY semantics, matching the merge task's
+    ``groupby(dropna=False)``)."""
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
 
@@ -168,9 +170,15 @@ def grouped_partial(batch: pa.Table, key_cols: list[str], col: str,
             "register": pa.array([], pa.int64()),
             "rho": pa.array([], pa.int64())})
     vals = vals[valid]
+    # use_na_sentinel=False: NULL keys are a REAL group (code >= 0),
+    # never the -1 sentinel — a -1 here would wrap the np.maximum.at
+    # row index and max-merge null-key rows into the LAST key's
+    # registers (and an all-null batch would scatter into a 0-row
+    # array). Matches the merge task's groupby(dropna=False).
     kcodes, uniq_idx = pd.factorize(
         pd.MultiIndex.from_arrays([v[valid] for v in keys.values()])
-        if len(key_cols) > 1 else next(iter(keys.values()))[valid])
+        if len(key_cols) > 1 else next(iter(keys.values()))[valid],
+        use_na_sentinel=False)
     reg, rho = registers_from_keys(vals, p, hash)
     m = 1 << p
     best = np.zeros((len(uniq_idx), m), dtype=np.int64)

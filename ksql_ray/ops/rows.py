@@ -177,7 +177,9 @@ def rank_per_key(ds: ray.data.Dataset, key_cols: list[str],
     (ties share the first row number, gaps after), and ``dense_rank``
     (ties share, no gaps) — ``ROW_NUMBER()/RANK()/DENSE_RANK() OVER
     (PARTITION BY key ORDER BY order_col [DESC])``. Ties are equal
-    ``order_col`` values; the tiebreak only sequences row_number.
+    ``order_col`` values; NULL order values are peers of each other
+    (one shared rank, SQL semantics); the tiebreak only sequences
+    row_number.
 
     Same shape as the other row ops: ONE key shuffle, one vectorized
     per-partition sort + segment pass."""
@@ -199,9 +201,21 @@ def rank_per_key(ds: ray.data.Dataset, key_cols: list[str],
         keys = _key_arrays(tbl, key_cols)
         seg = _segment_starts(keys, n)
         rn = np.arange(n, dtype=np.int64) - seg + 1
-        # tie runs: equal key AND equal order value
-        order = tbl.column(order_col).to_numpy(zero_copy_only=False)
-        run = _segment_starts(keys + [order], n)
+        # tie runs: equal key AND equal order value. NULL order values
+        # are PEERS (share a rank, SQL semantics) — a raw numpy != on a
+        # float/datetime column would make every NaN/NaT its own run.
+        order_a = tbl.column(order_col)
+        order = order_a.to_numpy(zero_copy_only=False)
+        onull = pc.is_null(order_a).to_numpy(zero_copy_only=False)
+        change = np.zeros(n, dtype=bool)
+        for k in keys:
+            change[1:] |= k[1:] != k[:-1]
+        change[1:] |= ((order[1:] != order[:-1])
+                       & ~(onull[1:] & onull[:-1]))
+        run = np.zeros(n, dtype=np.int64)
+        idx = np.flatnonzero(change)
+        run[idx] = idx
+        np.maximum.accumulate(run, out=run)
         rank = run - seg + 1
         # dense rank: per-key ordinal of the tie run (sessionize logic)
         new = np.zeros(n, dtype=bool)
@@ -224,9 +238,12 @@ def transition_counts(ds: ray.data.Dataset, key_cols: list[str],
     ``(from_label, to_label, cnt)`` — the role-transition matrix of a
     turn stream (user→assistant, assistant→tool, ...) — SQL
     ``LEAD(label) OVER (PARTITION BY key ORDER BY ...)`` then
-    ``GROUP BY label, next``. ONE key shuffle for the pairing; the
-    final groupby moves only per-partition (from, to, cnt) partials
-    (bounded by the label alphabet squared, not the row count)."""
+    ``GROUP BY label, next``. NULL labels never form transitions (a
+    pair is dropped when either endpoint is NULL, matching the
+    oracle's LEAD-is-not-null filter). ONE key shuffle for the
+    pairing; the final groupby moves only per-partition (from, to,
+    cnt) partials (bounded by the label alphabet squared, not the row
+    count)."""
     sort_spec = ([(k, "ascending") for k in key_cols]
                  + [(order_col, "ascending")]
                  + ([(tiebreak, "ascending")] if tiebreak else []))
@@ -248,6 +265,12 @@ def transition_counts(ds: ray.data.Dataset, key_cols: list[str],
             adj &= k[1:] == k[:-1]
         lab = tbl.column(label_col).to_numpy(zero_copy_only=False)
         frm, to = lab[:-1][adj], lab[1:][adj]
+        # NULL labels do not form transitions (matches the SQL oracle,
+        # where LEAD()'s NULL rows are filtered out) — and a -1
+        # factorize sentinel would make `packed` negative and crash
+        # np.bincount.
+        ok = ~(pd.isna(frm) | pd.isna(to))
+        frm, to = frm[ok], to[ok]
         if not len(frm):
             return empty
         # factorize over the combined alphabet, pack (from, to) codes

@@ -73,7 +73,14 @@ def assert_tables_equal(actual, expected, sort_by=None, float_tol=1e-9):
     def _scalar(v):
         return not isinstance(v, (list, dict, tuple, np.ndarray))
 
-    sort_cols = sort_by or [c for c in cols if a[c].map(_scalar).all() and e[c].map(_scalar).all()]
+    def _all_scalar(s):
+        # plain python all(): Series.map(...).all() keeps the input
+        # dtype on EMPTY series, and .all() on datetime64 is a pandas
+        # FutureWarning headed for an error
+        return all(_scalar(v) for v in s)
+
+    sort_cols = sort_by or [c for c in cols
+                            if _all_scalar(a[c]) and _all_scalar(e[c])]
     a = a.sort_values(sort_cols, ignore_index=True)
     e = e.sort_values(sort_cols, ignore_index=True)
     for c in cols:
