@@ -42,6 +42,35 @@ def test_pagerank_brute(ray_session):
         assert got[nm] == pytest.approx(want[nm], abs=1e-12), nm
 
 
+def test_pagerank_partition_invariance(ray_session):
+    # rank state partitioned by node range: result must not depend on
+    # the partition count (P=1 degenerate vs many slices vs > nodes)
+    rng = np.random.default_rng(7)
+    m = 3000
+    src = [f"n{v:03d}" for v in rng.integers(0, 40, m)]
+    dst = [f"n{v:03d}" for v in rng.integers(0, 40, m)]
+    t = pa.table({"s": pa.array(src), "d": pa.array(dst)})
+    ds = ray.data.from_arrow(t).repartition(4)
+    base = collect(pagerank(ds, "s", "d", 0.85, 3, partitions=1))
+    base = {r["node"]: r["rank"] for r in base.to_pylist()}
+    for P in (3, 7, 64):        # 64 > n_nodes: empty tail slices
+        got = {r["node"]: r["rank"] for r in collect(pagerank(
+            ds, "s", "d", 0.85, 3, partitions=P)).to_pylist()}
+        assert set(got) == set(base)
+        for nm in base:
+            assert got[nm] == pytest.approx(base[nm], abs=1e-14), (P, nm)
+    with pytest.raises(ValueError):
+        pagerank(ds, "s", "d", partitions=0)
+
+
+def test_pagerank_empty(ray_session):
+    t = pa.table({"s": pa.array([], pa.string()),
+                  "d": pa.array([], pa.string())})
+    out = collect(pagerank(ray.data.from_arrow(t), "s", "d"))
+    assert out.num_rows == 0
+    assert out.column_names == ["node", "rank"]
+
+
 def test_pagerank_dangling_and_multiedge(ray_session):
     # b is dangling (rank leaks); a->b twice = double weight vs a->c
     t = pa.table({"s": pa.array(["a", "a", "a"]),
