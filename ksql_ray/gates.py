@@ -1,0 +1,201 @@
+"""One-command correctness sweep: run every registered gate's Ray
+pipeline AND its DuckDB oracle side by side and write the same
+``{rows_match, schema_match, hash_match, ...}`` JSON record the graft
+driver produces — so "all N gates green" is reproducible by anyone:
+
+    python -m ksql_ray.gates --all --num-cpus 32 \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/gates.json
+
+The compare mirrors the driver: sort columns by name, sort rows by
+every scalar column, then (a) value-compare with a small float
+tolerance and (b) md5 a canonical rendering with floats rounded to 9
+significant decimals (gate outputs are pre-rounded by the harness, so
+the hash is stable across summation orders). Gates without an oracle
+(``sql=None`` — non-SQL-expressible protocols) get a rows-only check,
+exactly like the driver's weaker record.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _scalar(v) -> bool:
+    return not isinstance(v, (list, dict, tuple, np.ndarray))
+
+
+def _norm(v):
+    if isinstance(v, (list, tuple)):
+        return [_norm(x) for x in v]
+    if hasattr(v, "tolist"):
+        return _norm(v.tolist())
+    return v
+
+
+def _render(v) -> str:
+    import decimal
+
+    if _scalar(v) and pd.isna(v):
+        return "~"
+    if isinstance(v, (float, np.floating, decimal.Decimal)):
+        # one numeric rendering regardless of dtype: DuckDB returns
+        # DECIMAL columns as object-dtype decimal.Decimal ('0.90')
+        # where the engine has float64 (0.9)
+        return f"{float(v):.9g}"
+    if isinstance(v, (bool, np.bool_)):
+        return "T" if v else "F"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    return repr(_norm(v))
+
+
+def _canonical(df: pd.DataFrame) -> str:
+    """Deterministic rendering: 9-significant-digit numerics (any
+    dtype), NULLs as a sentinel, rows already sorted by the caller."""
+    parts = [[_render(v) for v in df[c]] for c in df.columns]
+    return "\n".join("\x1f".join(row) for row in zip(*parts))
+
+
+def compare(actual: pa.Table, expected: pa.Table,
+            float_tol: float = 1e-6) -> dict:
+    rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "engine_rows": actual.num_rows,
+           "oracle_rows": expected.num_rows, "err": None}
+    a, e = actual.to_pandas(), expected.to_pandas()
+    rec["schema_match"] = sorted(a.columns) == sorted(e.columns)
+    rec["rows_match"] = len(a) == len(e)
+    if not (rec["schema_match"] and rec["rows_match"]):
+        rec["hash_match"] = False
+        return rec
+    cols = sorted(a.columns)
+    a, e = a[cols].reset_index(drop=True), e[cols].reset_index(drop=True)
+    sort_cols = [c for c in cols
+                 if all(_scalar(v) for v in a[c])
+                 and all(_scalar(v) for v in e[c])]
+    if sort_cols:
+        a = a.sort_values(sort_cols, ignore_index=True)
+        e = e.sort_values(sort_cols, ignore_index=True)
+    ok = True
+    for c in cols:
+        av, ev = a[c], e[c]
+        try:
+            if av.dtype.kind == "f" or ev.dtype.kind == "f":
+                pd.testing.assert_series_equal(
+                    av.astype(float), ev.astype(float),
+                    rtol=1e-9, atol=float_tol, check_names=False)
+            else:
+                try:
+                    pd.testing.assert_series_equal(
+                        av, ev, check_names=False, check_dtype=False)
+                except AssertionError:
+                    if list(map(_norm, av)) != list(map(_norm, ev)):
+                        raise
+        except AssertionError:
+            ok = False
+            rec["err"] = f"column {c} differs"
+            break
+    ha = hashlib.md5(_canonical(a).encode()).hexdigest()
+    he = hashlib.md5(_canonical(e).encode()).hexdigest()
+    rec["engine_hash"], rec["oracle_hash"] = ha, he
+    # values_match is the tolerance-aware verdict; hash equality is the
+    # strict driver-style one — report the stricter AND
+    rec["hash_match"] = ok and ha == he
+    return rec
+
+
+def run_sweep(sf_dir: str, gates: list[str] | None = None,
+              float_tol: float = 1e-6) -> dict:
+    import duckdb
+
+    from .pipelines.driver_queries import REGISTRY
+
+    names = gates or list(REGISTRY)
+    unknown = sorted(set(names) - set(REGISTRY))
+    if unknown:
+        raise SystemExit(f"unknown gates: {unknown}")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf_dir}/{t}.parquet'")
+    out = {}
+    for name in names:
+        qq = REGISTRY[name]
+        t0 = time.time()
+        try:
+            actual = qq.run(sf_dir)
+            if qq.sql is None:
+                out[name] = {"rows_match": actual.num_rows >= 0,
+                             "schema_match": None, "hash_match": None,
+                             "engine_rows": actual.num_rows,
+                             "oracle_rows": None, "err": None}
+            else:
+                out[name] = compare(actual, con.execute(qq.sql).arrow(),
+                                    float_tol)
+        except Exception as ex:       # noqa: BLE001 — record, continue
+            out[name] = {"rows_match": False, "schema_match": False,
+                         "hash_match": False, "engine_rows": None,
+                         "oracle_rows": None,
+                         "err": f"{type(ex).__name__}: {ex}"}
+        out[name]["sec"] = round(time.time() - t0, 3)
+        status = ("OK" if out[name]["hash_match"]
+                  or (qq.sql is None and out[name]["rows_match"])
+                  else "FAIL")
+        print(f"{status:4s} {name} rows={out[name]['engine_rows']} "
+              f"{out[name]['sec']}s", flush=True)
+    con.close()
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m ksql_ray.gates",
+        description="run gate pipelines vs their DuckDB oracles")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--num-cpus", type=int, default=32)
+    ap.add_argument("--all", action="store_true",
+                    help="run every registered gate (default when no "
+                         "--gates given)")
+    ap.add_argument("--gates", default=None,
+                    help="comma-separated gate names")
+    ap.add_argument("--out", default=None, help="write JSON record here")
+    ap.add_argument("--float-tol", type=float, default=1e-6)
+    args = ap.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+        ray.data.DataContext.get_current().enable_progress_bars = False
+
+    gates = (args.gates.split(",") if args.gates else None)
+    t0 = time.time()
+    out = run_sweep(args.sf_dir, gates, args.float_tol)
+    failed = [n for n, r in out.items()
+              if not (r["hash_match"]
+                      or (r["hash_match"] is None and r["rows_match"]))]
+    summary = {"gates": len(out), "failed": failed,
+               "sec": round(time.time() - t0, 1),
+               "sf_dir": args.sf_dir, "num_cpus": args.num_cpus}
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"summary": summary, "results": out}, f, indent=1)
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -187,11 +187,12 @@ def kmeans(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
     return ray.data.from_arrow_refs(refs)
 
 
-def semdedup(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
+def semdedup(ds: ray.data.Dataset, k: int | None = 8, iters: int = 3,
              tau: float = 0.4, id_col: str = "vec_id",
              vec_col: str = "embedding", round_dp: int = 6,
              concurrency=None, num_partitions: int = 16,
-             max_cluster_pairwise: int = 8192) -> ray.data.Dataset:
+             max_cluster_pairwise: int = 8192,
+             rows_per_cluster: int = 1000) -> ray.data.Dataset:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means the
     embedding space, then within each cluster drop every vector whose
     cosine similarity to a LOWER-id vector of the same cluster is
@@ -205,7 +206,17 @@ def semdedup(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
     ``max_cluster_pairwise`` get pairwise over their lowest-id members
     only (the tail is kept unconditionally) and are COUNTED to the stats
     actor (``semdedup.capped_clusters``/``capped_members`` — no silent
-    caps). At 10^9+ docs, raise k so |c| ~ corpus/k stays under the cap.
+    caps).
+
+    ``k=None`` auto-sizes k from the corpus: k = ceil(n /
+    ``rows_per_cluster``) (floor 8) — the paper-realistic regime (the
+    SemDeDup paper runs k=50,000 on 233M LAION rows ≈ n/4,700; k must
+    GROW with the corpus or the per-cluster pairwise term O(n²/k·d)
+    dominates: measured on 100k×64d rows, k=8 → 12.5M avg pairwise
+    rows² per cluster vs k=100 → 0.08M, an ~18× wall-time drop on the
+    dedup pass — see BASELINE.md "SemDeDup auto-k"). The gate pins
+    k=fixed for its unrolled-Lloyd oracle; pipelines should prefer
+    ``k=None``.
 
     Determinism contract (what lets the unrolled-Lloyd DuckDB oracle be
     bit-equal): same seed/tie/rounding rules as :func:`kmeans`, cosine =
@@ -218,6 +229,9 @@ def semdedup(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
 
     ensure_stats_actor()
     proj = ds.select_columns([id_col, vec_col]).materialize()
+    if k is None:
+        n_rows = proj.count()   # materialized: metadata-only, no scan
+        k = min(n_rows, max(8, -(-n_rows // rows_per_cluster)))
     groups = _task_groups(proj)
     cents = _lloyd(groups, k, iters, id_col, vec_col, round_dp)
     cref = ray.put(cents)

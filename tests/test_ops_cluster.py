@@ -117,6 +117,28 @@ def test_semdedup_vs_numpy(ray_session):
     assert g[5] and g[50] and g[90]
 
 
+def test_semdedup_auto_k(ray_session):
+    """k=None derives k = ceil(n/rows_per_cluster) (floor 8) and must
+    match an explicit-k run of the same derived value exactly."""
+    from ksql_ray.ops.cluster import semdedup
+
+    rng = np.random.default_rng(13)
+    mat = rng.normal(size=(200, 12)).astype(np.float32)
+    mat[150] = mat[20] + rng.normal(scale=0.01, size=12).astype(np.float32)
+    ids = np.arange(200, dtype=np.int64)
+    # 200 rows / rows_per_cluster=20 -> k=10 (> floor 8)
+    auto = semdedup(_ds(ids, mat), k=None, iters=2, tau=0.995,
+                    rows_per_cluster=20).to_pandas()
+    expl = semdedup(_ds(ids, mat), k=10, iters=2, tau=0.995).to_pandas()
+    a = auto.sort_values("vec_id", ignore_index=True)
+    e = expl.sort_values("vec_id", ignore_index=True)
+    assert a.equals(e)
+    # floor: tiny corpus still gets k=8 (clamped to n when n < 8)
+    small = semdedup(_ds(ids[:5], mat[:5]), k=None, iters=1,
+                     tau=0.995).to_pandas()
+    assert small["cluster"].nunique() <= 5
+
+
 def test_semdedup_cap_counted(ray_session):
     """Clusters above max_cluster_pairwise keep the tail unconditionally
     and count to the stats actor — no silent caps."""
