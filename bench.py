@@ -455,6 +455,13 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         lambda: semdedup(ray.data.read_parquet(vec_path), k=16, iters=3,
                          tau=0.9, concurrency=(1, 16)).count())
 
+    # auto-k regime (k = n/1000 = 100 here): the per-cluster pairwise
+    # term O(n^2/k) drops ~6x vs k=16 — the knob that keeps SemDeDup
+    # viable as the corpus grows (see ops/cluster.semdedup docstring)
+    out["semdedup_100k_autok"] = min2(
+        lambda: semdedup(ray.data.read_parquet(vec_path), k=None,
+                         iters=3, tau=0.9, concurrency=(1, 16)).count())
+
     # span-level exact dedup over the 200k transcript-derived docs
     # (templated text -> heavy chunk overlap; exercises the rebuild)
     from ksql_ray.ops.spans import chunk_dedup
@@ -638,6 +645,15 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         tiebreak="turn_idx").count())
     out["cumulative_agg_200k"] = min2(lambda: moving_agg(
         turns3(), ["conv_id"], "ts", "turn_idx", window_rows=None,
+        tiebreak="turn_idx").count())
+
+    from ksql_ray.ops.rows import first_last_per_key, rank_dist_per_key
+
+    out["rank_dist_200k"] = min2(lambda: rank_dist_per_key(
+        turns5(), ["conv_id"], "role", n_tiles=4,
+        tiebreak="turn_idx").count())
+    out["first_last_200k"] = min2(lambda: first_last_per_key(
+        turns5(), ["conv_id"], "ts", ["role"], nth=3,
         tiebreak="turn_idx").count())
 
     # set ops + broadcast semi-join + histogram over the turn stream
@@ -975,8 +991,15 @@ def main() -> None:
 
     import logging
 
+    # --object-store-gb N: cap plasma (the memory-bounded scale proof —
+    # a 64M-turn merge under a 16 GiB store shows no stage ever needs
+    # aggregate-volume memory; Ray spills the excess; see BASELINE.md)
+    oss = None
+    if "--object-store-gb" in sys.argv:
+        oss = int(float(
+            sys.argv[sys.argv.index("--object-store-gb") + 1]) * 2 ** 30)
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", object_store_memory=oss)
     ray.data.DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
@@ -986,7 +1009,22 @@ def main() -> None:
         return
 
     if "--multisource" in sys.argv:
-        print(json.dumps(run_multisource(sf_dir, num_cpus)))
+        res = run_multisource(sf_dir, num_cpus)
+        if oss is not None:
+            # no grpc module in this env, so memory_summary() is
+            # unavailable — measure the session's spill directory
+            # directly (object_spilling_config default: filesystem
+            # under <session>/ray_spilled_objects)
+            import glob as _glob
+
+            sess = ray._private.worker._global_node.get_session_dir_path()
+            spilled = _glob.glob(os.path.join(
+                sess, "ray_spilled_objects*", "*"))
+            res["object_store_gb"] = round(oss / 2 ** 30, 1)
+            res["spilled_files"] = len(spilled)
+            res["spilled_gb"] = round(
+                sum(os.path.getsize(p) for p in spilled) / 2 ** 30, 2)
+        print(json.dumps(res))
         ray.shutdown()
         return
 

@@ -34,7 +34,8 @@ import ray.data
 from .dedup import _partition_by, _pin
 
 __all__ = ["top_n_per_key", "sessionize", "with_lag", "with_lead",
-           "moving_agg", "rank_per_key", "transition_counts",
+           "moving_agg", "rank_per_key", "rank_dist_per_key",
+           "first_last_per_key", "transition_counts",
            "top_values_per_key"]
 
 
@@ -225,6 +226,148 @@ def rank_per_key(ds: ray.data.Dataset, key_cols: list[str],
         tbl = tbl.append_column("row_number", pa.array(rn))
         tbl = tbl.append_column("rank", pa.array(rank))
         return tbl.append_column("dense_rank", pa.array(dense))
+
+    return _partition_by(ds, key_cols, num_partitions).map_groups(
+        _pin(label), batch_format="pyarrow")
+
+
+def _segment_ends(seg: np.ndarray, n: int) -> np.ndarray:
+    """Exclusive end index of each row's segment (input: per-row start
+    indexes from :func:`_segment_starts`)."""
+    starts = np.unique(seg)
+    ends = np.r_[starts[1:], n]
+    return ends[np.searchsorted(starts, seg)]
+
+
+def rank_dist_per_key(ds: ray.data.Dataset, key_cols: list[str],
+                      order_col: str, n_tiles: int = 4,
+                      descending: bool = False,
+                      tiebreak: str | None = None,
+                      num_partitions: int = 32) -> ray.data.Dataset:
+    """Rows with the SQL distribution-window family attached per key
+    over ``order_col``: ``percent_rank`` ((rank-1)/(cnt-1); 0.0 for a
+    single-row key), ``cume_dist`` (fraction of key rows at or before
+    the current peer group), and 1-based ``tile`` — ``PERCENT_RANK()/
+    CUME_DIST()/NTILE(n) OVER (PARTITION BY key ORDER BY order_col
+    [DESC][, tiebreak])``. NTILE follows SQL exactly: the first
+    ``cnt % n`` tiles hold one extra row; its row numbering uses the
+    tiebreak (pass one for a total order, as SQL needs for
+    deterministic NTILE). Tie peers share percent_rank/cume_dist; NULL
+    order values are peers of each other (SQL semantics).
+
+    Same shape as the other row ops: ONE key shuffle, one vectorized
+    per-partition sort + segment pass."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    direction = "descending" if descending else "ascending"
+    sort_spec = ([(k, "ascending") for k in key_cols]
+                 + [(order_col, direction)]
+                 + ([(tiebreak, "ascending")] if tiebreak else []))
+
+    def label(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            group = group.append_column(
+                "percent_rank", pa.array([], type=pa.float64()))
+            group = group.append_column(
+                "cume_dist", pa.array([], type=pa.float64()))
+            return group.append_column(
+                "tile", pa.array([], type=pa.int64()))
+        tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
+        n = tbl.num_rows
+        keys = _key_arrays(tbl, key_cols)
+        seg = _segment_starts(keys, n)
+        end = _segment_ends(seg, n)
+        cnt = end - seg
+        # tie runs (same NULL-peer rule as rank_per_key)
+        order_a = tbl.column(order_col)
+        order = order_a.to_numpy(zero_copy_only=False)
+        onull = pc.is_null(order_a).to_numpy(zero_copy_only=False)
+        change = np.zeros(n, dtype=bool)
+        for k in keys:
+            change[1:] |= k[1:] != k[:-1]
+        change[1:] |= ((order[1:] != order[:-1])
+                       & ~(onull[1:] & onull[:-1]))
+        run = np.zeros(n, dtype=np.int64)
+        idx = np.flatnonzero(change)
+        run[idx] = idx
+        np.maximum.accumulate(run, out=run)
+        rank = run - seg + 1
+        prk = np.where(cnt > 1, (rank - 1) / np.maximum(cnt - 1, 1), 0.0)
+        cume = (_segment_ends(run, n) - seg) / cnt
+        # SQL NTILE over the 0-based (tiebreak-total) row number: the
+        # first cnt % t tiles get floor(cnt/t)+1 rows, the rest get
+        # floor(cnt/t)
+        rn0 = np.arange(n, dtype=np.int64) - seg
+        small = cnt // n_tiles
+        extra = cnt % n_tiles
+        boundary = extra * (small + 1)
+        tile = np.where(
+            rn0 < boundary, rn0 // (small + 1),
+            extra + (rn0 - boundary) // np.maximum(small, 1)) + 1
+        tbl = tbl.append_column("percent_rank", pa.array(prk))
+        tbl = tbl.append_column("cume_dist", pa.array(cume))
+        return tbl.append_column("tile",
+                                 pa.array(tile, type=pa.int64()))
+
+    return _partition_by(ds, key_cols, num_partitions).map_groups(
+        _pin(label), batch_format="pyarrow")
+
+
+def first_last_per_key(ds: ray.data.Dataset, key_cols: list[str],
+                       order_col: str, value_cols: list[str],
+                       nth: int | None = None,
+                       descending: bool = False,
+                       tiebreak: str | None = None,
+                       num_partitions: int = 32) -> ray.data.Dataset:
+    """Rows with each ``value_cols`` column's first / last (and, when
+    ``nth`` is given, nth) same-key value in ``order_col`` order
+    attached as ``<col>_first`` / ``<col>_last`` / ``<col>_nth`` — SQL
+    ``FIRST_VALUE/LAST_VALUE/NTH_VALUE(col, n) OVER (PARTITION BY key
+    ORDER BY order_col[, tiebreak] ROWS BETWEEN UNBOUNDED PRECEDING
+    AND UNBOUNDED FOLLOWING)`` with RESPECT NULLS. ``<col>_nth`` is
+    NULL for keys with fewer than ``nth`` rows. Pass a tiebreak for a
+    total order (as SQL needs for deterministic results).
+
+    Baseline-vs-current feature extraction for turn streams (each
+    turn against the conversation's opening/closing turn); one key
+    shuffle, one vectorized sort + segment pass."""
+    if nth is not None and nth < 1:
+        raise ValueError("nth must be >= 1")
+    direction = "descending" if descending else "ascending"
+    sort_spec = ([(k, "ascending") for k in key_cols]
+                 + [(order_col, direction)]
+                 + ([(tiebreak, "ascending")] if tiebreak else []))
+
+    def label(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            for c in value_cols:
+                t = group.schema.field(c).type
+                group = group.append_column(c + "_first", pa.nulls(0, t))
+                group = group.append_column(c + "_last", pa.nulls(0, t))
+                if nth is not None:
+                    group = group.append_column(c + "_nth",
+                                                pa.nulls(0, t))
+            return group
+        tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
+        n = tbl.num_rows
+        seg = _segment_starts(_key_arrays(tbl, key_cols), n)
+        end = _segment_ends(seg, n)
+        first_i = pa.array(seg)
+        last_i = pa.array(end - 1)
+        if nth is not None:
+            pos = seg + (nth - 1)
+            nth_i = pa.array(np.minimum(pos, n - 1), mask=pos >= end)
+        for c in value_cols:
+            col = tbl.column(c)
+            tbl = tbl.append_column(c + "_first", col.take(first_i))
+            tbl = tbl.append_column(c + "_last", col.take(last_i))
+            if nth is not None:
+                tbl = tbl.append_column(c + "_nth", col.take(nth_i))
+        return tbl
 
     return _partition_by(ds, key_cols, num_partitions).map_groups(
         _pin(label), batch_format="pyarrow")

@@ -3082,6 +3082,65 @@ REGISTRY["op_rank_per_key"] = RawQ(
 )
 
 
+def _op_rank_dist(sf_dir: str) -> pa.Table:
+    from ..ops.rows import rank_dist_per_key
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "event_type"])
+    t = _collect(rank_dist_per_key(ds, ["user_id"], "event_type",
+                                   n_tiles=4, tiebreak="event_id"))
+    return t.select(["user_id", "event_id", "percent_rank",
+                     "cume_dist", "tile"])
+
+
+REGISTRY["op_rank_dist"] = RawQ(
+    _op_rank_dist,
+    # SQL distribution-window family (ops/rows.py rank_dist_per_key):
+    # PERCENT_RANK/CUME_DIST over the tie-producing event_type order,
+    # NTILE(4) over the event_id-totalized order. The rationals
+    # (rank-1)/(cnt-1) divide the same integers on both sides — exact
+    "SELECT user_id, event_id,"
+    "  percent_rank() OVER wt AS percent_rank,"
+    "  cume_dist() OVER wt AS cume_dist,"
+    "  ntile(4) OVER wn AS tile "
+    "FROM events WINDOW"
+    "  wt AS (PARTITION BY user_id ORDER BY event_type),"
+    "  wn AS (PARTITION BY user_id ORDER BY event_type, event_id)",
+)
+
+
+def _op_first_last(sf_dir: str) -> pa.Table:
+    from ..ops.rows import first_last_per_key
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "ts", "value", "event_type"])
+    t = _collect(first_last_per_key(ds, ["user_id"], "ts",
+                                    ["value", "event_type"], nth=3,
+                                    tiebreak="event_id"))
+    return t.select(["user_id", "event_id", "value_first", "value_last",
+                     "value_nth", "event_type_first", "event_type_last",
+                     "event_type_nth"])
+
+
+REGISTRY["op_first_last"] = RawQ(
+    _op_first_last,
+    # FIRST/LAST/NTH_VALUE per key over the full partition frame
+    # (ops/rows.py first_last_per_key): every turn against its
+    # conversation's opening/closing/3rd event. Values are copies of
+    # inputs — exact, no rounding needed
+    "SELECT user_id, event_id,"
+    "  first_value(value) OVER w AS value_first,"
+    "  last_value(value) OVER w AS value_last,"
+    "  nth_value(value, 3) OVER w AS value_nth,"
+    "  first_value(event_type) OVER w AS event_type_first,"
+    "  last_value(event_type) OVER w AS event_type_last,"
+    "  nth_value(event_type, 3) OVER w AS event_type_nth "
+    "FROM events WINDOW w AS (PARTITION BY user_id"
+    "  ORDER BY ts, event_id"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+)
+
+
 def _op_transition_counts(sf_dir: str) -> pa.Table:
     from ..ops.rows import transition_counts
 

@@ -279,3 +279,65 @@ def test_top_values_per_key_brute(ray_session, monkeypatch):
     assert norm(got) == norm(slow)
     with pytest.raises(ValueError):
         top_values_per_key(ray.data.from_arrow(t), ["k"], "v", 0)
+
+
+def test_rank_dist_per_key_brute(ray_session):
+    """PERCENT_RANK/CUME_DIST/NTILE vs a per-key python reference,
+    including ties, single-row keys, and cnt < n_tiles."""
+    from ksql_ray.ops.rows import rank_dist_per_key
+
+    rng = np.random.default_rng(23)
+    n = 800
+    k = rng.integers(0, 25, n)
+    lab = rng.choice(list("abc"), n)       # small alphabet -> real ties
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "eid": pa.array(np.arange(n), pa.int64()),
+                  "lab": pa.array(lab)})
+    got = {r["eid"]: r for r in collect(rank_dist_per_key(
+        ray.data.from_arrow(t).repartition(4), ["k"], "lab",
+        n_tiles=4, tiebreak="eid")).to_pylist()}
+    for g in np.unique(k):
+        rows = sorted([(lab[i], i) for i in np.flatnonzero(k == g)])
+        cnt = len(rows)
+        small, extra = divmod(cnt, 4)
+        for pos, (lb, eid) in enumerate(rows):
+            rank = next(j for j, (l2, _) in enumerate(rows) if l2 == lb) + 1
+            peers_end = max(j for j, (l2, _) in enumerate(rows)
+                            if l2 == lb) + 1
+            r = got[eid]
+            want_pr = 0.0 if cnt == 1 else (rank - 1) / (cnt - 1)
+            assert r["percent_rank"] == pytest.approx(want_pr, abs=1e-12)
+            assert r["cume_dist"] == pytest.approx(peers_end / cnt,
+                                                   abs=1e-12)
+            boundary = extra * (small + 1)
+            want_tile = (pos // (small + 1) if pos < boundary else
+                         extra + (pos - boundary) // max(small, 1)) + 1
+            assert r["tile"] == want_tile, (g, eid)
+    with pytest.raises(ValueError):
+        rank_dist_per_key(ray.data.from_arrow(t), ["k"], "lab", n_tiles=0)
+
+
+def test_first_last_per_key_brute(ray_session):
+    from ksql_ray.ops.rows import first_last_per_key
+
+    t = _events()
+    got = {r["eid"]: r for r in collect(first_last_per_key(
+        ray.data.from_arrow(t).repartition(4), ["k"], "ts", ["v"],
+        nth=2, tiebreak="eid")).to_pylist()}
+    k = t.column("k").to_numpy(zero_copy_only=False)
+    for g in np.unique(k):
+        idx = np.flatnonzero(k == g)
+        order = sorted(idx, key=lambda i: (t.column("ts")[i].as_py(),
+                                           t.column("eid")[i].as_py()))
+        first_v = t.column("v")[order[0]].as_py()
+        last_v = t.column("v")[order[-1]].as_py()
+        nth_v = (t.column("v")[order[1]].as_py()
+                 if len(order) >= 2 else None)
+        for i in idx:
+            eid = t.column("eid")[i].as_py()
+            assert got[eid]["v_first"] == first_v
+            assert got[eid]["v_last"] == last_v
+            assert got[eid]["v_nth"] == nth_v
+    with pytest.raises(ValueError):
+        first_last_per_key(ray.data.from_arrow(t), ["k"], "ts", ["v"],
+                           nth=0)
