@@ -656,6 +656,18 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         turns5(), ["conv_id"], "ts", ["role"], nth=3,
         tiebreak="turn_idx").count())
 
+    from ksql_ray.ops.quality import add_char_entropy
+    from ksql_ray.ops.rows import standardize_per_key
+    from ksql_ray.ops.terms import tfidf_top_terms
+
+    out["standardize_200k"] = min2(lambda: standardize_per_key(
+        turns3(), ["conv_id"], "turn_idx").count())
+    out["tfidf_top5_200k"] = min2(lambda: tfidf_top_terms(
+        docs_ds(), "doc_id", "text", k=5).count())
+    out["char_entropy_200k"] = min2(lambda: docs_ds().map_batches(
+        add_char_entropy, batch_format="pyarrow",
+        zero_copy_batch=True).count())
+
     # set ops + broadcast semi-join + histogram over the turn stream
     from ksql_ray.ops.hist import numeric_histogram
     from ksql_ray.ops.sets import intersect_distinct, semi_join_filter

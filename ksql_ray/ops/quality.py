@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["add_repetition_stats", "quality_filter"]
+__all__ = ["add_char_entropy", "add_repetition_stats", "quality_filter"]
 
 
 def _round6(x: np.ndarray) -> np.ndarray:
@@ -71,6 +71,45 @@ def _list_parts(col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
     lst = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     offsets = lst.offsets.to_numpy()
     return lst.values, np.diff(offsets)
+
+
+def add_char_entropy(batch: pa.Table, text_col: str = "text",
+                     out: str = "char_entropy") -> pa.Table:
+    """Append the Shannon entropy of each document's CODEPOINT
+    distribution (bits/char, rounded to 6 dp with SQL ROUND) — a cheap
+    low-quality signal: boilerplate, base64/hex blobs, and key-mash
+    text sit far from natural language's ~4 bits/char. NULL text →
+    NULL; empty text → 0.0 (entropy of the empty distribution).
+
+    Vectorized: the batch's strings are encoded once to a flat UTF-32
+    buffer, per-(doc, codepoint) counts come from one ``np.unique``
+    over packed ``doc_idx·2²¹ | codepoint`` keys, entropy is a
+    ``np.add.reduceat`` per doc segment (summands sorted by codepoint,
+    so the float sum order is layout-independent). No per-row Python
+    beyond one C-level ``str.join``."""
+    t = batch.column(text_col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    s = pc.cast(t, pa.string())
+    null = pc.is_null(s).to_numpy(zero_copy_only=False)
+    lens = pc.fill_null(pc.utf8_length(s), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ent = np.zeros(batch.num_rows, dtype=np.float64)
+    if int(lens.sum()):
+        joined = "".join(pc.fill_null(s, "").to_pylist())
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        doc_idx = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), lens)
+        packed = (doc_idx << 21) | cps.astype(np.int64)
+        upacked, cnt = np.unique(packed, return_counts=True)
+        docs = upacked >> 21
+        starts = np.flatnonzero(np.r_[True, docs[1:] != docs[:-1]])
+        p = cnt / lens[docs]
+        sums = np.add.reduceat(p * np.log2(p), starts)
+        ent[docs[starts]] = -sums
+    ent = _round6(np.abs(ent))        # -0.0 from single-char docs
+    return batch.append_column(
+        out, pa.array(np.where(null, 0.0, ent), mask=null))
 
 
 def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["top_terms", "top_ngrams"]
+__all__ = ["top_terms", "top_ngrams", "tfidf_top_terms"]
 
 
 def _partial_counts(batch: pa.Table, text_col: str) -> pa.Table:
@@ -95,6 +95,112 @@ def top_ngrams(ds: ray.data.Dataset, text_col: str = "text",
         batch_format="pyarrow", zero_copy_batch=True,
     )
     return agg.sort(["cnt", "term"], descending=[True, False]).limit(k)
+
+
+def _doc_term_counts(batch: pa.Table, id_col: str,
+                     text_col: str) -> pa.Table:
+    """Distinct (doc, term, tf) rows for one batch — globally distinct
+    because every document is exactly one input row."""
+    import numpy as np
+    import pandas as pd
+
+    norm = pc.utf8_lower(pc.utf8_trim_whitespace(batch.column(text_col)))
+    toks = pc.split_pattern_regex(norm, r"\s+")
+    lst = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offs = lst.offsets.to_numpy().astype(np.int64)
+    flat = lst.values.to_numpy(zero_copy_only=False)
+    if not len(flat):
+        return pa.table({
+            id_col: pa.array([], type=batch.schema.field(id_col).type),
+            "term": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64())})
+    doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                        np.diff(offs))
+    codes, uniq = pd.factorize(flat)
+    packed = doc_idx * len(uniq) + codes
+    upacked, tf = np.unique(packed, return_counts=True)
+    return pa.table({
+        id_col: batch.column(id_col).take(pa.array(upacked // len(uniq))),
+        "term": pa.array(np.asarray(uniq, dtype=object)[
+            upacked % len(uniq)], type=pa.string()),
+        "tf": pa.array(tf.astype(np.int64))})
+
+
+def tfidf_top_terms(ds: ray.data.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5,
+                    num_partitions: int = 32) -> ray.data.Dataset:
+    """Per-document top-k terms by tf-idf -> (id_col, term, tfidf,
+    rank) with 0-based rank — the classic keyword/feature extraction
+    pass over a corpus. ``tfidf = tf · ln(N / df)`` with raw term
+    counts, document frequency over distinct docs, and N = number of
+    documents contributing at least one token (so NULL-text docs are
+    out of both numerator and denominator on both sides of the gate).
+    Ties rank by ascending term, so the cut is deterministic.
+
+    Scale shape (two bounded shuffles, no broadcast vocabulary):
+    per-batch distinct (doc, term, tf) partials (each doc is one row,
+    so rows are globally distinct), materialized ONCE (consumed by the
+    distinct-doc count and the scoring pass — perf lesson 10); one
+    hash shuffle by TERM computes df as a segment length and scores
+    rows in place (the corpus vocabulary never concentrates — each
+    term's postings land whole in one partition); one hash shuffle by
+    DOC takes the per-doc top-k with a sorted-segment rank. The
+    shuffled payload is distinct (doc, term) pairs — ~10³–10⁴× smaller
+    than token occurrences for natural text."""
+    import numpy as np
+
+    from .dedup import _partition_by, _pin
+    from .rows import _key_arrays, _segment_ends, _segment_starts
+    from .smallagg import distinct_small
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tf = ds.map_batches(
+        lambda b: _doc_term_counts(b, id_col, text_col),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_docs = distinct_small(
+        tf.select_columns([id_col]).map_batches(
+            lambda b: pa.table({id_col: pc.unique(b.column(id_col))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        [id_col]).count()
+
+    def score(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            return group.append_column(
+                "tfidf", pa.array([], type=pa.float64()))
+        tbl = group.take(pc.sort_indices(
+            group, sort_keys=[("term", "ascending")]))
+        n = tbl.num_rows
+        seg = _segment_starts(_key_arrays(tbl, ["term"]), n)
+        df = (_segment_ends(seg, n) - seg).astype(np.float64)
+        tfv = tbl.column("tf").to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "tfidf", pa.array(tfv * np.log(n_docs / df)))
+
+    scored = _partition_by(tf, ["term"], num_partitions).map_groups(
+        _pin(score), batch_format="pyarrow")
+
+    def topk(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            return (group.select([id_col, "term", "tfidf"])
+                    .append_column("rank",
+                                   pa.array([], type=pa.int64())))
+        tbl = group.take(pc.sort_indices(group, sort_keys=[
+            (id_col, "ascending"), ("tfidf", "descending"),
+            ("term", "ascending")]))
+        n = tbl.num_rows
+        seg = _segment_starts(_key_arrays(tbl, [id_col]), n)
+        rank = np.arange(n, dtype=np.int64) - seg
+        tbl = tbl.append_column("rank", pa.array(rank))
+        return tbl.select([id_col, "term", "tfidf", "rank"]).filter(
+            pa.array(rank < k))
+
+    return _partition_by(scored, [id_col], num_partitions).map_groups(
+        _pin(topk), batch_format="pyarrow")
 
 
 def top_terms(ds: ray.data.Dataset, text_col: str = "text",

@@ -3141,6 +3141,96 @@ REGISTRY["op_first_last"] = RawQ(
 )
 
 
+def _op_char_entropy(sf_dir: str) -> pa.Table:
+    from ..ops.quality import add_char_entropy
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet").select_columns(
+        ["doc_id", "text"])
+    out = ds.map_batches(add_char_entropy, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return _collect(out).select(["doc_id", "char_entropy"])
+
+
+REGISTRY["op_char_entropy"] = RawQ(
+    _op_char_entropy,
+    # per-doc codepoint Shannon entropy (ops/quality.py
+    # add_char_entropy): summands are irrational logs, so 6-dp ROUND
+    # is tie-safe; ABS on both sides normalizes the -0.0 a one-char
+    # doc produces
+    "WITH chars AS (SELECT doc_id, unnest(regexp_split_to_array("
+    "    text, '')) AS ch FROM documents"
+    "  WHERE text IS NOT NULL AND text <> ''), "
+    "cc AS (SELECT doc_id, ch, count(*)::DOUBLE AS c "
+    "  FROM chars GROUP BY 1, 2), "
+    "tot AS (SELECT doc_id, sum(c) AS n FROM cc GROUP BY 1), "
+    "h AS (SELECT cc.doc_id, -SUM((c / n) * log2(c / n)) AS ent "
+    "  FROM cc JOIN tot USING (doc_id) GROUP BY 1) "
+    "SELECT d.doc_id, ROUND(ABS(COALESCE(h.ent, 0.0)), 6)"
+    "  AS char_entropy "
+    "FROM documents d LEFT JOIN h USING (doc_id) "
+    "WHERE d.text IS NOT NULL",
+)
+
+
+def _op_tfidf(sf_dir: str) -> pa.Table:
+    from ..ops.terms import tfidf_top_terms
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet").select_columns(
+        ["doc_id", "text"])
+    t = _collect(tfidf_top_terms(ds, "doc_id", "text", k=5))
+    return _round_cols(t, {"tfidf": 6})
+
+
+REGISTRY["op_tfidf"] = RawQ(
+    _op_tfidf,
+    # per-doc top-5 terms by tf·ln(N/df) (ops/terms.py
+    # tfidf_top_terms): same tokenization contract as top_terms; N =
+    # docs with >= 1 token; np.log and DuckDB ln agree bit-for-bit on
+    # this host, so the DESC-tfidf rank order matches exactly
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+    "    trim(lower(text)), '\\s+')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf "
+    "  FROM toks GROUP BY 1, 2), "
+    "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df "
+    "  FROM toks GROUP BY 1), "
+    "n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM toks), "
+    "scored AS (SELECT tf.doc_id, tf.term,"
+    "    tf.tf * ln((SELECT n FROM n) / df.df) AS tfidf,"
+    "    ROW_NUMBER() OVER (PARTITION BY tf.doc_id"
+    "      ORDER BY tf.tf * ln((SELECT n FROM n) / df.df) DESC,"
+    "      tf.term) - 1 AS rank"
+    "  FROM tf JOIN df USING (term)) "
+    "SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, rank "
+    "FROM scored WHERE rank < 5",
+)
+
+
+def _op_standardize(sf_dir: str) -> pa.Table:
+    from ..ops.rows import standardize_per_key
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "value"])
+    t = _collect(standardize_per_key(ds, ["user_id"], "value"))
+    t = t.select(["user_id", "event_id", "value_z", "value_minmax"])
+    return _round_cols(t, {"value_z": 6, "value_minmax": 6})
+
+
+REGISTRY["op_standardize"] = RawQ(
+    _op_standardize,
+    # per-key feature scaling (ops/rows.py standardize_per_key). The
+    # z denominator is a square root (irrational -> 6-dp ROUND is
+    # tie-safe, perf lesson 20); min/max are summation-free so minmax
+    # is exact. NULLIF gives SQL's NULL on constant/single-row keys
+    "SELECT user_id, event_id,"
+    "  ROUND((value - AVG(value) OVER k)"
+    "    / NULLIF(STDDEV_SAMP(value) OVER k, 0), 6) AS value_z,"
+    "  ROUND((value - MIN(value) OVER k)"
+    "    / NULLIF(MAX(value) OVER k - MIN(value) OVER k, 0), 6)"
+    "    AS value_minmax "
+    "FROM events WINDOW k AS (PARTITION BY user_id)",
+)
+
+
 def _op_transition_counts(sf_dir: str) -> pa.Table:
     from ..ops.rows import transition_counts
 

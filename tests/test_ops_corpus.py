@@ -232,3 +232,50 @@ def test_top_ngrams_validation(ray_session):
     ds = ray.data.from_arrow(pa.table({"text": pa.array(["a b"])}))
     with pytest.raises(ValueError):
         top_ngrams(ds, n=1)
+
+
+def test_tfidf_top_terms_brute(ray_session):
+    import collections
+    import math
+
+    from ksql_ray.ops.terms import tfidf_top_terms
+
+    docs = ["a a b c", "a b b d", "c c c e", "a d e f", "b b b b"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(docs)})
+    got = collect(tfidf_top_terms(
+        ray.data.from_arrow(t).repartition(3), "doc_id", "text", k=2))
+    tf = [collections.Counter(d.split()) for d in docs]
+    df = collections.Counter(tok for c in tf for tok in c)
+    n = 5
+    rows = {}
+    for d, c in enumerate(tf):
+        scored = sorted(((tok, cnt * math.log(n / df[tok]))
+                         for tok, cnt in c.items()),
+                        key=lambda x: (-x[1], x[0]))[:2]
+        rows[d] = [(tok, pytest.approx(s, abs=1e-12), r)
+                   for r, (tok, s) in enumerate(scored)]
+    for r in got.to_pylist():
+        tok, s, rk = rows[r["doc_id"]][r["rank"]]
+        assert r["term"] == tok and r["tfidf"] == s and r["rank"] == rk
+    assert got.num_rows == 9    # doc 4 ("b b b b") has 1 distinct term
+    with pytest.raises(ValueError):
+        tfidf_top_terms(ray.data.from_arrow(t), "doc_id", "text", k=0)
+
+
+def test_add_char_entropy(ray_session):
+    import math
+
+    from ksql_ray.ops.quality import add_char_entropy
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(["aaaa", "ab", "", None, "aé🙂é"])})
+    out = add_char_entropy(t)
+    e = {r["doc_id"]: r["char_entropy"] for r in out.to_pylist()}
+    assert e[0] == 0.0                      # single symbol
+    assert e[1] == 1.0                      # two equiprobable symbols
+    assert e[2] == 0.0                      # empty -> 0
+    assert e[3] is None                     # NULL -> NULL
+    # codepoints: a, é, é, 🙂 -> p = (.25, .5, .25)
+    want = -(0.25 * math.log2(0.25) * 2 + 0.5 * math.log2(0.5))
+    assert e[4] == pytest.approx(want, abs=1e-6)

@@ -341,3 +341,48 @@ def test_first_last_per_key_brute(ray_session):
     with pytest.raises(ValueError):
         first_last_per_key(ray.data.from_arrow(t), ["k"], "ts", ["v"],
                            nth=0)
+
+
+def test_standardize_per_key_brute(ray_session):
+    from ksql_ray.ops.rows import standardize_per_key
+
+    t = _events()
+    got = {r["eid"]: r for r in collect(standardize_per_key(
+        ray.data.from_arrow(t).repartition(4), ["k"],
+        "v")).to_pylist()}
+    k = t.column("k").to_numpy(zero_copy_only=False)
+    v = t.column("v").to_numpy(zero_copy_only=False)
+    for g in np.unique(k):
+        idx = np.flatnonzero(k == g)
+        vals = v[idx]
+        mean, sd = vals.mean(), vals.std(ddof=1)
+        lo, hi = vals.min(), vals.max()
+        for i in idx:
+            eid = t.column("eid")[i].as_py()
+            want_z = (None if len(vals) < 2 or sd == 0
+                      else (v[i] - mean) / sd)
+            want_mm = None if hi <= lo else (v[i] - lo) / (hi - lo)
+            if want_z is None:
+                assert got[eid]["v_z"] is None
+            else:
+                assert got[eid]["v_z"] == pytest.approx(want_z,
+                                                        abs=1e-9)
+            if want_mm is None:
+                assert got[eid]["v_minmax"] is None
+            else:
+                assert got[eid]["v_minmax"] == pytest.approx(
+                    want_mm, abs=1e-12)
+
+
+def test_standardize_single_and_constant_keys(ray_session):
+    from ksql_ray.ops.rows import standardize_per_key
+
+    t = pa.table({"k": pa.array([1, 2, 2, 3, 3], pa.int64()),
+                  "eid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                  "v": pa.array([5.0, 7.0, 7.0, 1.0, 3.0])})
+    got = {r["eid"]: r for r in collect(standardize_per_key(
+        ray.data.from_arrow(t), ["k"], "v")).to_pylist()}
+    assert got[0]["v_z"] is None and got[0]["v_minmax"] is None
+    assert got[1]["v_z"] is None and got[1]["v_minmax"] is None
+    assert got[3]["v_z"] == pytest.approx(-(2 ** -0.5) * 1, abs=1e-12)
+    assert got[3]["v_minmax"] == 0.0 and got[4]["v_minmax"] == 1.0
