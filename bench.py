@@ -657,11 +657,14 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         tiebreak="turn_idx").count())
 
     from ksql_ray.ops.quality import add_char_entropy
-    from ksql_ray.ops.rows import standardize_per_key
+    from ksql_ray.ops.rows import standardize_per_key, time_range_agg
     from ksql_ray.ops.terms import tfidf_top_terms
 
     out["standardize_200k"] = min2(lambda: standardize_per_key(
         turns3(), ["conv_id"], "turn_idx").count())
+    out["time_range_agg_200k"] = min2(lambda: time_range_agg(
+        turns3(), ["conv_id"], "ts", "turn_idx",
+        range_us=3_600_000_000).count())
     out["tfidf_top5_200k"] = min2(lambda: tfidf_top_terms(
         docs_ds(), "doc_id", "text", k=5).count())
     out["char_entropy_200k"] = min2(lambda: docs_ds().map_batches(

@@ -34,9 +34,10 @@ import ray.data
 from .dedup import _partition_by, _pin
 
 __all__ = ["top_n_per_key", "sessionize", "with_lag", "with_lead",
-           "moving_agg", "rank_per_key", "rank_dist_per_key",
-           "first_last_per_key", "standardize_per_key",
-           "transition_counts", "top_values_per_key"]
+           "moving_agg", "time_range_agg", "rank_per_key",
+           "rank_dist_per_key", "first_last_per_key",
+           "standardize_per_key", "transition_counts",
+           "top_values_per_key"]
 
 
 def _segment_starts(sort_keys: list[np.ndarray], n: int) -> np.ndarray:
@@ -562,6 +563,90 @@ def moving_agg(ds: ray.data.Dataset, key_cols: list[str],
                                 pa.array(ravg, mask=empty))
         return tbl.append_column(value_col + "_rcnt",
                                  pa.array(rcnt, type=pa.int64()))
+
+    return _partition_by(ds, key_cols, num_partitions).map_groups(
+        _pin(roll), batch_format="pyarrow")
+
+
+def time_range_agg(ds: ray.data.Dataset, key_cols: list[str],
+                   ts_col: str, value_col: str, range_us: int,
+                   num_partitions: int = 32) -> ray.data.Dataset:
+    """Rows with the per-key rolling sum/avg/count of ``value_col``
+    over the trailing EVENT-TIME window ``[ts - range_us, ts]``
+    attached as ``<col>_tsum/_tavg/_tcnt`` — SQL ``SUM/AVG/COUNT(col)
+    OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN range_us
+    PRECEDING AND CURRENT ROW)``. RANGE semantics: the frame includes
+    ALL peers of the current timestamp (also rows sorted after the
+    current one), so no tiebreak is needed or accepted. NULL values
+    are skipped (SQL aggregate semantics); NULL timestamps are
+    rejected (RANGE frames over NULL order keys are not supported).
+
+    Vectorized: one sorted-partition pass; each key segment's
+    timestamps are offset into a disjoint band (segment ordinal ×
+    (span + range + 1)) so ONE global ``np.searchsorted`` finds every
+    row's frame start/end at once, then two prefix sums answer all
+    windows (same shape as :func:`moving_agg`). Falls back to a
+    per-SEGMENT (never per-row) searchsorted loop if the band
+    arithmetic would overflow int64."""
+    if range_us < 0:
+        raise ValueError("range_us must be >= 0")
+    sort_spec = ([(k, "ascending") for k in key_cols]
+                 + [(ts_col, "ascending")])
+
+    def roll(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            group = group.append_column(
+                value_col + "_tsum", pa.array([], type=pa.float64()))
+            group = group.append_column(
+                value_col + "_tavg", pa.array([], type=pa.float64()))
+            return group.append_column(
+                value_col + "_tcnt", pa.array([], type=pa.int64()))
+        tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
+        n = tbl.num_rows
+        ts = tbl.column(ts_col)
+        if pc.any(pc.is_null(ts)).as_py():
+            raise ValueError("time_range_agg: NULL timestamps")
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.int64())
+        tsv = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = _segment_starts(_key_arrays(tbl, key_cols), n)
+        starts = np.unique(seg)
+        pos = np.searchsorted(starts, seg)      # segment ordinal
+        rel = tsv - tsv.min()
+        span = int(rel.max())
+        k_band = span + range_us + 1
+        if len(starts) * k_band < 2 ** 62:      # banded fast path
+            band = pos * k_band + rel
+            lo = np.searchsorted(band, band - range_us, side="left")
+            hi = np.searchsorted(band, band, side="right")
+        else:                                   # per-segment fallback
+            ends = np.r_[starts[1:], n]
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            for s, e in zip(starts, ends):
+                sl = tsv[s:e]
+                lo[s:e] = s + np.searchsorted(sl, sl - range_us, "left")
+                hi[s:e] = s + np.searchsorted(sl, sl, "right")
+        col = tbl.column(value_col)
+        valid = ~pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(pc.cast(col, pa.float64()), 0.0).to_numpy(
+            zero_copy_only=False)
+        csum = np.zeros(n + 1)
+        np.cumsum(v, out=csum[1:])
+        ccnt = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(valid, out=ccnt[1:])
+        tcnt = ccnt[hi] - ccnt[lo]
+        tsum = csum[hi] - csum[lo]
+        none = tcnt == 0
+        tavg = np.divide(tsum, tcnt, out=np.zeros(n), where=~none)
+        tbl = tbl.append_column(value_col + "_tsum",
+                                pa.array(tsum, mask=none))
+        tbl = tbl.append_column(value_col + "_tavg",
+                                pa.array(tavg, mask=none))
+        return tbl.append_column(value_col + "_tcnt",
+                                 pa.array(tcnt, type=pa.int64()))
 
     return _partition_by(ds, key_cols, num_partitions).map_groups(
         _pin(roll), batch_format="pyarrow")

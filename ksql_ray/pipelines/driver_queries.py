@@ -3141,6 +3141,33 @@ REGISTRY["op_first_last"] = RawQ(
 )
 
 
+def _op_time_range_agg(sf_dir: str) -> pa.Table:
+    from ..ops.rows import time_range_agg
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "ts", "value"])
+    t = _collect(time_range_agg(ds, ["user_id"], "ts", "value",
+                                range_us=3_600_000_000))
+    t = t.select(["user_id", "event_id", "value_tsum", "value_tcnt"])
+    return _round_cols(t, {"value_tsum": 4})
+
+
+REGISTRY["op_time_range_agg"] = RawQ(
+    _op_time_range_agg,
+    # event-time RANGE frame (ops/rows.py time_range_agg): trailing
+    # 1-hour window per user; RANGE includes all current-ts peers so
+    # no tiebreak exists on either side. Sum of 2-dp inputs has zeros
+    # past the 2nd decimal -> 4-dp ROUND can't tie; avg's round-ties
+    # are not excludable (cnt varies), so it is pytest-pinned instead
+    # (same rule as op_cumulative_agg)
+    "SELECT user_id, event_id,"
+    "  ROUND(SUM(value) OVER w, 4) AS value_tsum,"
+    "  COUNT(value) OVER w AS value_tcnt "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts"
+    "  RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING AND CURRENT ROW)",
+)
+
+
 def _op_char_entropy(sf_dir: str) -> pa.Table:
     from ..ops.quality import add_char_entropy
 

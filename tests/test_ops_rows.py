@@ -386,3 +386,89 @@ def test_standardize_single_and_constant_keys(ray_session):
     assert got[1]["v_z"] is None and got[1]["v_minmax"] is None
     assert got[3]["v_z"] == pytest.approx(-(2 ** -0.5) * 1, abs=1e-12)
     assert got[3]["v_minmax"] == 0.0 and got[4]["v_minmax"] == 1.0
+
+
+def _brute_time_range(t, range_us):
+    bykey = {}
+    for k, ts, e, v in zip(t.column("k").to_pylist(),
+                           t.column("ts").to_pylist(),
+                           t.column("eid").to_pylist(),
+                           t.column("v").to_pylist()):
+        bykey.setdefault(k, []).append((ts, e, v))
+    want = {}
+    for k, lst in bykey.items():
+        for ts, e, _ in lst:
+            vals = [v for ts2, _, v in lst
+                    if ts - range_us <= ts2 <= ts and v is not None]
+            want[e] = (round(sum(vals), 6), len(vals)) if vals \
+                else (None, 0)
+    return want
+
+
+def test_time_range_agg_brute(ray_session):
+    from ksql_ray.ops.rows import time_range_agg
+
+    rng = np.random.default_rng(17)
+    n = 600
+    v = np.round(rng.uniform(0, 100, n), 2).astype(object)
+    v[rng.random(n) < 0.05] = None
+    # small ts range so frames overlap and duplicate ts (peers) occur
+    t = pa.table({
+        "k": pa.array([f"u{x}" for x in rng.integers(0, 15, n)]),
+        "eid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(v, pa.float64()),
+        "ts": pa.array(rng.integers(0, 300, n), pa.int64()),
+    })
+    got = collect(time_range_agg(
+        ray.data.from_arrow(t).repartition(4), ["k"], "ts", "v",
+        range_us=40))
+    want = _brute_time_range(t, 40)
+    got_map = {r["eid"]: ((round(r["v_tsum"], 6)
+                           if r["v_tsum"] is not None else None),
+                          r["v_tcnt"]) for r in got.to_pylist()}
+    assert got_map == want
+    # tavg consistency on the same frames
+    for r in got.to_pylist():
+        if r["v_tcnt"]:
+            assert r["v_tavg"] == pytest.approx(
+                r["v_tsum"] / r["v_tcnt"], rel=1e-12)
+        else:
+            assert r["v_tavg"] is None
+
+
+def test_time_range_agg_fallback_band_overflow(ray_session):
+    from ksql_ray.ops.rows import time_range_agg
+
+    rng = np.random.default_rng(19)
+    n = 300
+    # span ~2**55 across >=128 segments -> banded offsets would
+    # overflow int64, forcing the per-segment searchsorted fallback
+    ts = rng.integers(0, 2 ** 55, n)
+    ts[0] = 0
+    ts[1] = 2 ** 55
+    t = pa.table({
+        "k": pa.array([f"u{x}" for x in rng.integers(0, 140, n)]),
+        "eid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(np.round(rng.uniform(0, 10, n), 2)),
+        "ts": pa.array(ts, pa.int64()),
+    })
+    # num_partitions=1 keeps all ~140 segments in one group so
+    # 140 * (span + range + 1) > 2**62 and the fallback really runs
+    got = collect(time_range_agg(
+        ray.data.from_arrow(t).repartition(3), ["k"], "ts", "v",
+        range_us=2 ** 53, num_partitions=1))
+    want = _brute_time_range(t, 2 ** 53)
+    got_map = {r["eid"]: (round(r["v_tsum"], 6), r["v_tcnt"])
+               for r in got.to_pylist()}
+    assert got_map == want
+
+
+def test_time_range_agg_null_ts_rejected(ray_session):
+    from ksql_ray.ops.rows import time_range_agg
+
+    t = pa.table({"k": ["a", "a"], "eid": [0, 1],
+                  "v": [1.0, 2.0],
+                  "ts": pa.array([1, None], pa.int64())})
+    with pytest.raises(Exception, match="NULL timestamps"):
+        collect(time_range_agg(ray.data.from_arrow(t), ["k"], "ts",
+                               "v", range_us=5))
