@@ -665,6 +665,29 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["time_range_agg_200k"] = min2(lambda: time_range_agg(
         turns3(), ["conv_id"], "ts", "turn_idx",
         range_us=3_600_000_000).count())
+
+    from ksql_ray.ops.intervals import gap_fill, merge_intervals
+    from ksql_ray.ops.rows import time_range_distinct
+
+    out["time_range_distinct_200k"] = min2(lambda: time_range_distinct(
+        turns5(), ["conv_id"], "ts", "role",
+        range_us=3_600_000_000).count())
+
+    def _turn_intervals():
+        import pyarrow as pa
+
+        def add_end(b):
+            tsv = b.column("ts").cast(pa.int64()).to_numpy()
+            end = pa.array(tsv + 60_000_000,
+                           type=pa.int64()).cast(b.schema.field("ts").type)
+            return b.append_column("ts_end", end)
+        return turns3().map_batches(add_end, batch_format="pyarrow")
+
+    out["interval_merge_200k"] = min2(lambda: merge_intervals(
+        _turn_intervals(), ["conv_id"], "ts", "ts_end").count())
+    out["gap_fill_200k"] = min2(lambda: gap_fill(
+        turns3(), ["conv_id"], "ts", ["turn_idx"],
+        step_us=60_000_000, tiebreak="turn_idx").count())
     out["tfidf_top5_200k"] = min2(lambda: tfidf_top_terms(
         docs_ds(), "doc_id", "text", k=5).count())
     out["char_entropy_200k"] = min2(lambda: docs_ds().map_batches(

@@ -34,8 +34,8 @@ import ray.data
 from .dedup import _partition_by, _pin
 
 __all__ = ["top_n_per_key", "sessionize", "with_lag", "with_lead",
-           "moving_agg", "time_range_agg", "rank_per_key",
-           "rank_dist_per_key", "first_last_per_key",
+           "moving_agg", "time_range_agg", "time_range_distinct",
+           "rank_per_key", "rank_dist_per_key", "first_last_per_key",
            "standardize_per_key", "transition_counts",
            "top_values_per_key"]
 
@@ -568,6 +568,51 @@ def moving_agg(ds: ray.data.Dataset, key_cols: list[str],
         _pin(roll), batch_format="pyarrow")
 
 
+def _ts_int64(tbl: pa.Table, ts_col: str, op_name: str) -> np.ndarray:
+    """The sorted partition's timestamps as int64 (timestamps cast to
+    their epoch representation); NULLs rejected — RANGE frames over
+    NULL order keys are not supported."""
+    ts = tbl.column(ts_col)
+    if pc.any(pc.is_null(ts)).as_py():
+        raise ValueError(f"{op_name}: NULL timestamps")
+    if pa.types.is_timestamp(ts.type):
+        ts = pc.cast(ts, pa.int64())
+    return ts.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _range_frames(tsv: np.ndarray, seg: np.ndarray,
+                  range_us: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row trailing RANGE frame ``[lo, hi)`` (row-index bounds) for
+    the event-time window ``[ts - range_us, ts]``, over a partition
+    sorted by (key, ts) with ``seg`` = each row's key-segment start.
+
+    Each segment's timestamps are offset into a disjoint band (segment
+    ordinal × (span + range + 1)) so ONE global ``np.searchsorted``
+    finds every row's frame at once; falls back to a per-SEGMENT
+    (never per-row) searchsorted loop if the band arithmetic would
+    overflow int64. Both bounds are globally nondecreasing (each
+    frame lies inside its own segment)."""
+    n = len(tsv)
+    starts = np.unique(seg)
+    pos = np.searchsorted(starts, seg)      # segment ordinal
+    rel = tsv - tsv.min()
+    span = int(rel.max())
+    k_band = span + range_us + 1
+    if len(starts) * k_band < 2 ** 62:      # banded fast path
+        band = pos * k_band + rel
+        lo = np.searchsorted(band, band - range_us, side="left")
+        hi = np.searchsorted(band, band, side="right")
+    else:                                   # per-segment fallback
+        ends = np.r_[starts[1:], n]
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            sl = tsv[s:e]
+            lo[s:e] = s + np.searchsorted(sl, sl - range_us, "left")
+            hi[s:e] = s + np.searchsorted(sl, sl, "right")
+    return lo, hi
+
+
 def time_range_agg(ds: ray.data.Dataset, key_cols: list[str],
                    ts_col: str, value_col: str, range_us: int,
                    num_partitions: int = 32) -> ray.data.Dataset:
@@ -605,30 +650,9 @@ def time_range_agg(ds: ray.data.Dataset, key_cols: list[str],
                 value_col + "_tcnt", pa.array([], type=pa.int64()))
         tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
         n = tbl.num_rows
-        ts = tbl.column(ts_col)
-        if pc.any(pc.is_null(ts)).as_py():
-            raise ValueError("time_range_agg: NULL timestamps")
-        if pa.types.is_timestamp(ts.type):
-            ts = pc.cast(ts, pa.int64())
-        tsv = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = _ts_int64(tbl, ts_col, "time_range_agg")
         seg = _segment_starts(_key_arrays(tbl, key_cols), n)
-        starts = np.unique(seg)
-        pos = np.searchsorted(starts, seg)      # segment ordinal
-        rel = tsv - tsv.min()
-        span = int(rel.max())
-        k_band = span + range_us + 1
-        if len(starts) * k_band < 2 ** 62:      # banded fast path
-            band = pos * k_band + rel
-            lo = np.searchsorted(band, band - range_us, side="left")
-            hi = np.searchsorted(band, band, side="right")
-        else:                                   # per-segment fallback
-            ends = np.r_[starts[1:], n]
-            lo = np.empty(n, dtype=np.int64)
-            hi = np.empty(n, dtype=np.int64)
-            for s, e in zip(starts, ends):
-                sl = tsv[s:e]
-                lo[s:e] = s + np.searchsorted(sl, sl - range_us, "left")
-                hi[s:e] = s + np.searchsorted(sl, sl, "right")
+        lo, hi = _range_frames(tsv, seg, range_us)
         col = tbl.column(value_col)
         valid = ~pc.is_null(col).to_numpy(zero_copy_only=False)
         v = pc.fill_null(pc.cast(col, pa.float64()), 0.0).to_numpy(
@@ -647,6 +671,82 @@ def time_range_agg(ds: ray.data.Dataset, key_cols: list[str],
                                 pa.array(tavg, mask=none))
         return tbl.append_column(value_col + "_tcnt",
                                  pa.array(tcnt, type=pa.int64()))
+
+    return _partition_by(ds, key_cols, num_partitions).map_groups(
+        _pin(roll), batch_format="pyarrow")
+
+
+def time_range_distinct(ds: ray.data.Dataset, key_cols: list[str],
+                        ts_col: str, value_col: str, range_us: int,
+                        num_partitions: int = 32) -> ray.data.Dataset:
+    """Rows with the per-key DISTINCT count of ``value_col`` over the
+    trailing EVENT-TIME window ``[ts - range_us, ts]`` attached as
+    ``<col>_tdistinct`` — SQL ``COUNT(DISTINCT col) OVER (PARTITION BY
+    key ORDER BY ts RANGE BETWEEN range_us PRECEDING AND CURRENT
+    ROW)``. NULL values are not counted (SQL DISTINCT-aggregate
+    semantics); NULL timestamps are rejected as in
+    :func:`time_range_agg`.
+
+    Sliding DISTINCT is not a prefix-sum like sum/count, but it IS
+    vectorizable exactly: a row j is a DUPLICATE inside frame i iff
+    its previous same-(key, value) occurrence p_j is also in the frame
+    (``lo_i <= p_j``, and ``j < hi_i``). Because frames are trailing
+    and the partition is sorted by (key, ts), both frame bounds are
+    globally nondecreasing, so each pair (p_j, j) contributes to a
+    CONTIGUOUS run of frames — found with two ``np.searchsorted`` and
+    accumulated with one difference array. distinct = in-frame
+    non-null count − duplicate count. One key shuffle, O(n log n)
+    numpy per partition, no per-row Python."""
+    if range_us < 0:
+        raise ValueError("range_us must be >= 0")
+    import pandas as pd
+
+    sort_spec = ([(k, "ascending") for k in key_cols]
+                 + [(ts_col, "ascending")])
+    out_col = value_col + "_tdistinct"
+
+    def roll(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            return group.append_column(
+                out_col, pa.array([], type=pa.int64()))
+        tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
+        n = tbl.num_rows
+        tsv = _ts_int64(tbl, ts_col, "time_range_distinct")
+        seg = _segment_starts(_key_arrays(tbl, key_cols), n)
+        lo, hi = _range_frames(tsv, seg, range_us)
+        col = tbl.column(value_col)
+        valid = ~pc.is_null(col).to_numpy(zero_copy_only=False)
+        ccnt = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(valid, out=ccnt[1:])
+        cnt = ccnt[hi] - ccnt[lo]
+        # previous same-(segment, value) occurrence per non-null row
+        vi = np.flatnonzero(valid)
+        dup = np.zeros(n, dtype=np.int64)
+        if len(vi):
+            segc, _ = pd.factorize(seg[vi])
+            vals = col.take(pa.array(vi)).to_numpy(zero_copy_only=False)
+            vc, uniq = pd.factorize(vals)
+            codes = segc.astype(np.int64) * len(uniq) + vc
+            order = np.argsort(codes, kind="stable")
+            oc = codes[order]
+            same = oc[1:] == oc[:-1]
+            j = vi[order[1:][same]]          # row with a prev occurrence
+            p = vi[order[:-1][same]]         # that previous occurrence
+            if len(j):
+                # pair (p, j) duplicates frame i iff lo_i <= p < j < hi_i:
+                # frames with hi > j form a suffix [b, n), frames with
+                # lo <= p a prefix [0, a) — contribution is [b, a)
+                a = np.searchsorted(lo, p, side="right")
+                b = np.searchsorted(hi, j, side="right")
+                keep = b < a
+                diff = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(diff, b[keep], 1)
+                np.add.at(diff, a[keep], -1)
+                np.cumsum(diff[:n], out=dup)
+        return tbl.append_column(
+            out_col, pa.array(cnt - dup, type=pa.int64()))
 
     return _partition_by(ds, key_cols, num_partitions).map_groups(
         _pin(roll), batch_format="pyarrow")

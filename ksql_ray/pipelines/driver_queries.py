@@ -3168,6 +3168,115 @@ REGISTRY["op_time_range_agg"] = RawQ(
 )
 
 
+def _op_time_range_distinct(sf_dir: str) -> pa.Table:
+    from ..ops.rows import time_range_distinct
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "ts", "event_type"])
+    t = _collect(time_range_distinct(ds, ["user_id"], "ts",
+                                     "event_type",
+                                     range_us=24 * 3_600_000_000))
+    return t.select(["user_id", "event_id", "event_type_tdistinct"])
+
+
+REGISTRY["op_time_range_distinct"] = RawQ(
+    _op_time_range_distinct,
+    # sliding event-time DISTINCT count (ops/rows.py
+    # time_range_distinct): trailing 24 h per user. Exact — duplicates
+    # per frame counted via the prev-occurrence difference array, so
+    # the gate is a plain windowed DISTINCT aggregate
+    "SELECT user_id, event_id,"
+    "  COUNT(DISTINCT event_type) OVER (PARTITION BY user_id"
+    "    ORDER BY ts RANGE BETWEEN INTERVAL 24 HOURS PRECEDING"
+    "    AND CURRENT ROW) AS event_type_tdistinct "
+    "FROM events",
+)
+
+
+def _op_interval_merge(sf_dir: str) -> pa.Table:
+    import numpy as np
+
+    from ..ops.intervals import merge_intervals
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "ts", "value"])
+
+    # derive an end timestamp: value (2-dp, >= 0) x 1800 s. 2-dp x
+    # 1800 is an exact integer +/- ~1e-11 float noise, never at a
+    # rounding tie, so np.rint == SQL ROUND here
+    def add_end(b: pa.Table) -> pa.Table:
+        tsv = b.column("ts").cast(pa.int64()).to_numpy()
+        dur = np.rint(b.column("value").to_numpy(zero_copy_only=False)
+                      * 1800.0).astype(np.int64)
+        end = pa.array(tsv + dur * 1_000_000,
+                       type=pa.int64()).cast(pa.timestamp("us"))
+        return b.append_column("ts_end", end)
+
+    iv = ds.map_batches(add_end, batch_format="pyarrow")
+    t = _collect(merge_intervals(iv, ["user_id"], "ts", "ts_end"))
+    return t.select(["user_id", "span_start", "span_end", "n_rows"])
+
+
+REGISTRY["op_interval_merge"] = RawQ(
+    _op_interval_merge,
+    # interval coalescing (ops/intervals.py merge_intervals): SQL
+    # gaps-and-islands over the same derived [ts, ts + value*1800 s]
+    # intervals; islands open where start > running MAX(end)
+    "WITH iv AS ("
+    "  SELECT user_id, event_id, ts AS s,"
+    "    ts + INTERVAL 1 SECOND * CAST(ROUND(value * 1800) AS BIGINT)"
+    "      AS e"
+    "  FROM events"
+    "), o AS ("
+    "  SELECT user_id, event_id, s, e,"
+    "    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id"
+    "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm"
+    "  FROM iv"
+    "), isl AS ("
+    "  SELECT user_id, s, e,"
+    "    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)"
+    "      OVER (PARTITION BY user_id ORDER BY s, e, event_id) AS grp"
+    "  FROM o"
+    ") SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end,"
+    "    COUNT(*) AS n_rows "
+    "FROM isl GROUP BY user_id, grp",
+)
+
+
+def _op_gap_fill(sf_dir: str) -> pa.Table:
+    from ..ops.intervals import gap_fill
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["user_id", "event_id", "ts", "value", "event_type"])
+    t = _collect(gap_fill(ds, ["user_id"], "ts",
+                          ["value", "event_type"],
+                          step_us=6 * 3_600_000_000,
+                          tiebreak="event_id"))
+    return t.select(["user_id", "ts", "value", "event_type"])
+
+
+REGISTRY["op_gap_fill"] = RawQ(
+    _op_gap_fill,
+    # time-grid forward-fill resample (ops/intervals.py gap_fill):
+    # 6-hour grid from each user's MIN(ts) to MAX(ts), value columns
+    # from the last event at-or-before the grid point (ties by
+    # greatest event_id)
+    "WITH b AS (SELECT user_id, MIN(ts) lo, MAX(ts) hi FROM events"
+    "  GROUP BY user_id),"
+    " g AS (SELECT user_id,"
+    "   UNNEST(generate_series(lo, hi, INTERVAL 6 HOURS)) AS ts"
+    "   FROM b)"
+    " SELECT g.user_id, g.ts,"
+    "  (SELECT e.value FROM events e WHERE e.user_id = g.user_id"
+    "     AND e.ts <= g.ts ORDER BY e.ts DESC, e.event_id DESC"
+    "     LIMIT 1) AS value,"
+    "  (SELECT e.event_type FROM events e WHERE e.user_id = g.user_id"
+    "     AND e.ts <= g.ts ORDER BY e.ts DESC, e.event_id DESC"
+    "     LIMIT 1) AS event_type "
+    "FROM g",
+)
+
+
 def _op_char_entropy(sf_dir: str) -> pa.Table:
     from ..ops.quality import add_char_entropy
 
