@@ -688,6 +688,12 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["gap_fill_200k"] = min2(lambda: gap_fill(
         turns3(), ["conv_id"], "ts", ["turn_idx"],
         step_us=60_000_000, tiebreak="turn_idx").count())
+    from ksql_ray.ops.explode import split_tokens
+    from ksql_ray.ops.fuzzy import fuzzy_pairs
+
+    out["fuzzy_pairs_vocab"] = min2(lambda: fuzzy_pairs(
+        split_tokens(docs_ds(), "text", keep=[], pos_col=None),
+        "tok", min_len=2, max_len=16).count())
     out["tfidf_top5_200k"] = min2(lambda: tfidf_top_terms(
         docs_ds(), "doc_id", "text", k=5).count())
     out["char_entropy_200k"] = min2(lambda: docs_ds().map_batches(

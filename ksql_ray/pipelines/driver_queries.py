@@ -3277,6 +3277,71 @@ REGISTRY["op_gap_fill"] = RawQ(
 )
 
 
+def _op_fuzzy_pairs(sf_dir: str) -> pa.Table:
+    from ..ops.fuzzy import fuzzy_pairs
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet").select_columns(
+        ["doc_id", "text"])
+
+    # plant typo variants: first token of each doc, mutated by doc_id
+    # residue (append 'q' / drop last char / overwrite first with 'z')
+    # — identical derivation in the SQL below
+    def derive(b: pa.Table) -> pa.Table:
+        tok = pc.struct_field(pc.extract_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(
+                pc.cast(b.column("text"), pa.string()))),
+            r"^(?P<t>\S+)"), "t")
+        r = pc.cast(pc.subtract(
+            b.column("doc_id"),
+            pc.multiply(pc.divide(b.column("doc_id"), 4),
+                        pa.scalar(4, pa.int64()))), pa.int64())
+        drop_last = pc.utf8_reverse(pc.utf8_slice_codeunits(
+            pc.utf8_reverse(tok), 1, 2 ** 30))
+        s = pc.if_else(
+            pc.equal(r, 0), pc.binary_join_element_wise(tok, "q", ""),
+            pc.if_else(
+                pc.equal(r, 1), drop_last,
+                pc.if_else(
+                    pc.equal(r, 2), pc.binary_join_element_wise(
+                        "z", pc.utf8_slice_codeunits(tok, 1, 2 ** 30),
+                        ""),
+                    tok)))
+        return pa.table({"s": s})
+
+    t = _collect(fuzzy_pairs(ds.map_batches(derive,
+                                            batch_format="pyarrow"),
+                             "s", min_len=2, max_len=12,
+                             max_full_pairwise=4096))
+    return t.select(["tok_a", "tok_b"])
+
+
+REGISTRY["op_fuzzy_pairs"] = RawQ(
+    _op_fuzzy_pairs,
+    # SymSpell deletion-neighborhood fuzzy pairs (ops/fuzzy.py):
+    # candidate generation is exact-complete for Levenshtein <= 1 and
+    # every candidate is verified, so the oracle is the brute
+    # all-pairs levenshtein over the same planted distinct values
+    # (cap raised past the fixture's bucket sizes; capped jumbo
+    # buckets are an opt-in recall trade counted to op-stats)
+    "WITH base AS ("
+    "  SELECT doc_id, regexp_extract(trim(lower(text)), '^(\\S+)', 1)"
+    "    AS tok FROM documents"
+    "), m AS ("
+    "  SELECT CASE"
+    "    WHEN doc_id % 4 = 0 THEN tok || 'q'"
+    "    WHEN doc_id % 4 = 1 THEN substr(tok, 1, length(tok) - 1)"
+    "    WHEN doc_id % 4 = 2 THEN 'z' || substr(tok, 2)"
+    "    ELSE tok END AS s"
+    "  FROM base"
+    "), d AS (SELECT DISTINCT s FROM m"
+    "   WHERE length(s) BETWEEN 2 AND 12) "
+    "SELECT a.s AS tok_a, b.s AS tok_b "
+    "FROM d a JOIN d b ON a.s < b.s"
+    "  AND abs(length(a.s) - length(b.s)) <= 1 "
+    "WHERE levenshtein(a.s, b.s) <= 1",
+)
+
+
 def _op_char_entropy(sf_dir: str) -> pa.Table:
     from ..ops.quality import add_char_entropy
 
