@@ -704,6 +704,12 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     from ksql_ray.ops.hist import numeric_histogram
     from ksql_ray.ops.sets import intersect_distinct, semi_join_filter
 
+    from ksql_ray.ops.sets import union_distinct
+
+    out["union_200k"] = min2(lambda: union_distinct(
+        turns5().filter(expr="role == 'user'"),
+        turns5().filter(expr="role == 'assistant'"),
+        ["conv_id", "turn_idx"]).count())
     out["intersect_200k"] = min2(lambda: intersect_distinct(
         turns5().filter(expr="role == 'user'"),
         turns5().filter(expr="role == 'assistant'"),

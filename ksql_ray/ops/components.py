@@ -246,3 +246,105 @@ def dedup_by_components(docs: ray.data.Dataset, pairs: ray.data.Dataset,
 
     return _shuffled(tagged, "node", num_partitions).map_groups(
         resolve, batch_format="pyarrow")
+
+
+def keep_best_by_components(docs: ray.data.Dataset,
+                            pairs: ray.data.Dataset,
+                            id_col: str = "doc_id",
+                            score_col: str = "score",
+                            a: str = "doc_a", b: str = "doc_b",
+                            num_partitions: int = 16) -> ray.data.Dataset:
+    """Quality-aware dedup representative selection: resolve the pair
+    set into transitive clusters, then keep the HIGHEST-``score_col``
+    doc of each cluster (ties -> smallest id; null scores sort last)
+    instead of the smallest-id doc. One row per cluster:
+    (cluster_id, id_col, score_col, n_members) — the kept doc and the
+    cluster size. The standard "keep the best copy, not the first
+    copy" post-pass of web-corpus dedup (e.g. highest quality score
+    among RefinedWeb/Gopher near-dup copies).
+
+    Shape: ``dedup_by_components``'s label resolution (one id-hash
+    shuffle joins labels to docs — no broadcast: the label map can be
+    corpus-sized), then ONE cluster-hash shuffle and a vectorized
+    per-partition argmax (sort + segment starts). Only
+    (id, cluster, score) triples move, never payloads."""
+    import pyarrow.compute as pc
+
+    cc = connected_components(pairs, a=a, b=b,
+                              num_partitions=num_partitions)
+
+    @_pin
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        score = batch.column(score_col).combine_chunks().cast(
+            pa.float64())
+        return pa.table({"node": ids,
+                         "cluster_id": np.zeros(len(ids), np.int64),
+                         "__score": score,
+                         "__tag": np.zeros(len(ids), np.int8)})
+
+    @_pin
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "cluster_id": batch.column("cluster_id"),
+                         "__score": pa.nulls(batch.num_rows,
+                                             pa.float64()),
+                         "__tag": np.ones(batch.num_rows, np.int8)})
+
+    tagged = docs.select_columns([id_col, score_col]).map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True).union(
+        cc.map_batches(tag_labels, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+    @_pin
+    def resolve(group: pa.Table) -> pa.Table:
+        node = group.column("node").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        lbl = group.column("cluster_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        tag = group.column("__tag").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        is_doc = tag == 0
+        doc_ids = node[is_doc]
+        score = group.column("__score").combine_chunks().filter(
+            pa.array(is_doc))
+        lnode, llbl = node[~is_doc], lbl[~is_doc]
+        order = np.argsort(lnode, kind="stable")
+        lnode, llbl = lnode[order], llbl[order]
+        if len(lnode):
+            pos = np.searchsorted(lnode, doc_ids)
+            found = pos < len(lnode)
+            found[found] &= lnode[pos[found]] == doc_ids[found]
+            cluster = np.where(
+                found, llbl[np.minimum(pos, max(len(lnode) - 1, 0))],
+                doc_ids)
+        else:
+            cluster = doc_ids.copy()
+        return pa.table({"cluster_id": cluster, id_col: doc_ids,
+                         score_col: score})
+
+    labeled = _shuffled(tagged, "node", num_partitions).map_groups(
+        resolve, batch_format="pyarrow")
+
+    @_pin
+    def best(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            return group
+        tbl = group.take(pc.sort_indices(group, sort_keys=[
+            ("cluster_id", "ascending"), (score_col, "descending"),
+            (id_col, "ascending")]))
+        cl = tbl.column("cluster_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        sizes = np.diff(np.r_[starts, len(cl)])
+        return tbl.take(pa.array(starts)).append_column(
+            "n_members", pa.array(sizes, type=pa.int64()))
+
+    from .dedup import _partition_by
+
+    return _partition_by(labeled, ["cluster_id"],
+                         num_partitions).map_groups(
+        best, batch_format="pyarrow")

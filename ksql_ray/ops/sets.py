@@ -34,7 +34,8 @@ import ray.data
 from .dedup import _partition_by, _pin
 from .rows import _key_arrays, _segment_starts
 
-__all__ = ["intersect_distinct", "except_distinct", "semi_join_filter"]
+__all__ = ["intersect_distinct", "except_distinct", "union_distinct",
+           "semi_join_filter"]
 
 # key sets at or under this size ride the task closure (serialized once
 # per worker); larger sets go through ray.put + an actor pool so the
@@ -64,9 +65,10 @@ def _tagged(ds: ray.data.Dataset, cols: list[str], tag: int):
 
 
 def _emit_set(group: pa.Table, cols: list[str],
-              keep_right: bool) -> pa.Table:
+              mode: str) -> pa.Table:
     """Sorted-segment reduceat over the side tag: emit each distinct
-    key once iff it satisfies the INTERSECT / EXCEPT membership rule."""
+    key once iff it satisfies the INTERSECT / EXCEPT / UNION
+    membership rule."""
     if "__part" in group.column_names:
         group = group.drop_columns(["__part"])
     if group.num_rows == 0:
@@ -78,15 +80,17 @@ def _emit_set(group: pa.Table, cols: list[str],
     src = tbl.column("__src").to_numpy(zero_copy_only=False)
     lo = np.minimum.reduceat(src, starts)
     hi = np.maximum.reduceat(src, starts)
-    if keep_right:          # INTERSECT: key seen on both sides
+    if mode == "intersect":     # key seen on both sides
         mask = (lo == 0) & (hi == 1)
-    else:                   # EXCEPT: key seen on the left only
+    elif mode == "except":      # key seen on the left only
         mask = hi == 0
+    else:                       # UNION: every distinct key
+        mask = np.ones(len(starts), dtype=bool)
     return tbl.take(pa.array(starts[mask])).select(cols)
 
 
 @ray.remote
-def _setop_merge_task(cols: list[str], keep_right: bool,
+def _setop_merge_task(cols: list[str], mode: str,
                       *blocks: pa.Table) -> pa.Table:
     from .smallagg import _with_schema
 
@@ -94,11 +98,11 @@ def _setop_merge_task(cols: list[str], keep_right: bool,
     if not blocks:
         return pa.table({})
     return _emit_set(pa.concat_tables(blocks, promote_options="default"),
-                     cols, keep_right)
+                     cols, mode)
 
 
 def _set_op(left: ray.data.Dataset, right: ray.data.Dataset,
-            cols: list[str], keep_right: bool,
+            cols: list[str], mode: str,
             num_partitions: int) -> ray.data.Dataset:
     union = _tagged(left, cols, 0).union(
         _tagged(right, cols, 1)).materialize()
@@ -108,12 +112,12 @@ def _set_op(left: ray.data.Dataset, right: ray.data.Dataset,
     if union.size_bytes() <= _SMALL_PARTIAL_BYTES:
         # batch-deduped tagged keys fit the small budget: one task
         # instead of a key exchange
-        ref = _setop_merge_task.remote(cols, keep_right,
+        ref = _setop_merge_task.remote(cols, mode,
                                        *union.to_arrow_refs())
         return ray.data.from_arrow_refs([ref])
 
     return _partition_by(union, cols, num_partitions).map_groups(
-        _pin(lambda g: _emit_set(g, cols, keep_right)),
+        _pin(lambda g: _emit_set(g, cols, mode)),
         batch_format="pyarrow")
 
 
@@ -125,7 +129,7 @@ def intersect_distinct(left: ray.data.Dataset, right: ray.data.Dataset,
     (INTERSECT is distinct by definition). String/object NULL keys
     compare equal (SQL set-op semantics); float NaN keys do not —
     filter nulls first for float keys."""
-    return _set_op(left, right, cols, keep_right=True,
+    return _set_op(left, right, cols, mode="intersect",
                    num_partitions=num_partitions)
 
 
@@ -134,7 +138,18 @@ def except_distinct(left: ray.data.Dataset, right: ray.data.Dataset,
                     num_partitions: int = 32) -> ray.data.Dataset:
     """Distinct key tuples present in ``left`` but NOT in ``right`` —
     SQL ``EXCEPT``."""
-    return _set_op(left, right, cols, keep_right=False,
+    return _set_op(left, right, cols, mode="except",
+                   num_partitions=num_partitions)
+
+
+def union_distinct(left: ray.data.Dataset, right: ray.data.Dataset,
+                   cols: list[str],
+                   num_partitions: int = 32) -> ray.data.Dataset:
+    """Distinct key tuples present in EITHER input — SQL ``UNION``
+    (distinct by definition; ``UNION ALL`` is plain
+    ``Dataset.union``). Same batch-distinct + one-key-shuffle shape
+    as INTERSECT/EXCEPT."""
+    return _set_op(left, right, cols, mode="union",
                    num_partitions=num_partitions)
 
 

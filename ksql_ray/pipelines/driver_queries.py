@@ -781,6 +781,40 @@ FROM documents d LEFT JOIN cc ON cc.node = d.doc_id"""
 REGISTRY["op_dup_clusters"] = RawQ(_op_dup_clusters, _DUP_CLUSTERS_SQL)
 
 
+def _op_dedup_keep_best(sf_dir: str) -> pa.Table:
+    """Quality-aware representative selection: same near-dup cluster
+    resolution as op_dup_clusters, but each cluster keeps its
+    highest-n_chars doc (ties -> smallest doc_id), not its first."""
+    from ..ops.components import keep_best_by_components
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    docs = _read_clean(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(_min3_tokens(docs), threshold=0.5)
+    t = _collect(keep_best_by_components(docs, pairs,
+                                         score_col="n_chars"))
+    return t.select(["cluster_id", "doc_id", "n_chars", "n_members"])
+
+
+# the same recursive-CTE cluster chain as _DUP_CLUSTERS_SQL, with a
+# per-cluster argmax tail (ROW_NUMBER over score DESC, id ASC)
+_KEEP_BEST_SQL = _DUP_CLUSTERS_SQL[:_DUP_CLUSTERS_SQL.index(
+    "SELECT d.doc_id,")] + """,
+full_docs AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         d.n_chars
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)
+SELECT cluster_id, doc_id, n_chars, n_members FROM (
+  SELECT cluster_id, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+           ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM full_docs) WHERE rn = 1"""
+
+REGISTRY["op_dedup_keep_best"] = RawQ(_op_dedup_keep_best,
+                                      _KEEP_BEST_SQL)
+
+
 def _op_contamination(sf_dir: str) -> pa.Table:
     """GPT-3-style benchmark decontamination: docs with doc_id % 10 == 0
     stand in for the held-out benchmark suite; every remaining training
@@ -3502,6 +3536,30 @@ REGISTRY["op_intersect"] = RawQ(
     "INTERSECT "
     "SELECT DISTINCT user_id FROM events"
     " WHERE event_type = 'purchase' AND value > 150.0",
+)
+
+
+def _op_union(sf_dir: str) -> pa.Table:
+    from ..ops.sets import union_distinct
+
+    left = _read_clean(f"{sf_dir}/events.parquet").filter(
+        expr="event_type == 'click' and value > 180.0")
+    right = _read_clean(f"{sf_dir}/events.parquet").filter(
+        expr="event_type == 'purchase' and value > 180.0")
+    return _collect(union_distinct(left, right,
+                                   ["user_id", "event_type"]))
+
+
+REGISTRY["op_union"] = RawQ(
+    _op_union,
+    # distributed UNION DISTINCT (ops/sets.py union_distinct): same
+    # tagged-union + one-key-shuffle shape as INTERSECT/EXCEPT; the
+    # two-column key makes the distinct non-trivial on both sides
+    "SELECT user_id, event_type FROM events"
+    " WHERE event_type = 'click' AND value > 180.0 "
+    "UNION "
+    "SELECT user_id, event_type FROM events"
+    " WHERE event_type = 'purchase' AND value > 180.0",
 )
 
 

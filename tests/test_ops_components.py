@@ -92,3 +92,51 @@ def test_dedup_by_components_empty_pairs(ray_session):
     out = dedup_by_components(docs, pairs).to_pandas().sort_values("doc_id")
     assert list(out["cluster_id"]) == [1, 3]
     assert list(out["is_canonical"]) == [True, True]
+
+
+def test_keep_best_by_components_brute(ray_session):
+    from ksql_ray.ops.components import keep_best_by_components
+
+    rng = np.random.default_rng(7)
+    n = 120
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "score": pa.array(rng.integers(0, 8, n).astype(float)),
+    })
+    # random sparse pair graph
+    m = 90
+    pa_ids = rng.integers(0, n, m)
+    pb_ids = rng.integers(0, n, m)
+    keep = pa_ids != pb_ids
+    pairs = pa.table({"doc_a": pa.array(pa_ids[keep], pa.int64()),
+                      "doc_b": pa.array(pb_ids[keep], pa.int64())})
+    got = keep_best_by_components(
+        ray.data.from_arrow(docs).repartition(3),
+        ray.data.from_arrow(pairs).repartition(2),
+        score_col="score").to_pandas()
+    # union-find brute force
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].to_pylist(),
+                    pairs["doc_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    byc = {}
+    sc = docs["score"].to_pylist()
+    for d in range(n):
+        byc.setdefault(find(d), []).append(d)
+    want = {}
+    for root, members in byc.items():
+        best = min(members, key=lambda d: (-sc[d], d))
+        # cluster_id is the component MIN id (root after path collapse)
+        want[min(members)] = (best, sc[best], len(members))
+    gm = {r.cluster_id: (r.doc_id, r.score, r.n_members)
+          for r in got.itertuples()}
+    assert gm == want

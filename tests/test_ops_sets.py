@@ -119,3 +119,24 @@ def test_semi_empty_right(ray_session):
     assert collect(semi_join_filter(l, r, "k", "k")).num_rows == 0
     assert collect(semi_join_filter(l, r, "k", "k",
                                     anti=True)).num_rows == 2
+
+
+def test_union_distinct_brute(ray_session):
+    from ksql_ray.ops.sets import union_distinct
+
+    rng = np.random.default_rng(23)
+    la = pa.table({"k": pa.array(rng.integers(0, 40, 300), pa.int64()),
+                   "g": pa.array([f"s{v}" for v in
+                                  rng.integers(0, 3, 300)])})
+    rb = pa.table({"k": pa.array(rng.integers(20, 60, 300), pa.int64()),
+                   "g": pa.array([f"s{v}" for v in
+                                  rng.integers(0, 3, 300)])})
+    got = collect(union_distinct(
+        ray.data.from_arrow(la).repartition(3),
+        ray.data.from_arrow(rb).repartition(3), ["k", "g"]))
+    want = ({(k, g) for k, g in zip(la["k"].to_pylist(),
+                                    la["g"].to_pylist())}
+            | {(k, g) for k, g in zip(rb["k"].to_pylist(),
+                                      rb["g"].to_pylist())})
+    assert {(r["k"], r["g"]) for r in got.to_pylist()} == want
+    assert got.num_rows == len(want)
