@@ -811,6 +811,17 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         turns5(), "conv_id", method="fast").count())
     out["sample_per_key_200k"] = min2(lambda: sample_per_key(
         turns5(), ["conv_id"], "turn_idx", n=4, method="fast").count())
+    from ksql_ray.ops.c4 import c4_clean
+    from ksql_ray.ops.sample import bottom_k_sample, mixture_sample
+
+    out["c4_clean_200k"] = min2(
+        lambda: c4_clean(turns4(), min_words=3, min_lines=1).count())
+    out["bottom_k_sample_200k"] = min2(lambda: bottom_k_sample(
+        turns3(), "turn_idx", 10_000, method="fast").count())
+    out["mixture_sample_200k"] = min2(lambda: mixture_sample(
+        turns5(), "turn_idx", "role",
+        {"user": 0.5, "assistant": 0.4, "tool": 0.1}, 50_000,
+        method="fast").count())
 
     # PCA moments + projection over the 100k x 64d vector corpus
     from ksql_ray.ops.pca import pca_project, pca_train

@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 import ray.data
 
 __all__ = ["add_sample_hash", "stratified_sample", "weighted_sample",
-           "split_assign", "sample_per_key"]
+           "split_assign", "sample_per_key", "bottom_k_sample",
+           "mixture_sample"]
 
 _2_32 = float(1 << 32)
 
@@ -186,3 +187,130 @@ def sample_per_key(
                         tiebreak=id_col)
     return out.map_batches(lambda b: b.drop_columns(["__sh", "rank"]),
                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+@ray.remote
+def _bottomk_merge_task(k: int, sort_cols: list[str],
+                        *blocks: pa.Table) -> pa.Table:
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        return pa.table({})
+    t = pa.concat_tables(blocks, promote_options="default")
+    idx = pc.sort_indices(
+        t, sort_keys=[(c, "ascending") for c in sort_cols])[:k]
+    return t.take(idx)
+
+
+def bottom_k_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    k: int,
+    method: str = "md5",
+    seed: str = "",
+    keep_hash: bool = False,
+) -> ray.data.Dataset:
+    """Exact-size-k uniform sample: the k rows with the globally
+    smallest ``hash(key)`` (ties broken by the key itself).
+
+    Reservoir sampling gives an exact-size sample but is neither
+    deterministic nor mergeable across retries; **bottom-k by hash**
+    (Cohen & Kaplan, PODS'07 "Summarizing data using bottom-k
+    sketches") is both — the bottom-k of a union is the bottom-k of
+    the per-shard bottom-k's, so the sample is stable under
+    repartitioning, resume and failure replay, and two shards' samples
+    merge without coordination.
+
+    Shape: per-batch partial bottom-k inside ``map_batches`` (each
+    batch contributes <= k rows regardless of batch size), then ONE
+    merge task over the compact partials (ops/smallagg.py rationale:
+    a distributed sort exchange costs ~2.4 s fixed for what is <= k x
+    num_batches tiny rows). At 100 TB the network carries
+    O(k * num_batches) rows, never the data.
+
+    Oracle (DuckDB, bit-equal for method="md5")::
+
+        SELECT ... ORDER BY ('0x' || substr(md5(CAST(key AS VARCHAR)),
+          1, 8))::UBIGINT, key LIMIT k
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_sample_hash(batch, key_col, "__sh", method=method,
+                            seed=seed)
+        if b.num_rows > k:
+            idx = pc.sort_indices(
+                b, sort_keys=[("__sh", "ascending"),
+                              (key_col, "ascending")])[:k]
+            b = b.take(idx)
+        return b
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    ref = _bottomk_merge_task.remote(k, ["__sh", key_col],
+                                     *parts.to_arrow_refs())
+    out = ray.data.from_arrow_refs([ref])
+    if keep_hash:
+        return out
+    return out.map_batches(
+        lambda b: b.drop_columns(["__sh"]) if "__sh" in b.column_names
+        else b,
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mixture_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    n_target: int,
+    method: str = "md5",
+    seed: str = "",
+) -> ray.data.Dataset:
+    """Domain-mixture (temperature) sampling: downsample each domain so
+    the kept set approximates ``n_target`` rows distributed by
+    ``weights`` — the data-mixing step of large-LM pipelines (Gopher /
+    The Pile fix per-source weights; Xie et al. 2023 DoReMi learns
+    them; this op applies a given weight vector at scale).
+
+    Pass 1 counts rows per domain (per-batch ``value_counts`` partials
+    -> one small merge; the shuffle carries one row per domain per
+    batch). The per-domain keep rate is then
+
+        rate(d) = LEAST(1.0, (n_target * w_norm(d)) / count(d))
+
+    computed with exactly this IEEE association so the DuckDB oracle
+    reproduces the boundary bit-for-bit, and pass 2 is a stateless
+    ``hash(key) < rate * 2^32`` filter (stratified_sample). Domains
+    absent from ``weights`` are dropped (rate 0). Nothing is
+    materialized on the driver except the tiny domain->count dict."""
+    if n_target <= 0:
+        raise ValueError("n_target must be positive")
+    tot_w = sum(weights.values())
+    if tot_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vc = pd.Series(
+            batch.column(domain_col).to_pandas()).value_counts()
+        return pa.table({
+            domain_col: pa.array(vc.index.astype(str), type=pa.string()),
+            "cnt": pa.array(vc.to_numpy(), type=pa.int64()),
+        })
+
+    from .smallagg import grouped_sum
+
+    parts = ds.select_columns([domain_col]).map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = {r[domain_col]: r["cnt"]
+              for r in grouped_sum(parts, [domain_col],
+                                   ["cnt"]).take_all()}
+    fractions = {
+        d: min(1.0, (float(n_target) * (w / tot_w)) / float(counts[d]))
+        for d, w in weights.items() if counts.get(d)
+    }
+    return stratified_sample(ds, key_col, fractions=fractions,
+                             strata_col=domain_col, default_fraction=0.0,
+                             method=method, seed=seed)

@@ -4516,6 +4516,130 @@ REGISTRY["op_pagerank"] = RawQ(
 )
 
 
+def _op_bottom_k_sample(sf_dir: str) -> pa.Table:
+    from ..ops.sample import bottom_k_sample
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    t = _collect(bottom_k_sample(ds, "doc_id", 37))
+    return t.select(["doc_id", "lang", "source"])
+
+
+REGISTRY["op_bottom_k_sample"] = RawQ(
+    _op_bottom_k_sample,
+    # exact-size uniform sample = global bottom-k by md5 hash
+    # (ops/sample.py bottom_k_sample; Cohen & Kaplan bottom-k sketch)
+    "SELECT doc_id, lang, source FROM documents "
+    "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT, "
+    "doc_id LIMIT 37",
+)
+
+
+def _op_mixture_sample(sf_dir: str) -> pa.Table:
+    from ..ops.sample import mixture_sample
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    t = _collect(mixture_sample(
+        ds, "doc_id", "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.1, "src3": 0.1}, 60))
+    return t.select(["doc_id", "source"])
+
+
+_MIX_CASE = ("CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 "
+             "WHEN 'src2' THEN 0.1 WHEN 'src3' THEN 0.1 END")
+REGISTRY["op_mixture_sample"] = RawQ(
+    _op_mixture_sample,
+    # domain-mixture sampling (ops/sample.py mixture_sample): keep rate
+    # per domain = LEAST(1, n_target*w_norm/count) with the engine's
+    # exact IEEE association (n_target * (w/tot_w)) / count
+    "WITH cnt AS (SELECT source, COUNT(*)::DOUBLE AS c FROM documents "
+    "GROUP BY source) "
+    "SELECT doc_id, source FROM documents JOIN cnt USING (source) "
+    f"WHERE ({_MIX_CASE}) IS NOT NULL "
+    "AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT "
+    f"< LEAST(1.0, (60.0 * (({_MIX_CASE}) / 1.0)) / c) * 4294967296.0",
+)
+
+
+def _c4_plant(batch: pa.Table) -> pa.Table:
+    """Deterministically rebuild each doc as a multi-line C4 test page
+    (the sf documents are single-line with no punctuation, so the raw
+    C4 rules would be trivial). Mirrored verbatim in the oracle SQL.
+    All literals typed (BASELINE.md lesson: untyped [] * 0 plants)."""
+    import numpy as np
+
+    ids = pc.cast(batch.column("doc_id"), pa.string())
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    idv = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    ids_np = ids.to_numpy(zero_copy_only=False).astype(object)
+    head = pc.utf8_slice_codeunits(batch.column("text"), 0, 30)
+    head_np = (head.combine_chunks() if isinstance(head, pa.ChunkedArray)
+               else head).to_numpy(zero_copy_only=False).astype(object)
+    nl = "\n"
+    base = ("Sentence one about doc " + ids_np + " is long enough." + nl
+            + "too short." + nl
+            + "This line mentions javascript libraries and is dropped."
+            + nl
+            + "Line four of document " + ids_np + " also survives fine!"
+            + nl + head_np + nl
+            + "Closing line of document " + ids_np + " stays too.")
+    base = base + np.where(
+        idv % 5 == 0,
+        nl + "A bonus line for doc " + ids_np + " survives as well?", "")
+    base = base + np.where(idv % 7 == 0, nl + "padding lorem ipsum text",
+                           "")
+    base = base + np.where(idv % 11 == 0, nl + "stray { brace", "")
+    i = batch.column_names.index("text")
+    return batch.set_column(i, "text", pa.array(base, type=pa.string()))
+
+
+def _op_c4_clean(sf_dir: str) -> pa.Table:
+    from ..ops.c4 import c4_clean
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    planted = ds.map_batches(_c4_plant, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    t = _collect(c4_clean(planted, min_words=5, min_lines=3))
+    return t.select(["doc_id", "text", "n_lines", "n_kept"])
+
+
+_C4_TRIM = "' ' || chr(9) || chr(13)"
+REGISTRY["op_c4_clean"] = RawQ(
+    _op_c4_clean,
+    # C4 page cleanup (Raffel et al. 2020 §2.2; ops/c4.py): the same
+    # planted page, line predicates and reassembly in SQL
+    "WITH d AS (SELECT doc_id, "
+    "'Sentence one about doc ' || CAST(doc_id AS VARCHAR) || "
+    "' is long enough.' || chr(10) || 'too short.' || chr(10) || "
+    "'This line mentions javascript libraries and is dropped.' || "
+    "chr(10) || 'Line four of document ' || CAST(doc_id AS VARCHAR) || "
+    "' also survives fine!' || chr(10) || substr(text, 1, 30) || "
+    "chr(10) || 'Closing line of document ' || "
+    "CAST(doc_id AS VARCHAR) || ' stays too.' || "
+    "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'A bonus line for doc ' "
+    "|| CAST(doc_id AS VARCHAR) || ' survives as well?' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN chr(10) || "
+    "'padding lorem ipsum text' ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'stray { brace' "
+    "ELSE '' END AS text FROM documents), "
+    "ok AS (SELECT doc_id, text FROM d WHERE NOT "
+    "contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')), "
+    "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, "
+    "generate_subscripts(string_split(text, chr(10)), 1) AS pos "
+    "FROM ok), "
+    f"k AS (SELECT doc_id, line, pos, length(regexp_split_to_array("
+    f"trim(line, {_C4_TRIM}), '\\s+')) AS wc FROM l), "
+    "kept AS (SELECT * FROM k WHERE wc >= 5 AND "
+    f"regexp_matches(trim(line, {_C4_TRIM}), '[.!?\"]$') "
+    "AND NOT contains(lower(line), 'javascript')), "
+    "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) "
+    "AS text, count(*) AS n_kept FROM kept GROUP BY doc_id), "
+    "tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id) "
+    "SELECT agg.doc_id, agg.text, tot.n_lines, agg.n_kept "
+    "FROM agg JOIN tot USING (doc_id) WHERE n_kept >= 3",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3

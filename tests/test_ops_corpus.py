@@ -279,3 +279,138 @@ def test_add_char_entropy(ray_session):
     # codepoints: a, é, é, 🙂 -> p = (.25, .5, .25)
     want = -(0.25 * math.log2(0.25) * 2 + 0.5 * math.log2(0.5))
     assert e[4] == pytest.approx(want, abs=1e-6)
+
+
+# ----------------------------------------------------- bottom-k / mixture
+def test_bottom_k_sample_vs_duckdb(docs_ds, duck):
+    from ksql_ray.ops.sample import bottom_k_sample
+
+    got = sorted(collect(bottom_k_sample(
+        docs_ds, "doc_id", 23)).column("doc_id").to_pylist())
+    exp = [r[0] for r in duck.execute(
+        "SELECT doc_id FROM documents ORDER BY "
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT, "
+        "doc_id LIMIT 23").fetchall()]
+    assert got == sorted(exp)
+
+
+def test_bottom_k_sample_merge_property(docs_ds):
+    """Bottom-k of a union == bottom-k of per-shard bottom-k's: the
+    sample is invariant to how the input is split into batches."""
+    from ksql_ray.ops.sample import bottom_k_sample
+
+    whole = sorted(collect(bottom_k_sample(
+        docs_ds, "doc_id", 11)).column("doc_id").to_pylist())
+    reparted = docs_ds.repartition(7)
+    shard = sorted(collect(bottom_k_sample(
+        reparted, "doc_id", 11)).column("doc_id").to_pylist())
+    assert whole == shard
+    # k >= n degenerates to the full table
+    n = docs_ds.count()
+    assert collect(bottom_k_sample(
+        docs_ds, "doc_id", n + 50)).num_rows == n
+
+
+def test_bottom_k_sample_schema_and_errors(docs_ds):
+    from ksql_ray.ops.sample import bottom_k_sample
+
+    t = collect(bottom_k_sample(docs_ds, "doc_id", 5, keep_hash=True))
+    assert "__sh" in t.column_names and t.num_rows == 5
+    with pytest.raises(ValueError):
+        bottom_k_sample(docs_ds, "doc_id", 0)
+
+
+def test_mixture_sample_rates(docs_ds, duck):
+    from ksql_ray.ops.sample import mixture_sample
+
+    w = {"src0": 0.5, "src1": 0.3, "src2": 0.1, "src3": 0.1}
+    got = collect(mixture_sample(docs_ds, "doc_id", "source", w, 60))
+    # only weighted domains survive
+    assert set(got.column("source").to_pylist()) <= set(w)
+    case = ("CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 "
+            "WHEN 'src2' THEN 0.1 WHEN 'src3' THEN 0.1 END")
+    exp = [r[0] for r in duck.execute(
+        "WITH cnt AS (SELECT source, COUNT(*)::DOUBLE AS c FROM documents "
+        "GROUP BY source) "
+        "SELECT doc_id FROM documents JOIN cnt USING (source) "
+        f"WHERE ({case}) IS NOT NULL "
+        "AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT "
+        f"< LEAST(1.0, (60.0 * (({case}) / 1.0)) / c) * 4294967296.0"
+    ).fetchall()]
+    assert sorted(got.column("doc_id").to_pylist()) == sorted(exp)
+
+
+def test_mixture_sample_saturation(docs_ds):
+    """A domain whose share already undershoots its target keeps ALL
+    rows (rate clamps at 1), and unknown-domain weights are ignored."""
+    from ksql_ray.ops.sample import mixture_sample
+
+    got = collect(mixture_sample(
+        docs_ds, "doc_id", "source", {"src5": 1.0, "nosuch": 9.0}, 10 ** 6))
+    full = collect(docs_ds.filter(
+        lambda r: r["source"] == "src5"))
+    assert got.num_rows == full.num_rows
+    with pytest.raises(ValueError):
+        mixture_sample(docs_ds, "doc_id", "source", {"a": 1.0}, 0)
+
+
+# --------------------------------------------------------------- C4 cleanup
+def _c4_tbl():
+    return pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "This is a good long sentence here.\nshort one.\n"
+            "Another proper long line goes here!\n"
+            "A third fine long line stays put.\nno punct line here at all",
+            "contains lorem ipsum so the page dies. With lines.",
+            "Uses javascript in this long enough line.\n"
+            "Good line one is long enough today.\n"
+            "Good line two is long enough today!\n"
+            "Good line three is long enough today?",
+            "Only two good lines survive here today.\n"
+            "Second good line survives here as well.\nshort.",
+        ]),
+    })
+
+
+def test_c4_clean_rules():
+    from ksql_ray.ops.c4 import c4_clean_batch
+
+    out = c4_clean_batch(_c4_tbl()).to_pydict()
+    # doc 2 dies on lorem ipsum, doc 4 on min_lines
+    assert out["doc_id"] == [1, 3]
+    assert out["n_lines"] == [5, 4] and out["n_kept"] == [3, 3]
+    assert out["text"][0].count("\n") == 2
+    assert "short one." not in out["text"][0]
+    assert "javascript" not in out["text"][1]
+
+
+def test_c4_clean_edges():
+    from ksql_ray.ops.c4 import c4_clean_batch
+
+    # zero-row batch keeps the output schema stable
+    empty = c4_clean_batch(_c4_tbl().slice(0, 0))
+    assert empty.num_rows == 0
+    assert empty.column_names == ["doc_id", "text", "n_lines", "n_kept"]
+    # curly-brace page kill + trim contract (tab/CR trimmed, then the
+    # terminal-punctuation check applies to the trimmed line)
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "var x = { broken json page with braces everywhere }",
+            "\tA tab-indented long line that still ends well.\r\n"
+            "Second proper long line of this tidy page.\n"
+            "Third proper long line of this tidy page.",
+        ]),
+    })
+    out = c4_clean_batch(t).to_pydict()
+    assert out["doc_id"] == [2] and out["n_kept"] == [3]
+
+
+def test_c4_clean_vs_duckdb_on_planted_pages(ray_session, duck):
+    from ksql_ray.pipelines.driver_queries import REGISTRY
+
+    q = REGISTRY["op_c4_clean"]
+    got = q.run(SF_DIR)
+    exp = duck.execute(q.sql).arrow()
+    assert_tables_equal(got, exp)
