@@ -717,6 +717,11 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["semi_join_200k"] = min2(lambda: semi_join_filter(
         turns5(), turns5().filter(expr="role == 'tool'"),
         "conv_id", "conv_id").count())
+    from ksql_ray.ops.bloom import bloom_semi_join
+
+    out["bloom_semi_200k"] = min2(lambda: bloom_semi_join(
+        turns5(), turns5().filter(expr="role == 'tool'"),
+        "conv_id", "conv_id", expected_keys=50_000).count())
     out["histogram_200k"] = min2(lambda: numeric_histogram(
         turns3(), "turn_idx", bins=32).count())
 

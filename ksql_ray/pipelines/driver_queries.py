@@ -4640,6 +4640,53 @@ REGISTRY["op_c4_clean"] = RawQ(
 )
 
 
+def _op_bloom_semi(sf_dir: str) -> pa.Table:
+    from ..ops.bloom import bloom_semi_join
+
+    ev = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_id", "user_id", "event_type"])
+    big = _read_clean(f"{sf_dir}/orders.parquet").select_columns(
+        ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 350000.0")
+    return _collect(bloom_semi_join(ev, big, "user_id", "o_custkey"))
+
+
+REGISTRY["op_bloom_semi"] = RawQ(
+    _op_bloom_semi,
+    # bloom-prefiltered semi-join (ops/bloom.py): exact mode — bloom
+    # bitmap built over the right key column in one pass (fan-in-8 OR
+    # tree), broadcast once, left rows prefiltered per batch, then one
+    # hash-partition shuffle verifies survivors with co-partitioned
+    # is_in. Result is exact SQL IN regardless of the bloom FPR.
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE user_id IN (SELECT o_custkey FROM orders"
+    "                  WHERE o_totalprice > 350000.0)",
+)
+
+
+def _op_bloom_anti(sf_dir: str) -> pa.Table:
+    from ..ops.bloom import bloom_semi_join
+
+    ev = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_id", "user_id", "event_type"])
+    big = _read_clean(f"{sf_dir}/orders.parquet").select_columns(
+        ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 350000.0")
+    return _collect(bloom_semi_join(ev, big, "user_id", "o_custkey",
+                                    anti=True))
+
+
+REGISTRY["op_bloom_anti"] = RawQ(
+    _op_bloom_anti,
+    # bloom anti (NOT EXISTS): bloom-NEGATIVE rows bypass the verify
+    # shuffle as definite keepers (a bloom never false-negatives);
+    # only bloom-positives are exact-verified, then unioned back
+    "SELECT event_id, user_id, event_type FROM events e "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o"
+    "  WHERE o.o_custkey = e.user_id AND o.o_totalprice > 350000.0)",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3
