@@ -722,6 +722,19 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["bloom_semi_200k"] = min2(lambda: bloom_semi_join(
         turns5(), turns5().filter(expr="role == 'tool'"),
         "conv_id", "conv_id", expected_keys=50_000).count())
+    from ksql_ray.ops.diff import snapshot_diff
+
+    def _perturbed(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = pc.if_else(pa.array(ids % 3 == 0),
+                       pc.utf8_upper(b.column("text")), b.column("text"))
+        return b.set_column(b.column_names.index("text"), "text",
+                            t).filter(pa.array(ids % 5 != 0))
+
+    out["snapshot_diff_200k"] = min2(lambda: snapshot_diff(
+        docs_ds(), docs_ds().map_batches(
+            _perturbed, batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id", ["text"]).count())
     out["histogram_200k"] = min2(lambda: numeric_histogram(
         turns3(), "turn_idx", bins=32).count())
 

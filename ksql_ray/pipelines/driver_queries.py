@@ -4687,6 +4687,55 @@ REGISTRY["op_bloom_anti"] = RawQ(
 )
 
 
+def _op_snapshot_diff(sf_dir: str) -> pa.Table:
+    """CDC between two planted snapshots of documents: old = doc_id %
+    7 != 0, new = doc_id % 5 != 0 with text upper-cased when doc_id %
+    3 == 0 (both plants pure deterministic column transforms, mirrored
+    in the SQL)."""
+    import numpy as np
+
+    from ..ops.diff import snapshot_diff
+
+    def mod_ne(m):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % m != 0))
+
+        return f
+
+    def texted(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = pc.if_else(pa.array(ids % 3 == 0),
+                       pc.utf8_upper(b.column("text")), b.column("text"))
+        return b.set_column(b.column_names.index("text"), "text", t)
+
+    old = _read_clean(f"{sf_dir}/documents.parquet").select_columns(
+        ["doc_id", "text"]).map_batches(
+        mod_ne(7), batch_format="pyarrow", zero_copy_batch=True)
+    new = _read_clean(f"{sf_dir}/documents.parquet").select_columns(
+        ["doc_id", "text"]).map_batches(
+        mod_ne(5), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(texted, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(snapshot_diff(old, new, "doc_id", ["text"]))
+
+
+REGISTRY["op_snapshot_diff"] = RawQ(
+    _op_snapshot_diff,
+    # corpus snapshot diff (ops/diff.py): added/removed/changed between
+    # two crawl versions — fingerprint projections (25 B/row), one key
+    # shuffle, sorted-segment status resolve; FULL OUTER JOIN oracle
+    "WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0), "
+    "n AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN upper(text)"
+    "       ELSE text END AS text FROM documents WHERE doc_id % 5 != 0) "
+    "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+    "  CASE WHEN o.doc_id IS NULL THEN 'added' "
+    "       WHEN n.doc_id IS NULL THEN 'removed' "
+    "       ELSE 'changed' END AS status "
+    "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id "
+    "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3
