@@ -4736,6 +4736,123 @@ REGISTRY["op_snapshot_diff"] = RawQ(
 )
 
 
+def _streaming_transitions(sf_dir: str) -> pa.Table:
+    """Per-key label transition counts on ingest (streaming/rows.py):
+    events replayed as 8 micro-batch files in (ts, event_id) order;
+    each user's event_type -> event_type Markov edges counted with
+    per-key carry state across epochs. event_id is monotone under the
+    ts sort, so it doubles as the per-key order column; with in-order
+    replay late_rows == 0 and the stream answer equals the bounded
+    LAG() + GROUP BY bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.rows import StreamingTransitionsJob
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id",
+                                 "event_type"])
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    n = tbl.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_strans_in_")
+    try:
+        files = []
+        for i in range(8):
+            s = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingTransitionsJob(
+            key_cols=["user_id"], ord_col="event_id",
+            label_col="event_type",
+            columns=["user_id", "event_id", "event_type"],
+            num_partitions=4)
+        job.run(files, files_per_epoch=2)
+        m = job.finish()
+        assert m["late_rows"] == 0, m
+        return job.transitions()
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+
+
+REGISTRY["streaming_transitions"] = RawQ(
+    _streaming_transitions,
+    r"""
+SELECT from_label, to_label, COUNT(*) AS cnt FROM (
+  SELECT LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY event_id) AS from_label,
+         event_type AS to_label
+  FROM events)
+WHERE from_label IS NOT NULL AND to_label IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+
+
+def _streaming_anomaly(sf_dir: str) -> pa.Table:
+    """Running z-score outlier detection on ingest (streaming/rows.py):
+    events replayed as 8 micro-batch files; each row scored against its
+    user's running (n, sum, sumsq) prefix state BEFORE the row —
+    emitted when the user had >= 5 prior values and |z| > 1.5. Equals
+    the bounded AVG/STDDEV_SAMP OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+    AND 1 PRECEDING) window frame."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.rows import StreamingAnomalyJob
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id", "value"])
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    n = tbl.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_sanom_in_")
+    try:
+        files = []
+        for i in range(8):
+            s = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingAnomalyJob(
+            key_cols=["user_id"], ord_col="event_id", val_col="value",
+            columns=["user_id", "event_id", "value"],
+            min_n=5, threshold=1.5, num_partitions=4)
+        job.run(files, files_per_epoch=2)
+        m = job.finish()
+        assert m["late_rows"] == 0, m
+        t = job.result().select(
+            ["user_id", "event_id", "n_before", "zscore"])
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("event_id", "ascending")]))
+        return _round_cols(t, {"zscore": 4})
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+
+
+REGISTRY["streaming_anomaly"] = RawQ(
+    _streaming_anomaly,
+    r"""
+SELECT user_id, event_id, n_before, ROUND(zscore, 4) AS zscore FROM (
+  SELECT user_id, event_id,
+         COUNT(value) OVER w AS n_before,
+         CASE WHEN STDDEV_SAMP(value) OVER w > 0
+              THEN (value - AVG(value) OVER w)
+                   / STDDEV_SAMP(value) OVER w END AS zscore
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+WHERE n_before >= 5 AND zscore IS NOT NULL AND ABS(zscore) > 1.5
+ORDER BY user_id, event_id""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3
