@@ -394,6 +394,31 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["streaming_cep_200k"] = min2(_scep)
 
+    # streaming per-key row jobs: role-transition matrix and running
+    # z-score anomalies on ingest (per-key carry state, 64 epochs)
+    from ksql_ray.streaming.rows import (StreamingAnomalyJob,
+                                         StreamingTransitionsJob)
+
+    def _strans():
+        job = StreamingTransitionsJob(
+            key_cols=["conv_id"], ord_col="turn_idx", label_col="role",
+            columns=["conv_id", "turn_idx", "role"], num_partitions=8)
+        job.run(tfiles, files_per_epoch=4)
+        job.transitions()
+        job.finish()
+
+    out["streaming_transitions_200k"] = min2(_strans)
+
+    def _sanom():
+        job = StreamingAnomalyJob(
+            key_cols=["conv_id"], ord_col="turn_idx", val_col="turn_idx",
+            columns=["conv_id", "turn_idx"], min_n=8, threshold=3.0,
+            num_partitions=8)
+        job.run(tfiles, files_per_epoch=4)
+        job.finish()
+
+    out["streaming_anomaly_200k"] = min2(_sanom)
+
     esch = pq.read_schema(f"{sf_dir}/embeddings.parquet")
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet",

@@ -103,12 +103,15 @@ def c4_clean_batch(
     np.cumsum(kept_counts, out=offsets[1:])
     kept_flat = flat.filter(keep)
     if pa.types.is_large_string(kept_flat.type):
+        # the large_list kernel only matches a large_string separator
         rebuilt = pa.LargeListArray.from_arrays(
             pa.array(offsets, type=pa.int64()), kept_flat)
+        sep = pa.scalar("\n", type=pa.large_string())
     else:
         rebuilt = pa.ListArray.from_arrays(
             pa.array(offsets, type=pa.int32()), kept_flat)
-    joined = pc.binary_join(rebuilt, "\n")
+        sep = pa.scalar("\n", type=pa.string())
+    joined = pc.binary_join(rebuilt, sep)
 
     i = batch.column_names.index(text_col)
     out = batch.set_column(i, text_col, joined)

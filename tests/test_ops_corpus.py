@@ -385,6 +385,21 @@ def test_c4_clean_rules():
     assert "javascript" not in out["text"][1]
 
 
+def test_c4_clean_large_string():
+    # large_string text (the fixture/transcript schema) takes the
+    # large_list binary_join kernel, which needs a large_string sep
+    from ksql_ray.ops.c4 import c4_clean_batch
+
+    import pyarrow.compute as pc
+
+    t = _c4_tbl()
+    t = t.set_column(1, "text", pc.cast(t.column("text"),
+                                        pa.large_string()))
+    out = c4_clean_batch(t).to_pydict()
+    assert out["doc_id"] == [1, 3]
+    assert out["text"][0].count("\n") == 2
+
+
 def test_c4_clean_edges():
     from ksql_ray.ops.c4 import c4_clean_batch
 
