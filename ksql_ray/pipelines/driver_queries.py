@@ -4853,6 +4853,72 @@ ORDER BY user_id, event_id""",
 )
 
 
+_CMS_SQL = r"""
+WITH k AS (
+  SELECT coalesce(user_id::VARCHAR, '') AS key FROM events
+), g AS (
+  SELECT d,
+         ('0x' || substr(md5(key || '|' || d), 1, 16))::UBIGINT % 256
+         AS bucket
+  FROM k CROSS JOIN (SELECT unnest(range(4)) AS d))
+SELECT d::BIGINT AS d, bucket::BIGINT AS bucket, COUNT(*)::BIGINT AS cnt
+FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def _op_cms_counters(sf_dir: str) -> pa.Table:
+    from ..ops.cms import cms_counters
+
+    ds = _read_clean(f"{sf_dir}/events.parquet")
+    return _collect(cms_counters(ds, "user_id", depth=4, width=256,
+                                 hash="md5"))
+
+
+REGISTRY["op_cms_counters"] = RawQ(
+    _op_cms_counters,
+    # full COUNTER-STATE check, not just point estimates — the md5
+    # hash makes every (d, bucket) cell SQL-expressible (ops/cms.py
+    # docstring spells out the contract)
+    _CMS_SQL,
+)
+
+
+def _streaming_cms(sf_dir: str) -> pa.Table:
+    """Frequency sketch on ingest: the events table replayed as 8
+    micro-batch files through StreamingCMSJob. Counter merge is
+    addition — NOT replay-insensitive — so the state actors carry an
+    epoch fence; with exactly-once application the streamed counter
+    state equals the bounded op's bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.cms import StreamingCMSJob
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    n = tbl.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_scms_in_")
+    try:
+        files = []
+        for i in range(8):
+            s = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingCMSJob(key_col="user_id", depth=4, width=256,
+                              hash="md5", num_partitions=4)
+        job.run(files, files_per_epoch=2)
+        m = job.finish()
+        assert m["rows_in"] == n and m["replayed"] == 0, m
+        return job.counters()
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+
+
+REGISTRY["streaming_cms"] = RawQ(_streaming_cms, _CMS_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3
