@@ -255,6 +255,21 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     from ksql_ray.ops.terms import top_terms
 
     out["quality_filter_200k"] = min2(lambda: quality_filter(docs_ds()).count())
+
+    # Gopher n-gram repetition signals (top-2/3/4-gram char frac +
+    # dup-5..10-gram coverage): 9 lexsort passes per batch, fully fused
+    from ksql_ray.ops.quality import add_ngram_repetition
+
+    out["ngram_repetition_200k"] = min2(lambda: docs_ds().map_batches(
+        add_ngram_repetition, batch_format="pyarrow",
+        zero_copy_batch=True).count())
+
+    # Count-Min frequency sketch: per-batch dense counters, tiny
+    # (d, bucket) groupby merge — counts travel, not keys
+    from ksql_ray.ops.cms import cms_counters
+
+    out["cms_200k"] = min2(lambda: cms_counters(
+        docs_ds(), "text", depth=4, width=4096, hash="fast").count())
     out["pii_scrub_200k"] = min2(lambda: scrub_documents(docs_ds()).count())
     out["sample_10pct_200k"] = min2(
         lambda: stratified_sample(
@@ -418,6 +433,18 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         job.finish()
 
     out["streaming_anomaly_200k"] = min2(_sanom)
+
+    # streaming Count-Min sketch on ingest (epoch-fenced + merge)
+    from ksql_ray.streaming.cms import StreamingCMSJob
+
+    def _scms():
+        job = StreamingCMSJob(key_col="text", depth=4, width=4096,
+                              hash="fast", columns=["text"],
+                              num_partitions=8)
+        job.run(tfiles, files_per_epoch=4)
+        job.finish()
+
+    out["streaming_cms_200k"] = min2(_scms)
 
     esch = pq.read_schema(f"{sf_dir}/embeddings.parquet")
     emb = ray.data.read_parquet(

@@ -34,7 +34,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["add_char_entropy", "add_repetition_stats", "quality_filter"]
+__all__ = ["add_char_entropy", "add_repetition_stats",
+           "add_ngram_repetition", "quality_filter"]
 
 
 def _round6(x: np.ndarray) -> np.ndarray:
@@ -145,6 +146,115 @@ def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
         ("dup_line_frac", dup_line),
     ):
         batch = batch.append_column(name, pa.array(arr, type=pa.float64()))
+    return batch
+
+
+def add_ngram_repetition(
+    batch: pa.Table,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> pa.Table:
+    """Append Gopher's n-gram repetition signals (Rae et al. 2021
+    §A1.1, the half :func:`add_repetition_stats` doesn't cover):
+
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``): fraction of word
+      characters contained in the occurrences of the doc's most
+      frequent word n-gram (count × n-gram char length / total word
+      chars; overlaps double-count, per the paper's definition). Ties
+      on count break to the larger char total, so the VALUE is
+      deterministic even when the winning gram isn't.
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``): fraction of word
+      characters covered by at least one occurrence of a DUPLICATED
+      n-gram (union coverage — chars counted once, per the paper).
+
+    Tokenization: lowercase, split on ``\\s+``, empty tokens dropped
+    (so leading/trailing whitespace is irrelevant and no SQL ``trim``
+    semantics mismatch exists); char totals count word characters
+    only, never separators. NULL/empty/too-short docs get 0.0.
+
+    Vectorized, no row loops: one 64-bit token-hash pass, per-n
+    rolling Horner window hashes, one lexsort per n for the
+    (doc, gram) group counts, and a diff-array prefix sum for the
+    duplicate-coverage union. Gram equality is by 64-bit hash —
+    within-doc collision odds ~k²/2⁻⁶⁵ (negligible; the oracle gate
+    compares true string grams and has never diverged at test scale).
+    """
+    import pandas as pd
+
+    ns = sorted(set(top_ns) | set(dup_ns))
+    if any(n < 2 for n in ns):
+        raise ValueError("n-gram sizes must be >= 2")
+    t = batch.column(text_col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    norm = pc.utf8_lower(pc.fill_null(pc.cast(t, pa.string()), ""))
+    flat, lens = _list_parts(pc.split_pattern_regex(norm, r"\s+"))
+    n_rows = batch.num_rows
+    tok_len_all = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    row_all = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    keep = tok_len_all > 0
+    row_ids = row_all[keep]
+    tok_len = tok_len_all[keep].astype(np.int64)
+    vals = flat.to_numpy(zero_copy_only=False)[keep]
+    ht = pd.util.hash_array(vals).astype(np.uint64)
+    total = np.bincount(row_ids, weights=tok_len,
+                        minlength=n_rows)
+    safe_total = np.where(total > 0, total, 1.0)
+    T = len(row_ids)
+
+    out_cols: dict[str, np.ndarray] = {}
+    MIX = np.uint64(0x100000001B3)
+    for n in ns:
+        top_chars = np.zeros(n_rows, dtype=np.float64)
+        cov_chars = np.zeros(n_rows, dtype=np.float64)
+        if T >= n:
+            W = T - n + 1
+            valid = row_ids[:W] == row_ids[n - 1:]
+            gh = np.zeros(W, dtype=np.uint64)
+            gl = np.zeros(W, dtype=np.int64)
+            for j in range(n):
+                gh = gh * MIX + ht[j:W + j]
+                gl += tok_len[j:W + j]
+            starts = np.flatnonzero(valid)
+            if len(starts):
+                w_row = row_ids[starts]
+                w_gh, w_gl = gh[starts], gl[starts]
+                order = np.lexsort((w_gh, w_row))
+                sr, sh = w_row[order], w_gh[order]
+                sgl, sstart = w_gl[order], starts[order]
+                new = np.ones(len(sr), dtype=bool)
+                new[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
+                g_start = np.flatnonzero(new)
+                g_cnt = np.diff(np.append(g_start, len(sr)))
+                g_row, g_gl = sr[g_start], sgl[g_start]
+                if n in top_ns:
+                    o2 = np.lexsort((g_gl, g_cnt, g_row))
+                    rr = g_row[o2]
+                    last = np.ones(len(rr), dtype=bool)
+                    last[:-1] = rr[1:] != rr[:-1]
+                    li = o2[last]
+                    top_chars[g_row[li]] = (
+                        g_cnt[li] * g_gl[li]).astype(np.float64)
+                if n in dup_ns:
+                    dup_occ = sstart[np.repeat(g_cnt > 1, g_cnt)]
+                    if len(dup_occ):
+                        d = np.zeros(T + 1, dtype=np.int64)
+                        np.add.at(d, dup_occ, 1)
+                        np.add.at(d, dup_occ + n, -1)
+                        cov = np.cumsum(d[:T]) > 0
+                        cov_chars = np.bincount(
+                            row_ids[cov], weights=tok_len[cov],
+                            minlength=n_rows)
+        if n in top_ns:
+            out_cols[f"top_{n}gram_char_frac"] = _round6(
+                np.where(total > 0, top_chars / safe_total, 0.0))
+        if n in dup_ns:
+            out_cols[f"dup_{n}gram_char_frac"] = _round6(
+                np.where(total > 0, cov_chars / safe_total, 0.0))
+    for name, arr in out_cols.items():
+        batch = batch.append_column(
+            name, pa.array(arr, type=pa.float64()))
     return batch
 
 

@@ -4853,6 +4853,94 @@ ORDER BY user_id, event_id""",
 )
 
 
+def _op_ngram_repetition(sf_dir: str) -> pa.Table:
+    from ..ops.quality import add_ngram_repetition
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.select(["doc_id", "text"])
+        out = add_ngram_repetition(batch, top_ns=(2,), dup_ns=(5,))
+        # mirror the oracle's total_chars > 0 guard: docs with no
+        # word characters are excluded
+        nchars = pc.utf8_length(pc.replace_substring_regex(
+            pc.fill_null(batch.column("text"), ""), r"\s", ""))
+        return out.filter(pc.greater(nchars, 0)).select(
+            ["doc_id", "top_2gram_char_frac", "dup_5gram_char_frac"])
+
+    t = _collect(ds.map_batches(fn, batch_format="pyarrow",
+                                zero_copy_batch=True))
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id",
+                                                 "ascending")]))
+
+
+REGISTRY["op_ngram_repetition"] = RawQ(
+    _op_ngram_repetition,
+    # Gopher top-/dup-n-gram char fractions replicated in SQL: word
+    # positions via zipped unnest, 2-grams via a pos+1 self-join (most
+    # frequent, ties to the larger char total), duplicated 5-grams via
+    # a 5-way join + window count, coverage union via BETWEEN join +
+    # DISTINCT (chars counted once)
+    r"""
+WITH toks0 AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '\s+')) AS w,
+         generate_subscripts(
+             string_split_regex(lower(text), '\s+'), 1) AS pos
+  FROM documents
+), toks AS (
+  SELECT doc_id, w,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS ord
+  FROM toks0 WHERE w <> ''
+), tot AS (
+  SELECT doc_id, SUM(length(w))::DOUBLE AS total_chars
+  FROM toks GROUP BY 1
+), g2 AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS gram,
+         length(a.w) + length(b.w) AS gl, COUNT(*) AS cnt
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  GROUP BY 1, 2, 3
+), top2 AS (
+  SELECT doc_id, cnt * gl AS chars,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gl DESC) AS rn
+  FROM g2
+), g5 AS (
+  SELECT a.doc_id, a.ord AS s,
+         a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w
+         AS gram
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+  JOIN toks d ON d.doc_id = a.doc_id AND d.ord = a.ord + 3
+  JOIN toks e ON e.doc_id = a.doc_id AND e.ord = a.ord + 4
+), dup5 AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           COUNT(*) OVER (PARTITION BY doc_id, gram) AS c
+    FROM g5) WHERE c > 1
+), cov AS (
+  SELECT DISTINCT t.doc_id, t.ord, length(t.w) AS wl
+  FROM toks t JOIN dup5 d
+    ON t.doc_id = d.doc_id AND t.ord BETWEEN d.s AND d.s + 4
+), covs AS (
+  SELECT doc_id, SUM(wl)::DOUBLE AS cchars FROM cov GROUP BY 1
+)
+SELECT t.doc_id,
+       ROUND(coalesce(p.chars, 0) / t.total_chars, 6)
+           AS top_2gram_char_frac,
+       ROUND(coalesce(c.cchars, 0) / t.total_chars, 6)
+           AS dup_5gram_char_frac
+FROM tot t
+LEFT JOIN (SELECT doc_id, chars FROM top2 WHERE rn = 1) p
+       USING (doc_id)
+LEFT JOIN covs c USING (doc_id)
+WHERE t.total_chars > 0
+ORDER BY t.doc_id""",
+)
+
+
 _CMS_SQL = r"""
 WITH k AS (
   SELECT coalesce(user_id::VARCHAR, '') AS key FROM events
