@@ -217,9 +217,12 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         key = pc.binary_join_element_wise(
             batch.column("conv_id"), pc.cast(batch.column("turn_idx"), pa.string()), ":"
         )
-        ids = pd.util.hash_array(
+        # >> 2 keeps ids within 62 bits (similarity_join's side-bit
+        # encoding needs |id| < 2^62); uniqueness loss at 200k random
+        # keys in a 2^62 space is ~4e-9
+        ids = (pd.util.hash_array(
             key.combine_chunks().to_numpy(zero_copy_only=False)
-        ).view(np.int64)
+        ) >> np.uint64(2)).astype(np.int64)
         return pa.table({
             "doc_id": pa.array(ids),
             "text": batch.column("text"),
@@ -248,6 +251,24 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         lambda: minhash_dedup_pairs(docs_ds(), threshold=0.8, verify="exact").count())
     out["simhash_dedup_200k"] = min2(
         lambda: simhash_pairs(docs_ds(), max_hamming=2).count())
+
+    # cross-table LSH similarity join: 200k left x ~29k right (every
+    # 7th doc re-keyed) — shared store, parity-filtered candidates
+    from ksql_ray.ops.dedup import similarity_join
+
+    def _right_ds():
+        def plant(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            m7 = pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7))
+            sel = batch.filter(pc.equal(m7, 0))
+            i = sel.column_names.index("doc_id")
+            return sel.set_column(i, "doc_id",
+                                  pc.add(sel.column("doc_id"), 1))
+        return docs_ds().map_batches(plant, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+    out["similarity_join_200k"] = min2(lambda: similarity_join(
+        docs_ds(), _right_ds(), threshold=0.8).count())
 
     from ksql_ray.ops.quality import quality_filter
     from ksql_ray.ops.sample import stratified_sample

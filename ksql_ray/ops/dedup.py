@@ -552,6 +552,104 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     return _score_via_store(cands, store, id_col, score, num_partitions)
 
 
+def similarity_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    threshold: float = 0.7, num_hashes: int = 64,
+                    bands: int = 16, ngram: int = 3, seed: int = 42,
+                    num_partitions: int = 32) -> ray.data.Dataset:
+    """Set-similarity JOIN between two tables -> (left_id, right_id,
+    est_jaccard, jaccard) for every cross-table pair with exact n-gram
+    Jaccard >= threshold (the MinHash-LSH join of Broder 1997 /
+    Xiao et al. WWW'08's candidate-verify shape): fuzzy record linkage,
+    "which scraped pages match a licensed corpus", near-dup
+    contamination ACROSS datasets rather than within one.
+
+    Scale shape: identical to :func:`minhash_dedup_pairs` — one shared
+    doc store over the UNION of both sides (sharded, never on the
+    driver), a (band, bucket, id)-only shuffle, star-capped buckets,
+    and a store-join verify. The side bit rides the id's low bit
+    (id' = id·2 + side), so cross-side filtering is a vectorized parity
+    test on the candidate stream — no extra lookup or shuffle — and
+    same-side pairs are dropped BEFORE the (fatter) verify join.
+    ids must fit in 62 bits (|id| < 2^62; parity/shift decode is exact
+    for negative ids under two's complement).
+    """
+    from .stats import ensure_stats_actor
+
+    ensure_stats_actor()
+    sig_dtype = np.uint32
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col)
+            tagged = pc.add(pc.multiply(pc.cast(ids, pa.int64()),
+                                        pa.scalar(2, pa.int64())),
+                            pa.scalar(side, pa.int64()))
+            i = batch.column_names.index(id_col)
+            return batch.set_column(i, id_col, tagged)
+        return fn
+
+    union = left.map_batches(tag(0), batch_format="pyarrow",
+                             zero_copy_batch=True).union(
+        right.map_batches(tag(1), batch_format="pyarrow",
+                          zero_copy_batch=True))
+    store = union.map_batches(
+        _pin(lambda b: _mh_store_stage(
+            b, id_col, text_col, ngram, num_hashes, seed, True,
+            sig_dtype=sig_dtype,
+        )),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    buckets = store.map_batches(
+        _pin(_band_rows_fn(id_col, num_hashes, bands,
+                           sig_dtype=sig_dtype)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cands = _partition_by(buckets, ["band", "bucket"],
+                          num_partitions).map_groups(
+        _pin(_candidate_pairs_fn(["band", "bucket"], id_col,
+                                 stat_prefix="simjoin")),
+        batch_format="pyarrow",
+    )
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((a & 1) != (b & 1)))
+
+    cands = cands.map_batches(cross_only, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def score(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "left_id": pa.array([], type=pa.int64()),
+            "right_id": pa.array([], type=pa.int64()),
+            "est_jaccard": pa.array([], type=pa.float64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        })
+        tbl = _pair_segments(group, "simjoin")
+        if tbl is None:
+            return empty
+        a = tbl.column("doc_a").to_numpy(zero_copy_only=False)[0::2]
+        b = tbl.column("doc_b").to_numpy(zero_copy_only=False)[0::2]
+        est = _minhash_est_of_pairs(tbl, num_hashes, sig_dtype=sig_dtype)
+        _, _, jac = _exact_jaccard_of_pairs(tbl)
+        keep = jac >= threshold
+        a = a[keep].astype(np.int64)
+        b = b[keep].astype(np.int64)
+        a_left = (a & 1) == 0
+        lid = np.where(a_left, a, b) >> 1
+        rid = np.where(a_left, b, a) >> 1
+        return pa.table({
+            "left_id": pa.array(lid),
+            "right_id": pa.array(rid),
+            "est_jaccard": pa.array(est[keep], type=pa.float64()),
+            "jaccard": pa.array(jac[keep], type=pa.float64()),
+        })
+
+    return _score_via_store(cands, store, id_col, score, num_partitions)
+
+
 def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
                         text_col: str = "text", threshold: float = 0.5,
                         ngram: int = 3, num_hashes: int = 64, bands: int = 16,

@@ -4853,6 +4853,70 @@ ORDER BY user_id, event_id""",
 )
 
 
+def _op_similarity_join(sf_dir: str) -> pa.Table:
+    """Cross-table MinHash-LSH similarity join: right side = every 7th
+    document re-keyed (+1M), so exact matches (and any near-dups of
+    them) must link back; verified pairs carry exact n-gram Jaccard."""
+    from ..ops.dedup import similarity_join
+
+    left = _min3_tokens(_read_clean(f"{sf_dir}/documents.parquet"))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        m7 = pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7))
+        sel = batch.filter(pc.equal(m7, 0))
+        i = sel.column_names.index("doc_id")
+        return sel.set_column(i, "doc_id",
+                              pc.add(sel.column("doc_id"), 1_000_000))
+
+    right = _min3_tokens(
+        _read_clean(f"{sf_dir}/documents.parquet").map_batches(
+            plant, batch_format="pyarrow", zero_copy_batch=True))
+    t = _collect(similarity_join(left, right, threshold=0.5))
+    return t.select(["left_id", "right_id", "jaccard"])
+
+
+REGISTRY["op_similarity_join"] = RawQ(
+    _op_similarity_join,
+    # exact n-gram Jaccard join replicated in SQL over the same two
+    # derived tables (same shingle semantics as _NGRAM_JACCARD_SQL)
+    r"""
+WITH rdocs AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 0
+), lt AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3
+), rt AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM rdocs
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3
+), lg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM lt
+), rg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM rt
+), ls AS (SELECT doc_id, count(*) AS n FROM lg GROUP BY 1),
+rs AS (SELECT doc_id, count(*) AS n FROM rg GROUP BY 1),
+inter AS (
+  SELECT lg.doc_id AS left_id, rg.doc_id AS right_id, count(*) AS i
+  FROM lg JOIN rg ON lg.g = rg.g
+  GROUP BY 1, 2
+)
+SELECT left_id, right_id, i::DOUBLE / (ls.n + rs.n - i) AS jaccard
+FROM inter
+JOIN ls ON ls.doc_id = left_id
+JOIN rs ON rs.doc_id = right_id
+WHERE i::DOUBLE / (ls.n + rs.n - i) >= 0.5""",
+)
+
+
 def _op_ngram_repetition(sf_dir: str) -> pa.Table:
     from ..ops.quality import add_ngram_repetition
 

@@ -85,6 +85,61 @@ def test_minhash_pairs(ray_session):
         assert a // 3 == b // 3
 
 
+def test_similarity_join(ray_session, duck):
+    from ksql_ray.ops.dedup import similarity_join
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away",
+        "a completely different document about streaming engines and state",
+        "numbers one two three four five six seven eight nine ten eleven",
+    ]
+    # left: the three bases; right: one near-dup of base 0, one exact
+    # dup of base 2, one unrelated — negative ids exercise the parity
+    # decode
+    left = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, -2], type=pa.int64()),
+        "text": pa.array(base)}))
+    right_rows = pa.table({
+        "doc_id": pa.array([10, -11, 12], type=pa.int64()),
+        "text": pa.array([base[0] + " again", base[2],
+                          "nothing shared with anything at all here ok"])})
+    right = ray.data.from_arrow(right_rows)
+    out = collect(similarity_join(left, right, threshold=0.5))
+    got = {(la, rb): j for la, rb, j in zip(
+        out.column("left_id").to_pylist(),
+        out.column("right_id").to_pylist(),
+        out.column("jaccard").to_pylist())}
+    assert set(got) == {(0, 10), (-2, -11)}
+    assert got[(-2, -11)] == 1.0
+    # exact-jaccard oracle for the matched near-dup pair
+    import pandas as pd
+
+    con = duck
+    con.register("sj_l", pa.table({"doc_id": [0], "text": [base[0]]}))
+    con.register("sj_r", pa.table({"doc_id": [10],
+                                   "text": [base[0] + " again"]}))
+    exp = con.execute(r"""
+        WITH gl AS (
+          SELECT DISTINCT unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+          FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+')
+                AS t FROM sj_l)
+        ), gr AS (
+          SELECT DISTINCT unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+          FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+')
+                AS t FROM sj_r)
+        )
+        SELECT (SELECT count(*) FROM gl JOIN gr USING (g))::DOUBLE
+               / ((SELECT count(*) FROM gl) + (SELECT count(*) FROM gr)
+                  - (SELECT count(*) FROM gl JOIN gr USING (g)))
+    """).fetchone()[0]
+    assert got[(0, 10)] == pytest.approx(exp, abs=1e-12)
+    # same-side near-dups (base0 left vs base0-left) must NOT appear:
+    # left ids only on the left, right ids only on the right
+    assert all(k[0] in (0, 1, -2) and k[1] in (10, -11, 12) for k in got)
+
+
 def test_simhash_pairs(ray_session):
     from ksql_ray.ops.dedup import simhash_pairs
 
