@@ -467,6 +467,40 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["streaming_cms_200k"] = min2(_scms)
 
+    # streaming similarity join vs a static reference (contamination
+    # on ingest): ~29k-doc reference index built once, 200k docs probed
+    import shutil as _shutil
+
+    from ksql_ray.streaming.simjoin import StreamingSimJoinJob
+
+    sj_in = "/tmp/ksql_ray_simjoin_in"
+    sj_ref = "/tmp/ksql_ray_simjoin_ref.parquet"
+    if not os.path.isdir(sj_in):
+        os.makedirs(sj_in, exist_ok=True)
+        refs = []
+        for i, f in enumerate(tfiles):
+            t = pq.read_table(f, columns=["conv_id", "turn_idx",
+                                          "text"])
+            t = to_docs(t)
+            pq.write_table(t, os.path.join(sj_in, f"s{i:02d}.parquet"))
+            ids = t.column("doc_id")
+            m7 = pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7))
+            r = t.filter(pc.equal(m7, 0))
+            refs.append(r.set_column(0, "doc_id",
+                                     pc.add(r.column("doc_id"), 1)))
+        pq.write_table(pa.concat_tables(refs), sj_ref)
+    sj_files = sorted(_glob.glob(sj_in + "/*.parquet"))
+
+    def _ssj():
+        sink = "/tmp/ksql_ray_simjoin_sink"
+        _shutil.rmtree(sink, ignore_errors=True)
+        job = StreamingSimJoinJob(sink, sj_ref, threshold=0.8,
+                                  num_partitions=8)
+        job.run(sj_files, files_per_epoch=4)
+        job.finish()
+
+    out["streaming_simjoin_200k"] = min2(_ssj)
+
     esch = pq.read_schema(f"{sf_dir}/embeddings.parquet")
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet",

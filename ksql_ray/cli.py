@@ -134,6 +134,29 @@ def main(argv: list[str] | None = None) -> int:
     ed.add_argument("--checkpoint-every", type=int, default=0)
     ed.add_argument("--resume", action="store_true")
 
+    sj = sub.add_parser(
+        "simjoin",
+        help="streaming similarity join against a STATIC reference "
+             "corpus (ray-job entrypoint): emits (stream_id, ref_id, "
+             "jaccard) for every cross match >= threshold")
+    sj.add_argument("--input", required=True,
+                    help="directory of parquet micro-batch files")
+    sj.add_argument("--reference", required=True,
+                    help="reference parquet file or directory")
+    sj.add_argument("--sink", required=True,
+                    help="committed-output directory")
+    sj.add_argument("--id-col", default="doc_id")
+    sj.add_argument("--text-col", default="text")
+    sj.add_argument("--threshold", type=float, default=0.7,
+                    help="exact n-gram Jaccard threshold")
+    sj.add_argument("--ngram", type=int, default=3)
+    sj.add_argument("--num-hashes", type=int, default=64)
+    sj.add_argument("--bands", type=int, default=16)
+    sj.add_argument("--ref-cap", type=int, default=64)
+    sj.add_argument("--partitions", type=int, default=8)
+    sj.add_argument("--files-per-epoch", type=int, default=8)
+    sj.add_argument("--resume", action="store_true")
+
     ce = sub.add_parser(
         "cep",
         help="streaming CEP sequence-pattern matching (ray-job "
@@ -333,6 +356,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_cep(args)
     if args.cmd == "embdedup":
         return _run_embdedup(args)
+    if args.cmd == "simjoin":
+        return _run_simjoin(args)
 
     if args.cmd == "create":
         os.makedirs(args.dir, exist_ok=True)
@@ -826,6 +851,57 @@ def _run_neardup(args) -> int:
         "sink": args.sink,
     }))
     if owns_session:  # never tear down a caller's (e.g. pytest's) session
+        ray.shutdown()
+    return 0
+
+
+def _run_simjoin(args) -> int:
+    """Streaming similarity join vs a static reference (owns the Ray
+    session, one JSON summary line — the same ``ray job submit`` shape
+    as ``stream``/``dedup``). Resume rides the sink manifest: the
+    reference index is rebuilt (static) and committed epochs are
+    skipped."""
+    import glob
+    import json
+    import time as _time
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False, ignore_reinit_error=True)
+    from .streaming.simjoin import StreamingSimJoinJob
+
+    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not files:
+        print(f"error: no parquet files under {args.input}",
+              file=sys.stderr)
+        return 1
+    ref = args.reference
+    if os.path.isdir(ref):
+        ref = sorted(glob.glob(os.path.join(ref, "*.parquet")))
+        if not ref:
+            print(f"error: no parquet files under {args.reference}",
+                  file=sys.stderr)
+            return 1
+    t0 = _time.perf_counter()
+    job = StreamingSimJoinJob(
+        args.sink, ref, id_col=args.id_col, text_col=args.text_col,
+        threshold=args.threshold, ngram=args.ngram,
+        num_hashes=args.num_hashes, bands=args.bands,
+        ref_cap=args.ref_cap, num_partitions=args.partitions,
+        resume=args.resume)
+    job.run(files, files_per_epoch=args.files_per_epoch)
+    m = job.finish()
+    print(json.dumps({
+        "files": len(files), "epochs": m["epochs"],
+        "sec": round(_time.perf_counter() - t0, 3),
+        "rows_in": m["rows_in"], "candidates": m["candidates"],
+        "matches_out": m["matches_out"], "capped": m["capped"],
+        "index_keys": m["index_keys"], "sink": args.sink,
+    }))
+    if owns_session:
         ray.shutdown()
     return 0
 
