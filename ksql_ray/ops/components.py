@@ -348,3 +348,48 @@ def keep_best_by_components(docs: ray.data.Dataset,
     return _partition_by(labeled, ["cluster_id"],
                          num_partitions).map_groups(
         best, batch_format="pyarrow")
+
+
+def leakage_safe_split(docs: ray.data.Dataset, pairs: ray.data.Dataset,
+                       id_col: str = "doc_id", test_frac: float = 0.1,
+                       method: str = "md5", seed: str = "",
+                       num_partitions: int = 16) -> ray.data.Dataset:
+    """Near-dup-aware train/test split -> (id_col, cluster_id, split):
+    the holdout is drawn by hashing the duplicate-CLUSTER label, so a
+    near-dup cluster lands atomically on one side — no pair from
+    ``pairs`` ever straddles the boundary. A doc-level hash split
+    (ops/sample.total_split) leaks near-dups into the eval set, the
+    classic train-test contamination failure (Lee et al. 2022 §5
+    measure it directly); splitting on the transitive cluster id is the
+    standard fix.
+
+    Split rule (same hash contract as ops/sample.py): row is ``'test'``
+    iff uint32(first 8 hex of md5(str(cluster_id) + seed)) <
+    test_frac * 2^32, else ``'train'`` — retry/reshard-stable and
+    DuckDB-expressible for the oracle gate. One extra stateless
+    map over :func:`dedup_by_components`'s labeled output; the heavy
+    lifting (alternating-star CC + label join) is shared.
+    """
+    from .sample import _2_32, add_sample_hash
+
+    labeled = dedup_by_components(docs, pairs, id_col=id_col,
+                                  num_partitions=num_partitions)
+    thr = float(test_frac) * _2_32
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64()),
+                             "split": pa.array([], pa.string())})
+        b = add_sample_hash(batch, "cluster_id", "__sh", method=method,
+                            seed=seed)
+        h = b.column("__sh").to_numpy(zero_copy_only=False)
+        split = np.where(h < thr, "test", "train")
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster_id": batch.column("cluster_id"),
+            "split": pa.array(split, type=pa.string()),
+        })
+
+    return labeled.map_batches(fn, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -781,6 +781,35 @@ FROM documents d LEFT JOIN cc ON cc.node = d.doc_id"""
 REGISTRY["op_dup_clusters"] = RawQ(_op_dup_clusters, _DUP_CLUSTERS_SQL)
 
 
+def _op_leakage_split(sf_dir: str) -> pa.Table:
+    """Near-dup-aware train/test split: the same transitive cluster
+    resolution as op_dup_clusters, then a deterministic md5 hash of the
+    CLUSTER label assigns whole clusters to test (frac 0.25) — no
+    near-dup pair straddles the split."""
+    from ..ops.components import leakage_safe_split
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    docs = _read_clean(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(_min3_tokens(docs), threshold=0.5)
+    return _collect(leakage_safe_split(docs, pairs, test_frac=0.25,
+                                       method="md5"))
+
+
+REGISTRY["op_leakage_split"] = RawQ(
+    _op_leakage_split,
+    # same recursive-CC chain as _DUP_CLUSTERS_SQL; the split rule is
+    # the repo-wide md5 sampling contract applied to the cluster label
+    _DUP_CLUSTERS_SQL.rsplit("SELECT d.doc_id", 1)[0] + r"""
+SELECT d.doc_id,
+       coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       CASE WHEN ('0x' || substr(md5(
+                 coalesce(cc.cluster_id, d.doc_id)::VARCHAR), 1, 8)
+                 )::UBIGINT < 1073741824
+            THEN 'test' ELSE 'train' END AS split
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id""",
+)
+
+
 def _op_dedup_keep_best(sf_dir: str) -> pa.Table:
     """Quality-aware representative selection: same near-dup cluster
     resolution as op_dup_clusters, but each cluster keeps its

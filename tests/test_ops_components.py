@@ -140,3 +140,35 @@ def test_keep_best_by_components_brute(ray_session):
     gm = {r.cluster_id: (r.doc_id, r.score, r.n_members)
           for r in got.itertuples()}
     assert gm == want
+
+
+def test_leakage_safe_split(ray_session):
+    import hashlib
+
+    from ksql_ray.ops.components import leakage_safe_split
+
+    n = 40
+    edges = [(0, 1), (1, 2), (5, 6), (10, 11), (11, 12), (12, 13),
+             (20, 21), (30, 31), (31, 32)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64())}))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], pa.int64())}))
+    out = leakage_safe_split(docs, pairs, test_frac=0.3,
+                             method="md5").to_pandas()
+    assert len(out) == n
+    # 1) no edge straddles the split
+    side = dict(zip(out["doc_id"], out["split"]))
+    for a, b in edges:
+        assert side[a] == side[b], (a, b)
+    # 2) split matches the md5 contract on the min-label cluster id
+    labels = _union_find(n, edges)
+    for _, r in out.iterrows():
+        lbl = labels[int(r["doc_id"])]
+        assert int(r["cluster_id"]) == lbl
+        h = int(hashlib.md5(str(lbl).encode()).hexdigest()[:8], 16)
+        want = "test" if h < 0.3 * 2**32 else "train"
+        assert r["split"] == want
+    # 3) both sides non-empty at this fraction/seed
+    assert set(out["split"]) == {"test", "train"}
