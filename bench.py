@@ -377,12 +377,24 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     tfiles = sorted(_glob.glob(paths["transcripts"] + "/*.parquet"))
 
+    # streaming jobs replay MICRO-batches: 256 files (the continuous-
+    # ingest shape BASELINE.md documents — ~780 docs/file). Epoch size
+    # matters: at 16 files x 4/epoch the first epoch carries 50k docs
+    # and the near-dup intra-epoch resolution on this worst-case-dup
+    # corpus takes ~85 s; at 256 x 4 the same work pipelines across 64
+    # small epochs (measured r4; the r3 record was accidentally taken
+    # over a warm 256-file dir)
+    spaths = materialize_fixture_dir(
+        f"/tmp/ksql_ray_transcripts_{n_docs}_f256", n_turns=n_docs,
+        seed=42, n_files=256)
+    sfiles = sorted(_glob.glob(spaths["transcripts"] + "/*.parquet"))
+
     def _sdedup():
         outd = _tempfile.mkdtemp(prefix="ksql_bench_sdedup_")
         try:
             job = StreamingDedupJob(outd, method="fast", num_partitions=8,
                                     columns=["conv_id", "turn_idx", "text"])
-            job.run(tfiles, files_per_epoch=16)
+            job.run(sfiles, files_per_epoch=16)
             job.finish()
         finally:
             _shutil.rmtree(outd, ignore_errors=True)
@@ -399,7 +411,7 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         try:
             job = StreamingNearDupJob(outd, num_partitions=8,
                                       columns=["conv_id", "turn_idx", "text"])
-            job.run(tfiles, files_per_epoch=4)
+            job.run(sfiles, files_per_epoch=4)
             job.finish()
         finally:
             _shutil.rmtree(outd, ignore_errors=True)
@@ -422,8 +434,8 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
                        ("a", _F("role").Equal("assistant"))],
                 within=3_600_000_000, tiebreak="turn_idx",
                 lateness_us=3_600_000_000, num_partitions=8,
-                input_files=tfiles)
-            job.run(tfiles, files_per_epoch=4)
+                input_files=sfiles)
+            job.run(sfiles, files_per_epoch=4)
             job.finish()
         finally:
             _shutil.rmtree(outd, ignore_errors=True)
@@ -439,7 +451,7 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         job = StreamingTransitionsJob(
             key_cols=["conv_id"], ord_col="turn_idx", label_col="role",
             columns=["conv_id", "turn_idx", "role"], num_partitions=8)
-        job.run(tfiles, files_per_epoch=4)
+        job.run(sfiles, files_per_epoch=4)
         job.transitions()
         job.finish()
 
@@ -450,7 +462,7 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
             key_cols=["conv_id"], ord_col="turn_idx", val_col="turn_idx",
             columns=["conv_id", "turn_idx"], min_n=8, threshold=3.0,
             num_partitions=8)
-        job.run(tfiles, files_per_epoch=4)
+        job.run(sfiles, files_per_epoch=4)
         job.finish()
 
     out["streaming_anomaly_200k"] = min2(_sanom)
@@ -462,7 +474,7 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         job = StreamingCMSJob(key_col="text", depth=4, width=4096,
                               hash="fast", columns=["text"],
                               num_partitions=8)
-        job.run(tfiles, files_per_epoch=4)
+        job.run(sfiles, files_per_epoch=4)
         job.finish()
 
     out["streaming_cms_200k"] = min2(_scms)
@@ -473,16 +485,16 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from ksql_ray.streaming.simjoin import StreamingSimJoinJob
 
-    sj_in = "/tmp/ksql_ray_simjoin_in"
+    sj_in = "/tmp/ksql_ray_simjoin_in256"
     sj_ref = "/tmp/ksql_ray_simjoin_ref.parquet"
     if not os.path.isdir(sj_in):
         os.makedirs(sj_in, exist_ok=True)
         refs = []
-        for i, f in enumerate(tfiles):
+        for i, f in enumerate(sfiles):
             t = pq.read_table(f, columns=["conv_id", "turn_idx",
                                           "text"])
             t = to_docs(t)
-            pq.write_table(t, os.path.join(sj_in, f"s{i:02d}.parquet"))
+            pq.write_table(t, os.path.join(sj_in, f"s{i:03d}.parquet"))
             ids = t.column("doc_id")
             m7 = pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7))
             r = t.filter(pc.equal(m7, 0))

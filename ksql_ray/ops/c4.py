@@ -39,7 +39,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["c4_clean_batch", "c4_clean"]
+__all__ = ["c4_clean_batch", "c4_clean", "strip_markup_batch",
+           "strip_markup"]
 
 _TRIM_CHARS = " \t\r"
 _TERMINAL_RE = r'[.!?"]$'
@@ -134,4 +135,46 @@ def c4_clean(
         lambda b: c4_clean_batch(b, text_col=text_col,
                                  min_words=min_words,
                                  min_lines=min_lines),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# markup-strip rules applied IN ORDER (order matters: fenced blocks
+# before inline backticks, tags before URL squeeze). Both sides run
+# RE2 — pyarrow's replace_substring_regex and DuckDB's regexp_replace
+# share the engine, so the oracle reproduces every rule verbatim.
+_MARKUP_RULES: tuple[tuple[str, str], ...] = (
+    (r"```[\s\S]*?```", " "),        # fenced code blocks (non-greedy)
+    (r"`[^`]*`", " "),               # inline code spans
+    (r"<[^>]+>", " "),               # html/xml tags
+    (r"https?://[^\s]+", " "),       # bare URLs
+    (r"[ \t]+", " "),                # collapse runs of spaces/tabs
+)
+
+
+def strip_markup_batch(batch: pa.Table,
+                       text_col: str = "text") -> pa.Table:
+    """Strip web/chat markup from the text column: fenced code blocks,
+    inline code spans, html tags and bare URLs become single spaces,
+    then space/tab runs collapse and the result is trimmed (explicit
+    ``" \\t\\r"`` set — the same DuckDB-reproducible trim contract as
+    :func:`c4_clean_batch`). The standard pre-tokenization cleanup for
+    scraped/chat corpora where markup tokens poison n-gram stats and
+    dedup fingerprints. One stateless vectorized transform: five RE2
+    kernels over the whole column, no shuffle, no row loop."""
+    t = batch.column(text_col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    out = t
+    for pat, rep in _MARKUP_RULES:
+        out = pc.replace_substring_regex(out, pat, rep)
+    out = pc.utf8_trim(out, " \t\r")
+    i = batch.column_names.index(text_col)
+    return batch.set_column(i, text_col, out)
+
+
+def strip_markup(ds: ray.data.Dataset,
+                 text_col: str = "text") -> ray.data.Dataset:
+    """Dataset wrapper over :func:`strip_markup_batch`."""
+    return ds.map_batches(
+        lambda b: strip_markup_batch(b, text_col),
         batch_format="pyarrow", zero_copy_batch=True)

@@ -4946,6 +4946,60 @@ WHERE i::DOUBLE / (ls.n + rs.n - i) >= 0.5""",
 )
 
 
+def _op_strip_markup(sf_dir: str) -> pa.Table:
+    """Markup-strip cleanup: every 5th document gets an appended
+    markup payload (fenced code, html tag, URL, inline code — the
+    plant is a plain string concat, so the oracle reproduces it in
+    SQL), then ops/c4.strip_markup removes all of it."""
+    from ..ops.c4 import strip_markup
+
+    _PLANT = (" <b>bold</b> fenced ```drop\nthis``` see "
+              "https://example.com/x?q=1 and `code` end")
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        m5 = pc.equal(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 5), 5)), 0)
+        t = pc.fill_null(batch.column("text"), "")
+        planted = pc.if_else(
+            m5, pc.binary_join_element_wise(
+                t, pa.scalar(_PLANT, pa.string()), ""), t)
+        i = batch.column_names.index("text")
+        return batch.set_column(i, "text", planted).select(
+            ["doc_id", "text"])
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet").map_batches(
+        plant, batch_format="pyarrow", zero_copy_batch=True)
+    t = _collect(strip_markup(ds))
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id",
+                                                 "ascending")]))
+
+
+REGISTRY["op_strip_markup"] = RawQ(
+    _op_strip_markup,
+    # the same five RE2 rules + explicit-set trim; DuckDB's
+    # regexp_replace runs the same RE2 engine as pyarrow's kernel
+    r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN coalesce(text, '') || ' <b>bold</b> fenced ```drop' ||
+                   chr(10) || 'this``` see https://example.com/x?q=1 ' ||
+                   'and `code` end'
+              ELSE coalesce(text, '') END AS text
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(text,
+            '```[\s\S]*?```', ' ', 'g'),
+            '`[^`]*`', ' ', 'g'),
+            '<[^>]+>', ' ', 'g'),
+            'https?://[^\s]+', ' ', 'g'),
+            '[ \t]+', ' ', 'g'), ' ' || chr(9) || chr(13)) AS text
+FROM planted ORDER BY doc_id""",
+)
+
+
 def _streaming_simjoin(sf_dir: str) -> pa.Table:
     """Similarity join against a static reference ON INGEST: documents
     replayed as 8 micro-batch files probed against a fixed reference

@@ -429,3 +429,45 @@ def test_c4_clean_vs_duckdb_on_planted_pages(ray_session, duck):
     got = q.run(SF_DIR)
     exp = duck.execute(q.sql).arrow()
     assert_tables_equal(got, exp)
+
+
+def test_strip_markup():
+    from ksql_ray.ops.c4 import strip_markup_batch
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": [
+        "keep this <b>not this</b> ok",
+        "code ```a\nb``` and `x = 1` then https://e.com/p?a=1 done",
+        "  plain   text \t with   runs  ",
+    ]})
+    out = strip_markup_batch(t).to_pydict()
+    assert out["text"][0] == "keep this not this ok"
+    assert out["text"][1] == "code and then done"
+    assert out["text"][2] == "plain text with runs"
+
+
+def test_strip_markup_matches_duckdb(duck):
+    # both sides run RE2: the rule chain must agree bit-for-bit
+    from ksql_ray.ops.c4 import strip_markup_batch
+
+    texts = [
+        "a <div class='x'>b</div> c",
+        "```fence``` mid ```another\nmultiline``` end",
+        "`tick` nested <i>`both`</i> https://x.io/a,b).",
+        "no markup at all",
+        "",
+    ]
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    got = strip_markup_batch(t).to_pydict()["text"]
+    import pandas as pd
+
+    duck.register("smk", pd.DataFrame({"text": texts}))
+    exp = [r[0] for r in duck.execute(r"""
+        SELECT trim(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(text,
+               '```[\s\S]*?```', ' ', 'g'),
+               '`[^`]*`', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+               'https?://[^\s]+', ' ', 'g'),
+               '[ \t]+', ' ', 'g'), ' ' || chr(9) || chr(13))
+        FROM smk""").fetchall()]
+    assert got == exp
