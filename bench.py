@@ -1006,6 +1006,19 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["streaming_quantiles_200k"] = min2(_squant)
 
+    # per-key EXACT quantiles on ingest (value-histogram state)
+    from ksql_ray.streaming.quantiles import StreamingGroupedQuantilesJob
+
+    def _sgq():
+        job = StreamingGroupedQuantilesJob(
+            key_cols=["role"], col="turn_idx",
+            columns=["role", "turn_idx"], num_partitions=8)
+        job.run(sfiles, files_per_epoch=4)
+        job.quantiles([0.5, 0.9, 0.99])
+        job.finish()
+
+    out["streaming_grouped_quantiles_200k"] = min2(_sgq)
+
     # "no silent caps": star-capped jumbo buckets and dropped store-join
     # segments across all dedup runs above (recall impact is quantifiable
     # from these — a zero here means no cap fired at this scale)

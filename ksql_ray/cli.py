@@ -236,6 +236,9 @@ def main(argv: list[str] | None = None) -> int:
     qu.add_argument("--input", required=True,
                     help="directory of parquet micro-batch files")
     qu.add_argument("--col", required=True, help="numeric column")
+    qu.add_argument("--key-cols", default=None,
+                    help="comma-separated key columns: per-key EXACT "
+                         "quantiles via histogram state (grouped job)")
     qu.add_argument("--q", default="0.5,0.9,0.99",
                     help="comma-separated quantiles")
     qu.add_argument("--capacity", type=int, default=4096,
@@ -649,7 +652,8 @@ def _run_quantiles(args) -> int:
     if owns_session:
         ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
                  include_dashboard=False, ignore_reinit_error=True)
-    from .streaming.quantiles import StreamingQuantilesJob
+    from .streaming.quantiles import (StreamingGroupedQuantilesJob,
+                                      StreamingQuantilesJob)
 
     files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
     if not files:
@@ -657,6 +661,26 @@ def _run_quantiles(args) -> int:
         return 1
     qs = [float(x) for x in args.q.split(",")]
     t0 = _time.perf_counter()
+    if args.key_cols:
+        keys = args.key_cols.split(",")
+        job = StreamingGroupedQuantilesJob(
+            key_cols=keys, col=args.col, columns=keys + [args.col],
+            num_partitions=args.partitions,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every, resume=args.resume)
+        job.run(files, files_per_epoch=args.files_per_epoch)
+        m = job.finish()
+        snap = job.quantiles(qs)
+        print(json.dumps({
+            "files": len(files), "epochs": m["epochs"],
+            "sec": round(_time.perf_counter() - t0, 3),
+            "rows_in": m["rows_in"],
+            "state_records": m["state_records"],
+            "keys": snap.num_rows // max(len(qs), 1),
+        }))
+        if owns_session:
+            ray.shutdown()
+        return 0
     job = StreamingQuantilesJob(
         col=args.col, capacity=args.capacity, columns=[args.col],
         num_partitions=args.partitions, checkpoint_dir=args.checkpoint_dir,

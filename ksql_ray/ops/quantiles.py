@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 import ray.data
 
 __all__ = ["QuantileSketch", "dataset_quantiles", "quantile_bucketize",
-           "grouped_quantiles"]
+           "grouped_quantiles", "grouped_hist_partial"]
 
 
 class QuantileSketch:
@@ -246,6 +246,32 @@ def quantile_bucketize(ds: ray.data.Dataset, col: str,
                           zero_copy_batch=True)
 
 
+def grouped_hist_partial(batch: pa.Table, key_cols: list[str],
+                         col: str) -> pa.Table:
+    """One batch -> its (key..., __val, __cnt) histogram partial:
+    distinct (key, value) pairs with counts. The unit of work shared by
+    the bounded ``grouped_quantiles`` and the streaming job — partials
+    merge by summing ``__cnt``. NaN/NULL values are dropped."""
+    import pandas as pd
+
+    v = pc.cast(batch.column(col), pa.float64()).to_numpy(
+        zero_copy_only=False)
+    ok = ~np.isnan(v)
+    d = {k: batch.column(k).to_numpy(zero_copy_only=False)[ok]
+         for k in key_cols}
+    d["__val"] = v[ok]
+    g = pd.DataFrame(d).groupby(key_cols + ["__val"], dropna=False,
+                                sort=False).size().rename(
+        "__cnt").reset_index()
+    out = {k: pa.Array.from_pandas(
+        g[k], type=batch.schema.field(k).type) for k in key_cols}
+    out["__val"] = pa.array(g["__val"].to_numpy(np.float64),
+                            type=pa.float64())
+    out["__cnt"] = pa.array(g["__cnt"].to_numpy(np.int64),
+                            type=pa.int64())
+    return pa.table(out)
+
+
 def _gq_finalize(df, key_cols: list[str], qs: list[float],
                  key_types: dict) -> pa.Table:
     """(key..., __val, __cnt) histogram rows -> one row per (key, q)
@@ -331,24 +357,7 @@ def grouped_quantiles(ds: ray.data.Dataset, key_cols: list[str],
     qs = sorted(qs)
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        v = pc.cast(batch.column(col), pa.float64()).to_numpy(
-            zero_copy_only=False)
-        ok = ~np.isnan(v)
-        d = {k: batch.column(k).to_numpy(zero_copy_only=False)[ok]
-             for k in key_cols}
-        d["__val"] = v[ok]
-        g = pd.DataFrame(d).groupby(key_cols + ["__val"], dropna=False,
-                                    sort=False).size().rename(
-            "__cnt").reset_index()
-        out = {k: pa.Array.from_pandas(
-            g[k], type=batch.schema.field(k).type) for k in key_cols}
-        out["__val"] = pa.array(g["__val"].to_numpy(np.float64),
-                                type=pa.float64())
-        out["__cnt"] = pa.array(g["__cnt"].to_numpy(np.int64),
-                                type=pa.int64())
-        return pa.table(out)
+        return grouped_hist_partial(batch, key_cols, col)
 
     from .dedup import _partition_by, _pin
     from .smallagg import _SMALL_PARTIAL_BYTES

@@ -5177,6 +5177,54 @@ ORDER BY t.doc_id""",
 )
 
 
+def _streaming_grouped_quantiles(sf_dir: str) -> pa.Table:
+    """Per-key EXACT quantiles on ingest: events replayed as 8
+    micro-batch files through StreamingGroupedQuantilesJob (per-key
+    value-histogram state, hash-partitioned by key, CMS-style epoch
+    fence since count merge is addition). Equals the bounded SQL
+    quantile_disc GROUP BY bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.quantiles import StreamingGroupedQuantilesJob
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "value"])
+    n = tbl.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_sgq_in_")
+    try:
+        files = []
+        for i in range(8):
+            s = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingGroupedQuantilesJob(
+            key_cols=["user_id"], col="value",
+            columns=["user_id", "value"], num_partitions=4)
+        job.run(files, files_per_epoch=2)
+        m = job.finish()
+        assert m["rows_in"] == n and m["replayed"] == 0, m
+        return job.quantiles([0.5, 0.9])
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+
+
+REGISTRY["streaming_grouped_quantiles"] = RawQ(
+    _streaming_grouped_quantiles,
+    r"""
+SELECT user_id, 0.5 AS q, quantile_disc(value, 0.5) AS value
+FROM events WHERE value IS NOT NULL GROUP BY user_id
+UNION ALL
+SELECT user_id, 0.9 AS q, quantile_disc(value, 0.9) AS value
+FROM events WHERE value IS NOT NULL GROUP BY user_id
+ORDER BY user_id, q""",
+)
+
+
 _CMS_SQL = r"""
 WITH k AS (
   SELECT coalesce(user_id::VARCHAR, '') AS key FROM events

@@ -7,6 +7,7 @@ import collections
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -121,3 +122,78 @@ def test_topk_composite_key_and_nulls(ray_session):
     job.process_epoch([t])
     got = {r["key"]: r["cnt"] for r in job.topk(10).to_pylist()}
     assert got == {"x:1": 2, ":2": 1, "y:": 1}
+
+
+# ---------------------------------------------------------------- grouped quantiles
+
+
+def _gq_fixture(tmp_path, seed=21, n=4000, keys=6, n_files=8):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "k": "r" + pd.Series(rng.integers(0, keys, n)).astype(str),
+        "v": rng.integers(0, 50, n).astype(float),
+    })
+    df.loc[rng.random(n) < 0.05, "v"] = np.nan
+    files = []
+    for i, s in enumerate(np.array_split(np.arange(n), n_files)):
+        p = os.path.join(str(tmp_path), f"g{i:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(df.iloc[s],
+                                            preserve_index=False), p)
+        files.append(p)
+    return df, files
+
+
+def test_streaming_grouped_quantiles_exact(ray_session, tmp_path):
+    import duckdb
+
+    from ksql_ray.streaming.quantiles import StreamingGroupedQuantilesJob
+
+    df, files = _gq_fixture(tmp_path)
+    job = StreamingGroupedQuantilesJob(key_cols=["k"], col="v",
+                                       num_partitions=3)
+    job.run(files, files_per_epoch=3)
+    m = job.finish()
+    assert m["rows_in"] == len(df) and m["replayed"] == 0
+    got = job.quantiles([0.5, 0.9]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT k, 0.5 AS q, quantile_disc(v, 0.5) AS value
+        FROM t WHERE v IS NOT NULL GROUP BY k
+        UNION ALL
+        SELECT k, 0.9 AS q, quantile_disc(v, 0.9) AS value
+        FROM t WHERE v IS NOT NULL GROUP BY k
+        ORDER BY k, q""").df()
+    con.close()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
+
+
+def test_streaming_grouped_quantiles_fence_and_resume(ray_session,
+                                                      tmp_path):
+    import ray as _ray
+
+    from ksql_ray.streaming.quantiles import StreamingGroupedQuantilesJob
+
+    df, files = _gq_fixture(tmp_path, seed=5, n=1200, n_files=4)
+    ck = os.path.join(str(tmp_path), "ck")
+    job = StreamingGroupedQuantilesJob(key_cols=["k"], col="v",
+                                       num_partitions=2,
+                                       checkpoint_dir=ck,
+                                       checkpoint_every=1)
+    job.run(files, files_per_epoch=2)
+    before = job.quantiles([0.5, 0.99]).to_pandas()
+    # replay fence: re-delivering an applied epoch is a counted no-op
+    stats = _ray.get([a.process.remote(0) for a in job.actors])
+    assert all(s["replayed"] == 1 for s in stats)
+    pd.testing.assert_frame_equal(
+        job.quantiles([0.5, 0.99]).to_pandas(), before)
+    # resume: all epochs skipped, same state
+    job2 = StreamingGroupedQuantilesJob(key_cols=["k"], col="v",
+                                        num_partitions=2,
+                                        checkpoint_dir=ck,
+                                        checkpoint_every=1, resume=True)
+    job2.run(files, files_per_epoch=2)
+    assert job2.finish()["rows_in"] == 0
+    pd.testing.assert_frame_equal(
+        job2.quantiles([0.5, 0.99]).to_pandas(), before)
