@@ -153,6 +153,9 @@ def main(argv: list[str] | None = None) -> int:
     sj.add_argument("--num-hashes", type=int, default=64)
     sj.add_argument("--bands", type=int, default=16)
     sj.add_argument("--ref-cap", type=int, default=64)
+    sj.add_argument("--clean-sink", default=None,
+                    help="decontamination-FILTER mode: also write the "
+                         "stream MINUS matched rows to this sink")
     sj.add_argument("--partitions", type=int, default=8)
     sj.add_argument("--files-per-epoch", type=int, default=8)
     sj.add_argument("--resume", action="store_true")
@@ -915,7 +918,7 @@ def _run_simjoin(args) -> int:
         threshold=args.threshold, ngram=args.ngram,
         num_hashes=args.num_hashes, bands=args.bands,
         ref_cap=args.ref_cap, num_partitions=args.partitions,
-        resume=args.resume)
+        clean_dir=args.clean_sink, resume=args.resume)
     job.run(files, files_per_epoch=args.files_per_epoch)
     m = job.finish()
     print(json.dumps({
@@ -923,6 +926,7 @@ def _run_simjoin(args) -> int:
         "sec": round(_time.perf_counter() - t0, 3),
         "rows_in": m["rows_in"], "candidates": m["candidates"],
         "matches_out": m["matches_out"], "capped": m["capped"],
+        "rows_clean": m.get("rows_clean", 0),
         "index_keys": m["index_keys"], "sink": args.sink,
     }))
     if owns_session:

@@ -4946,6 +4946,100 @@ WHERE i::DOUBLE / (ls.n + rs.n - i) >= 0.5""",
 )
 
 
+def _streaming_decontam_filter(sf_dir: str) -> pa.Table:
+    """Decontamination FILTER on ingest: same stream/reference as
+    streaming_simjoin, but in clean_dir mode — the committed output is
+    the stream MINUS every doc that matched the reference (clean rows
+    keep their full schema; this gate checks the surviving doc ids)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.simjoin import StreamingSimJoinJob
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    toks = pc.count_substring_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(docs.column("text"), "")),
+        r"\S+")
+    docs = docs.filter(pc.greater_equal(toks, 3))
+    ids = docs.column("doc_id")
+    m7 = pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7))
+    ref = docs.filter(pc.equal(m7, 0))
+    ref = ref.set_column(ref.schema.get_field_index("doc_id"), "doc_id",
+                         pc.add(ref.column("doc_id"), 1_000_000))
+    n = docs.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_sdcf_in_")
+    out = tempfile.mkdtemp(prefix="ksql_ray_sdcf_out_")
+    clean = tempfile.mkdtemp(prefix="ksql_ray_sdcf_clean_")
+    try:
+        rp = os.path.join(fdir, "ref.parquet")
+        pq.write_table(ref, rp)
+        files = []
+        for i in range(8):
+            s = docs.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingSimJoinJob(out, rp, threshold=0.5,
+                                  num_partitions=4, clean_dir=clean)
+        job.run(files, files_per_epoch=2)
+        m = job.finish()
+        assert m["rows_in"] == n, m
+        return job.clean_result().select(["doc_id"])
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(clean, ignore_errors=True)
+
+
+REGISTRY["streaming_decontam_filter"] = RawQ(
+    _streaming_decontam_filter,
+    # stream docs minus every doc with a cross-table Jaccard >= 0.5
+    # match (same CTE chain as streaming_simjoin)
+    r"""
+WITH rdocs AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 0
+), lt AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3
+), rt AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM rdocs
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3
+), lg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM lt
+), rg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM rt
+), ls AS (SELECT doc_id, count(*) AS n FROM lg GROUP BY 1),
+rs AS (SELECT doc_id, count(*) AS n FROM rg GROUP BY 1),
+inter AS (
+  SELECT lg.doc_id AS stream_id, rg.doc_id AS ref_id, count(*) AS i
+  FROM lg JOIN rg ON lg.g = rg.g
+  GROUP BY 1, 2
+), matched AS (
+  SELECT DISTINCT stream_id
+  FROM inter
+  JOIN ls ON ls.doc_id = stream_id
+  JOIN rs ON rs.doc_id = ref_id
+  WHERE i::DOUBLE / (ls.n + rs.n - i) >= 0.5
+)
+SELECT l.doc_id FROM lt l
+WHERE l.doc_id NOT IN (SELECT stream_id FROM matched)
+ORDER BY l.doc_id""",
+)
+
+
 def _op_strip_markup(sf_dir: str) -> pa.Table:
     """Markup-strip cleanup: every 5th document gets an appended
     markup payload (fenced code, html tag, URL, inline code — the

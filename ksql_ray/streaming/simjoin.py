@@ -50,6 +50,8 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -329,6 +331,44 @@ def _verify(epoch: int, shard: int, S: int, threshold: float,
 
 
 @ray.remote
+def _write_clean(epoch: int, file_idx: int, src, columns,
+                 id_col: str, pair_sink_dir: str, clean_dir: str,
+                 num_shards: int, *verify_acks) -> dict:
+    """Decontamination-FILTER writer: drop this file's rows whose id
+    matched the reference this epoch, write the survivors as one
+    (file, epoch) Parquet through the idempotent sink. Runs after the
+    epoch's verify tasks (their acks are ordering-only args); matched
+    ids are read back from the committed pair files — the sink is the
+    single source of truth, so a replayed epoch filters identically."""
+    limit_worker_threads()
+    sink = TwoPhaseSink(clean_dir)
+    batch = src if isinstance(src, pa.Table) else pq.read_table(
+        src, columns=columns)
+    matched = []
+    for sh in range(num_shards):
+        f = os.path.join(pair_sink_dir,
+                         f"part-{sh:04d}-epoch-{epoch:06d}.parquet")
+        if os.path.exists(f):
+            matched.append(pq.read_table(f, columns=["stream_id"])
+                           .column("stream_id").to_numpy(
+                               zero_copy_only=False))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    bad = (np.unique(np.concatenate(matched)) if matched
+           else np.empty(0, dtype=np.int64))
+    if len(bad):
+        pos = np.searchsorted(bad, ids)
+        pos = np.minimum(pos, len(bad) - 1)
+        keep = bad[pos] != ids
+    else:
+        keep = np.ones(len(ids), dtype=bool)
+    out = batch.filter(pa.array(keep))
+    sink.write(file_idx, epoch, out)
+    return {"rows_clean": out.num_rows, "rows_dropped":
+            int(batch.num_rows - out.num_rows)}
+
+
+
+@ray.remote
 def _sim_prep(inputs, columns, id_col: str, text_col: str, ngram: int,
               num_hashes: int, seed: int, bands: int, P: int):
     """Stream file -> P (key, stream_id) probe slices + the id-sorted
@@ -369,6 +409,7 @@ class StreamingSimJoinJob:
                  ref_cap: int = 64, num_partitions: int = 4,
                  num_shards: int | None = None,
                  columns: Sequence[str] | None = None,
+                 clean_dir: str | None = None,
                  resume: bool = False):
         self.sink_dir = sink_dir
         self.sink = TwoPhaseSink(sink_dir)
@@ -404,14 +445,23 @@ class StreamingSimJoinJob:
         self.payload = [_consolidate_shard.remote(
             *[parts[i][self.P + sh] for i in range(len(builds))])
             for sh in range(self.S)]
+        # decontamination-FILTER mode: also write the CLEAN stream
+        # (rows with no reference match) to a second idempotent sink
+        self.clean_dir = clean_dir
+        self.clean_sink = TwoPhaseSink(clean_dir) if clean_dir else None
+        self._file_seq = 0
         self.epoch = -1
         self._resume_cursor = (self.sink.committed_epoch()
                                if resume else -1)
+        if resume and self.clean_sink:
+            self._resume_cursor = min(self._resume_cursor,
+                                      self.clean_sink.committed_epoch())
         self.metrics: list[dict] = []
 
     def _submit_epoch(self, files_or_tables: Sequence):
         self.epoch += 1
         if self.epoch <= self._resume_cursor:
+            self._file_seq += len(files_or_tables)
             return (self.epoch, None)
         preps = [_sim_prep.options(num_returns=self.P + 1).remote(
             [f], self.columns, self.id_col, self.text_col, self.ngram,
@@ -426,6 +476,16 @@ class StreamingSimJoinJob:
                                self.sink_dir, len(cand_refs),
                                *cand_refs, *stores, self.payload[sh])
                 for sh in range(self.S)]
+        if self.clean_sink:
+            # writers run after the epoch's verify tasks (acks are
+            # ordering-only args) and read matched ids back from the
+            # committed pair files
+            writers = [_write_clean.remote(
+                self.epoch, self._file_seq + i, f, None, self.id_col,
+                self.sink_dir, self.clean_dir, self.S, *acks)
+                for i, f in enumerate(files_or_tables)]
+            acks = acks + writers
+        self._file_seq += len(files_or_tables)
         return (self.epoch, acks)
 
     def _drain_epoch(self, pending) -> dict:
@@ -435,14 +495,21 @@ class StreamingSimJoinJob:
             self.metrics.append(m)
             return m
         stats = ray.get(acks)
+        vstats = stats[:self.S]
         m = {"epoch": epoch,
-             "rows_in": sum(s["probe_rows"] for s in stats)
+             "rows_in": sum(s["probe_rows"] for s in vstats)
              // self.bands,
-             "candidates": sum(s["candidates"] for s in stats),
-             "capped": sum(s["capped"] for s in stats),
-             "matches_out": sum(s["matches"] for s in stats)}
+             "candidates": sum(s["candidates"] for s in vstats),
+             "capped": sum(s["capped"] for s in vstats),
+             "matches_out": sum(s["matches"] for s in vstats)}
+        if self.clean_sink:
+            wstats = stats[self.S:]
+            m["rows_clean"] = sum(s["rows_clean"] for s in wstats)
+            m["rows_dropped"] = sum(s["rows_dropped"] for s in wstats)
         self.metrics.append(m)
         self.sink.commit_epoch(epoch)
+        if self.clean_sink:
+            self.clean_sink.commit_epoch(epoch)
         return m
 
     def process_epoch(self, files_or_tables: Sequence) -> dict:
@@ -469,6 +536,19 @@ class StreamingSimJoinJob:
             pending.append(self._submit_epoch(batch))
         flush(0)
 
+    def clean_result(self) -> pa.Table:
+        """Union of the committed CLEAN stream (decontam-filter mode)."""
+        if not self.clean_sink:
+            raise ValueError("job was built without clean_dir")
+        files = self.clean_sink.committed_files()
+        tabs = [pq.read_table(f) for f in files]
+        tabs = [t for t in tabs if t.num_rows]
+        if not tabs:
+            return pa.table({})
+        t = pa.concat_tables(tabs, promote_options="default")
+        return t.take(pc.sort_indices(t, sort_keys=[
+            (self.id_col, "ascending")]))
+
     def result(self) -> pa.Table:
         files = self.sink.committed_files()
         tabs = [pq.read_table(f) for f in files]
@@ -490,4 +570,6 @@ class StreamingSimJoinJob:
                 "capped": sum(m.get("capped", 0) for m in self.metrics),
                 "matches_out": sum(m.get("matches_out", 0)
                                    for m in self.metrics),
+                "rows_clean": sum(m.get("rows_clean", 0)
+                                  for m in self.metrics),
                 "index_keys": self.index_keys}

@@ -142,3 +142,38 @@ def test_simjoin_pair_dedup(ray_session, tmp_path):
     out = job.result()
     assert out.to_pydict() == {"stream_id": [1], "ref_id": [7],
                                "jaccard": [1.0]}
+
+
+def test_simjoin_decontam_filter(ray_session, corpus, tmp_path):
+    # clean_dir mode: the surviving stream is exactly (all stream rows)
+    # minus (rows whose id appears in the pair output)
+    job = StreamingSimJoinJob(str(tmp_path / "pairs"),
+                              corpus["ref_path"], threshold=0.6,
+                              num_partitions=2,
+                              clean_dir=str(tmp_path / "clean"))
+    job.run(corpus["files"], files_per_epoch=4)
+    m = job.finish()
+    pairs = job.result()
+    clean = job.clean_result()
+    matched = set(pairs.column("stream_id").to_pylist())
+    all_ids = set(corpus["stream"].column("doc_id").to_pylist())
+    assert set(clean.column("doc_id").to_pylist()) == all_ids - matched
+    assert m["rows_clean"] == len(all_ids - matched)
+    # clean rows keep the full schema
+    assert set(clean.column_names) == {"doc_id", "text"}
+    # idempotent replay into both sinks
+    job2 = StreamingSimJoinJob(str(tmp_path / "pairs"),
+                               corpus["ref_path"], threshold=0.6,
+                               num_partitions=2,
+                               clean_dir=str(tmp_path / "clean"))
+    job2.run(corpus["files"], files_per_epoch=4)
+    assert job2.clean_result().equals(clean)
+    # resume skips everything
+    job3 = StreamingSimJoinJob(str(tmp_path / "pairs"),
+                               corpus["ref_path"], threshold=0.6,
+                               num_partitions=2,
+                               clean_dir=str(tmp_path / "clean"),
+                               resume=True)
+    job3.run(corpus["files"], files_per_epoch=4)
+    assert job3.finish()["rows_in"] == 0
+    assert job3.clean_result().equals(clean)
