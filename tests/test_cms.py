@@ -189,3 +189,21 @@ def test_cms_empty_and_errors():
                                  "cnt": pa.array([], pa.int64())}),
                        [], 2, 8, "fast")
     assert est.num_rows == 0
+
+
+def test_streaming_cms_empty_files(tmp_path):
+    # zero-row micro-batch files mid-stream must not corrupt state
+    keys = _keys(seed=2, n=600)
+    files = _write_files(str(tmp_path), keys, n_files=3)
+    empty = os.path.join(str(tmp_path), "e.parquet")
+    pq.write_table(_tbl(np.array([], dtype=object)), empty)
+    job = StreamingCMSJob(key_col="k", depth=DEPTH, width=WIDTH,
+                          hash="fast", num_partitions=2)
+    job.run([files[0], empty, files[1], empty, files[2]],
+            files_per_epoch=2)
+    m = job.finish()
+    assert m["rows_in"] == len(keys)
+    want = counters_from_keys(
+        np.where(pd.isna(keys), "", keys).astype(object),
+        DEPTH, WIDTH, "fast")
+    assert np.array_equal(_dense(job.counters()), want)

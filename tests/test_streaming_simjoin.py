@@ -177,3 +177,31 @@ def test_simjoin_decontam_filter(ray_session, corpus, tmp_path):
     job3.run(corpus["files"], files_per_epoch=4)
     assert job3.finish()["rows_in"] == 0
     assert job3.clean_result().equals(clean)
+
+
+def test_simjoin_empty_and_missing_token_files(ray_session, tmp_path):
+    # zero-row files and all-short-doc files must flow through probe,
+    # verify and the clean writer without errors
+    rp = str(tmp_path / "r.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([7], pa.int64()),
+                             "text": ["one two three four five"]}), rp)
+    f_empty = str(tmp_path / "e.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())}),
+                   f_empty)
+    f_short = str(tmp_path / "s.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                             "text": ["hi", ""]}), f_short)
+    f_hit = str(tmp_path / "h.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([3], pa.int64()),
+                             "text": ["one two three four five"]}),
+                   f_hit)
+    job = StreamingSimJoinJob(str(tmp_path / "pairs"), rp,
+                              threshold=0.5, num_partitions=2,
+                              clean_dir=str(tmp_path / "clean"))
+    job.run([f_empty, f_short, f_hit], files_per_epoch=2)
+    m = job.finish()
+    assert m["matches_out"] == 1
+    clean = job.clean_result()
+    # doc 3 matched and is dropped; 1 and 2 survive
+    assert clean.column("doc_id").to_pylist() == [1, 2]
