@@ -401,6 +401,32 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["streaming_dedup_200k"] = min2(_sdedup)
 
+    # the WHOLE prep chain on ingest: normalize -> Gopher quality
+    # filter -> first-occurrence dedup in one pass (pre_transform runs
+    # inside the prep tasks, before fingerprinting)
+    from ksql_ray.pipelines.prep import prep_batch
+
+    def _sprep():
+        outd = _tempfile.mkdtemp(prefix="ksql_bench_sprep_")
+        try:
+            job = StreamingDedupJob(outd, method="fast",
+                                    num_partitions=8,
+                                    columns=["conv_id", "turn_idx",
+                                             "text"],
+                                    pre_transform=_prep_docs)
+            job.run(sfiles, files_per_epoch=16)
+            job.finish()
+        finally:
+            _shutil.rmtree(outd, ignore_errors=True)
+
+    def _prep_docs(batch: pa.Table) -> pa.Table:
+        b = pa.table({"doc_id": batch.column("turn_idx"),
+                      "text": batch.column("text")})
+        return prep_batch(b)
+
+    out["streaming_prep_200k"] = min2(_sprep)
+
+
     # streaming NEAR-dup-on-ingest (MinHash-LSH greedy first-occurrence)
     # over the same 256 micro-batch files, 4 files/epoch (64 pipelined
     # epochs — the natural continuous-ingest shape)

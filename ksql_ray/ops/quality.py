@@ -35,7 +35,8 @@ import pyarrow.compute as pc
 import ray.data
 
 __all__ = ["add_char_entropy", "add_repetition_stats",
-           "add_ngram_repetition", "quality_filter"]
+           "add_ngram_repetition", "quality_filter",
+           "quality_keep_mask"]
 
 
 def _round6(x: np.ndarray) -> np.ndarray:
@@ -279,23 +280,51 @@ def quality_filter(
     def fn(batch: pa.Table) -> pa.Table:
         orig = batch.column_names
         batch = add_repetition_stats(batch, text_col)
-        keep = pc.and_(
-            pc.and_(
-                pc.and_(
-                    pc.less_equal(batch.column("dup_word_frac"), max_dup_word_frac),
-                    pc.less_equal(batch.column("top_word_frac"), max_top_word_frac),
-                ),
-                pc.and_(
-                    pc.less_equal(batch.column("dup_line_frac"), max_dup_line_frac),
-                    pc.less_equal(batch.column("symbol_word_ratio"), max_symbol_word_ratio),
-                ),
-            ),
-            pc.and_(
-                pc.greater_equal(batch.column("mean_word_len"), min_mean_word_len),
-                pc.less_equal(batch.column("mean_word_len"), max_mean_word_len),
-            ),
-        )
+        keep = quality_keep_mask(
+            batch, max_dup_word_frac=max_dup_word_frac,
+            max_top_word_frac=max_top_word_frac,
+            max_dup_line_frac=max_dup_line_frac,
+            min_mean_word_len=min_mean_word_len,
+            max_mean_word_len=max_mean_word_len,
+            max_symbol_word_ratio=max_symbol_word_ratio)
         out = batch.filter(keep)
         return out if keep_stats else out.select(orig)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_keep_mask(
+    batch: pa.Table,
+    max_dup_word_frac: float = 0.30,
+    max_top_word_frac: float = 0.20,
+    max_dup_line_frac: float = 0.30,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_word_ratio: float = 0.10,
+) -> pa.Array:
+    """Boolean keep mask over a batch that already carries the
+    :func:`add_repetition_stats` columns — the one threshold rule
+    shared by the bounded ``quality_filter`` and the streaming prep
+    pre-transform (pipelines/prep.prep_batch)."""
+    return pc.and_(
+        pc.and_(
+            pc.and_(
+                pc.less_equal(batch.column("dup_word_frac"),
+                              max_dup_word_frac),
+                pc.less_equal(batch.column("top_word_frac"),
+                              max_top_word_frac),
+            ),
+            pc.and_(
+                pc.less_equal(batch.column("dup_line_frac"),
+                              max_dup_line_frac),
+                pc.less_equal(batch.column("symbol_word_ratio"),
+                              max_symbol_word_ratio),
+            ),
+        ),
+        pc.and_(
+            pc.greater_equal(batch.column("mean_word_len"),
+                             min_mean_word_len),
+            pc.less_equal(batch.column("mean_word_len"),
+                          max_mean_word_len),
+        ),
+    )

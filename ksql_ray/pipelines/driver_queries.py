@@ -1989,6 +1989,112 @@ FROM sh""",
 )
 
 
+def _streaming_prep(sf_dir: str) -> pa.Table:
+    """The prep chain ON INGEST: documents + messy planted dups (every
+    9th doc re-appears uppercased with extra whitespace), replayed in
+    doc_id order as 8 micro-batch files through StreamingDedupJob with
+    ``pre_transform=prep_batch`` — normalize → Gopher quality filter →
+    first-occurrence md5 dedup in ONE ingest pass. Arrival order ==
+    doc_id order, so first-occurrence == the oracle's min-id rule."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.dedup import StreamingDedupJob
+    from .prep import prep_batch
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    docs = docs.set_column(
+        docs.schema.get_field_index("text"), "text",
+        pc.cast(docs.column("text"), pa.string()))
+    ids = docs.column("doc_id")
+    m9 = pc.subtract(ids, pc.multiply(pc.divide(ids, 9), 9))
+    cp = docs.filter(pc.equal(m9, 0))
+    planted = pa.table({
+        "doc_id": pc.add(cp.column("doc_id"), 1_000_000),
+        "text": pc.binary_join_element_wise(
+            pa.array(["  "] * cp.num_rows, type=pa.string()),
+            pc.utf8_upper(cp.column("text")),
+            pa.array(["   "] * cp.num_rows, type=pa.string()), ""),
+    })
+    corpus = pa.concat_tables([docs, planted])
+    corpus = corpus.take(pc.sort_indices(
+        corpus, sort_keys=[("doc_id", "ascending")]))
+    n = corpus.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_sprep_in_")
+    out = tempfile.mkdtemp(prefix="ksql_ray_sprep_out_")
+    try:
+        files = []
+        for i in range(8):
+            s = corpus.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingDedupJob(out, method="md5", num_partitions=4,
+                                columns=["doc_id", "text"],
+                                pre_transform=prep_batch)
+        job.run(files, files_per_epoch=2)
+        job.finish()
+        t = job.result().select(["doc_id", "text"])
+        return t.take(pc.sort_indices(t, sort_keys=[("doc_id",
+                                                     "ascending")]))
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+REGISTRY["streaming_prep"] = RawQ(
+    _streaming_prep,
+    # the op_prep_pipeline chain through dedup (no shard step):
+    # normalize -> Gopher thresholds -> first-id-per-md5
+    r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         '  ' || upper(text) || '   ' AS text
+  FROM documents WHERE doc_id % 9 = 0
+), norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text
+  FROM corpus
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+                                              '\s+')) AS tok
+  FROM norm
+), tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct,
+         max(c) AS top, sum(length(tok) * c) AS chars
+  FROM tc GROUP BY 1
+), lc AS (
+  SELECT doc_id, ln, count(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM norm
+  ) GROUP BY 1, 2
+), lagg AS (SELECT doc_id, sum(c) AS n_ln, count(*) AS n_dln
+            FROM lc GROUP BY 1),
+kept AS (
+  SELECT n.doc_id, n.text FROM norm n
+  JOIN agg a USING (doc_id) JOIN lagg l USING (doc_id)
+  WHERE ROUND(1 - a.n_distinct::DOUBLE / a.n_tok, 6) <= 0.30
+    AND ROUND(a.top::DOUBLE / a.n_tok, 6) <= 0.20
+    AND ROUND(1 - l.n_dln::DOUBLE / l.n_ln, 6) <= 0.30
+    AND ROUND(((length(n.text) - length(replace(n.text, '#', ''))) +
+               (length(n.text) - length(replace(n.text, '...', ''))) / 3
+              )::DOUBLE / a.n_tok, 6) <= 0.10
+    AND ROUND(a.chars::DOUBLE / a.n_tok, 6) BETWEEN 2.0 AND 12.0
+)
+SELECT doc_id, text FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                               ORDER BY doc_id) AS rn
+  FROM kept) WHERE rn = 1
+ORDER BY doc_id""",
+)
+
+
 def _op_bm25_multi(sf_dir: str) -> pa.Table:
     from ..ops.bm25 import bm25_topk_multi
 

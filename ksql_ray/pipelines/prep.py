@@ -24,7 +24,7 @@ from ..ops.quality import quality_filter
 from ..ops.shard import shuffle_shard
 from ..ops.text import normalize_documents
 
-__all__ = ["dedup_rows", "prep_pipeline"]
+__all__ = ["dedup_rows", "prep_pipeline", "prep_batch"]
 
 
 def dedup_rows(ds: ray.data.Dataset, id_col: str = "doc_id",
@@ -90,3 +90,30 @@ def prep_pipeline(ds: ray.data.Dataset, *, id_col: str = "doc_id",
                         fingerprint=fingerprint)
     return shuffle_shard(unique, id_col, n_shards=n_shards,
                          method=shard_method)
+
+
+def prep_batch(batch: pa.Table, id_col: str = "doc_id",
+               text_col: str = "text", **quality_kwargs) -> pa.Table:
+    """Batch-level normalize → quality-filter: the stateless prefix of
+    :func:`prep_pipeline` as ONE callable, usable as a streaming
+    ``pre_transform`` (StreamingDedupJob) so the whole prep chain —
+    normalize → filter → first-occurrence dedup — runs ON INGEST.
+    Output rows: (id_col, text) with text in the normalized form
+    (lower, whitespace collapsed, trimmed — ``form="none"``, the
+    all-Arrow scale path; SQL: trim(regexp_replace(lower(text),
+    '\\s+', ' ', 'g')))."""
+    from ..ops.quality import add_repetition_stats, quality_keep_mask
+
+    t = batch.column(text_col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    if pa.types.is_large_string(t.type):
+        t = pc.cast(t, pa.string())
+    # NULL text behaves as the empty string (normalizes to "", then
+    # fails the quality thresholds like any contentless row)
+    norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        pc.utf8_lower(pc.fill_null(t, "")), r"\s+", " "))
+    out = pa.table({id_col: batch.column(id_col), text_col: norm})
+    out = add_repetition_stats(out, text_col)
+    keep = quality_keep_mask(out, **quality_kwargs)
+    return out.filter(keep).select([id_col, text_col])

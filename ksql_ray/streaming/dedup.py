@@ -89,14 +89,22 @@ def _fingerprint_u64(texts: pa.ChunkedArray | pa.Array,
 
 @ray.remote
 def _dedup_prep(inputs, columns, text_col: str, method: str,
-                num_partitions: int, file_seq0: int):
-    """Read -> fingerprint -> hash-partition one epoch's files; returns
-    P per-partition slices (invoked with ``num_returns=P``)."""
+                num_partitions: int, file_seq0: int,
+                pre_transform=None):
+    """Read -> [pre_transform] -> fingerprint -> hash-partition one
+    epoch's files; returns P per-partition slices (invoked with
+    ``num_returns=P``). ``pre_transform`` (a batch -> batch callable,
+    e.g. pipelines/prep.prep_batch) runs BEFORE fingerprinting, so a
+    normalize -> quality-filter -> dedup prep chain executes in the
+    same ingest pass; it may drop and rewrite rows but must keep
+    ``text_col``."""
     limit_worker_threads()
     tables = []
     for i, x in enumerate(inputs):
         batch = x if isinstance(x, pa.Table) else pq.read_table(
             x, columns=columns)
+        if pre_transform is not None:
+            batch = pre_transform(batch)
         a, b = _fingerprint_u64(batch.column(text_col), method)
         n = batch.num_rows
         if n >= _MAX_ROWS_PER_FILE:
@@ -242,7 +250,8 @@ class StreamingDedupJob:
     def __init__(self, out_dir: str, *, text_col: str = "text",
                  method: str = "md5", columns: list[str] | None = None,
                  num_partitions: int = 8, checkpoint_dir: str | None = None,
-                 checkpoint_every: int = 0, resume: bool = False):
+                 checkpoint_every: int = 0, resume: bool = False,
+                 pre_transform=None):
         import json
         import os
 
@@ -250,6 +259,7 @@ class StreamingDedupJob:
             raise ValueError("method must be 'md5' or 'fast'")
         self.text_col = text_col
         self.method = method
+        self.pre_transform = pre_transform
         self.columns = list(columns) if columns else None
         if self.columns and text_col not in self.columns:
             self.columns.append(text_col)
@@ -292,7 +302,7 @@ class StreamingDedupJob:
         for f in files_or_tables:
             preps.append(_dedup_prep.options(num_returns=self.P).remote(
                 [f], self.columns, self.text_col, self.method, self.P,
-                self._file_seq))
+                self._file_seq, self.pre_transform))
             self._file_seq += 1
         parts = ([[r] for r in preps] if self.P == 1
                  else [list(r) for r in preps])

@@ -156,3 +156,39 @@ def test_run_compaction(ray_session):
     got = _run(tbl, n_files=30, files_per_epoch=1, num_partitions=2)
     kept = got.column("doc_id").to_pylist()
     assert len(kept) == 300 and max(kept) < 300
+
+
+def test_streaming_dedup_pre_transform_prep(ray_session, tmp_path):
+    # prep-on-ingest: normalize folds case/whitespace variants onto one
+    # fingerprint, quality filter drops repetitive junk, all in the
+    # prep task before fingerprinting
+    from ksql_ray.pipelines.prep import prep_batch
+
+    rows = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": [
+            "the quick brown fox jumps over the lazy dog today",
+            "  THE   QUICK brown fox JUMPS over the lazy dog today ",
+            "spam spam spam spam spam spam spam spam spam spam",
+            "a completely different sentence about engines and state",
+            None,
+        ],
+    })
+    f = os.path.join(str(tmp_path), "in.parquet")
+    pq.write_table(rows, f)
+    job = StreamingDedupJob(str(tmp_path / "out"), method="md5",
+                            num_partitions=2,
+                            columns=["doc_id", "text"],
+                            pre_transform=prep_batch)
+    job.run([f], files_per_epoch=1)
+    m = job.finish()
+    out = job.result()
+    got = sorted(out.column("doc_id").to_pylist())
+    # 2 normalizes onto 1 (dropped as dup); 3 fails dup_word_frac;
+    # 5 (NULL -> '' -> mean_word_len 0) fails quality
+    assert got == [1, 4]
+    # text is stored in normalized form
+    texts = dict(zip(out.column("doc_id").to_pylist(),
+                     out.column("text").to_pylist()))
+    assert texts[1] == "the quick brown fox jumps over the lazy dog today"
+    assert m["rows_in"] == 3  # post-filter rows reach the state actors
