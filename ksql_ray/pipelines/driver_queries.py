@@ -5491,6 +5491,43 @@ def _streaming_cms(sf_dir: str) -> pa.Table:
 REGISTRY["streaming_cms"] = RawQ(_streaming_cms, _CMS_SQL)
 
 
+def _op_bpe_token_count(sf_dir: str) -> pa.Table:
+    """Per-doc BPE token counts with ZERO merges — every word costs
+    len(word)+1 symbols (chars + </w>), the SQL-checkable base-case of
+    the subword tokenizer (the learned-merge path is pinned by
+    tests/test_ops_bpe.py and the op_bpe_vocab gate)."""
+    from ..ops.bpe import bpe_token_counts
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    t = _collect(bpe_token_counts(ds, []))
+    return t.select(["doc_id", "bpe_token_count"])
+
+
+REGISTRY["op_bpe_token_count"] = RawQ(
+    _op_bpe_token_count,
+    "SELECT doc_id, SUM(CASE WHEN t = '' THEN 0 ELSE LENGTH(t) + 1 END)"
+    "::BIGINT AS bpe_token_count FROM (SELECT doc_id, "
+    "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t "
+    "FROM documents) GROUP BY doc_id",
+)
+
+
+def _op_bpe_vocab(sf_dir: str) -> pa.Table:
+    """Learned BPE merge table (rank, left, right, token) on the
+    documents corpus — deterministic (exact integer counts, lexicographic
+    tie-break) but not SQL-expressible (sequential merge loop), so this
+    gate is rows-only at the driver; determinism across partitionings
+    is pinned by tests/test_ops_bpe.py."""
+    from ..ops.bpe import learn_bpe, merges_table
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    return merges_table(learn_bpe(ds, num_merges=64,
+                                  max_word_vocab=8192))
+
+
+REGISTRY["op_bpe_vocab"] = RawQ(_op_bpe_vocab)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3
