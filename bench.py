@@ -979,6 +979,25 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["c4_clean_200k"] = min2(
         lambda: c4_clean(turns4(), min_words=3, min_lines=1).count())
+
+    # line-level cleanup + BPE vocabulary over the 200k-turn corpus
+    from ksql_ray.ops.bpe import bpe_token_counts, learn_bpe
+    from ksql_ray.ops.lines import dedup_lines, strip_frequent_lines
+
+    out["dedup_lines_200k"] = min2(
+        lambda: dedup_lines(turns4()).count())
+    out["strip_boilerplate_200k"] = min2(
+        lambda: strip_frequent_lines(turns4(), min_docs=50).count())
+    _bpe_merges = []
+
+    def _bpe_learn():
+        _bpe_merges.clear()
+        _bpe_merges.extend(learn_bpe(turns4(), num_merges=256,
+                                     max_word_vocab=32_768))
+
+    out["bpe_learn_200k"] = min2(_bpe_learn)
+    out["bpe_encode_200k"] = min2(
+        lambda: bpe_token_counts(turns4(), list(_bpe_merges)).count())
     out["bottom_k_sample_200k"] = min2(lambda: bottom_k_sample(
         turns3(), "turn_idx", 10_000, method="fast").count())
     out["mixture_sample_200k"] = min2(lambda: mixture_sample(

@@ -5528,6 +5528,104 @@ def _op_bpe_vocab(sf_dir: str) -> pa.Table:
 REGISTRY["op_bpe_vocab"] = RawQ(_op_bpe_vocab)
 
 
+def _lines_plant(batch: pa.Table) -> pa.Table:
+    """Multi-line page fixture (sf documents are single-line): a
+    repeated first line (intra-doc dup), a shared boilerplate line on
+    doc_id % 2 == 0, a mid-frequency line shared by doc_id % 200
+    cohorts, and a unique tail."""
+    ids = pc.cast(batch.column("doc_id"), pa.string())
+    n = batch.num_rows
+
+    def lit(s: str) -> pa.Array:
+        return pa.array([s] * n, type=pa.string())
+
+    head = pc.binary_join_element_wise(lit("first line of doc "), ids,
+                                       lit(""))
+    cohort = pc.cast(pc.subtract(
+        batch.column("doc_id"),
+        pc.multiply(pc.divide(batch.column("doc_id"), 200),
+                    pa.scalar(200, pa.int64()))), pa.string())
+    mid = pc.binary_join_element_wise(lit("shared cohort line "),
+                                      cohort, lit(""))
+    even = pc.equal(pc.bit_wise_and(batch.column("doc_id"),
+                                    pa.scalar(1, pa.int64())),
+                    pa.scalar(0, pa.int64()))
+    boiler = pc.if_else(even, lit("subscribe to our newsletter"),
+                        lit("no banner here"))
+    tail = pc.binary_join_element_wise(
+        lit("unique tail "), ids, lit(" "),
+        pc.utf8_slice_codeunits(batch.column("text"), 0, 24), lit(""))
+    text = pc.binary_join_element_wise(
+        head, head, boiler, mid, tail, lit("\n"))
+    i = batch.column_names.index("text")
+    return batch.set_column(i, "text", text).select(["doc_id", "text"])
+
+
+_LINES_PLANT_SQL = (
+    "SELECT doc_id, 'first line of doc ' || CAST(doc_id AS VARCHAR) || "
+    "chr(10) || 'first line of doc ' || CAST(doc_id AS VARCHAR) || "
+    "chr(10) || CASE WHEN doc_id % 2 = 0 THEN "
+    "'subscribe to our newsletter' ELSE 'no banner here' END || "
+    "chr(10) || 'shared cohort line ' || CAST(doc_id % 200 AS VARCHAR) "
+    "|| chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR) || ' ' || "
+    "substr(text, 1, 24) AS text FROM documents"
+)
+
+
+def _op_dedup_lines(sf_dir: str) -> pa.Table:
+    """Intra-document line dedup (keep first occurrence) over planted
+    multi-line pages."""
+    from ..ops.lines import dedup_lines
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    planted = ds.map_batches(_lines_plant, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return _collect(dedup_lines(planted)).select(["doc_id", "text"])
+
+
+REGISTRY["op_dedup_lines"] = RawQ(
+    _op_dedup_lines,
+    f"WITH d AS ({_LINES_PLANT_SQL}), "
+    "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, "
+    "generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM d), "
+    "f AS (SELECT doc_id, line, min(pos) AS pos FROM l "
+    "GROUP BY doc_id, line) "
+    "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text "
+    "FROM f GROUP BY doc_id",
+)
+
+
+def _op_strip_boilerplate(sf_dir: str) -> pa.Table:
+    """Corpus-frequency boilerplate removal (lines in >= 5 distinct
+    docs) over the same planted pages: the banner lines and (at
+    sf >= 0.01) the cohort lines cross the threshold; the duplicated
+    first line is per-doc unique (2 occurrences but 1 distinct doc) so
+    BOTH copies survive — pinning distinct-doc (not occurrence)
+    counting; unique tails always survive."""
+    from ..ops.lines import strip_frequent_lines
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    planted = ds.map_batches(_lines_plant, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return _collect(strip_frequent_lines(planted, min_docs=5)).select(
+        ["doc_id", "text"])
+
+
+REGISTRY["op_strip_boilerplate"] = RawQ(
+    _op_strip_boilerplate,
+    f"WITH d AS ({_LINES_PLANT_SQL}), "
+    "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, "
+    "generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM d), "
+    "freq AS (SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) "
+    "AS c FROM l GROUP BY line) WHERE c >= 5), "
+    "k AS (SELECT doc_id, line, pos FROM l "
+    "WHERE line NOT IN (SELECT line FROM freq)) "
+    "SELECT d.doc_id, COALESCE(a.text, '') AS text FROM d LEFT JOIN "
+    "(SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text "
+    "FROM k GROUP BY doc_id) a ON d.doc_id = a.doc_id",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3
