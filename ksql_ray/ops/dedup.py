@@ -331,29 +331,92 @@ def _score_via_store(cands: ray.data.Dataset, store: ray.data.Dataset,
             "doc_b": pa.array(np.concatenate((b, b)).astype(np.int64)),
         })
 
-    # materialize the id-only side rows BEFORE the join: the join's
-    # aggregator actors reserve CPUs up front, and when the candidate
-    # lineage is still streaming the two stages starve each other
-    # (measured 3-5x on the 200k bench: ~10 s staged vs 33-56 s as one
-    # lazy DAG). `sides` is (key, doc_a, doc_b) only — ~24 B/row,
-    # sharded in the object store, never on the driver.
+    # materialize the id-only side rows BEFORE the join: when the
+    # candidate lineage is still streaming the two stages starve each
+    # other (measured 3-5x on the 200k bench: ~10 s staged vs 33-56 s
+    # as one lazy DAG). `sides` is (key, doc_a, doc_b) only —
+    # ~24 B/row, sharded in the object store, never on the driver.
     sides = _partition_by(cands, ["doc_a", "doc_b"], num_partitions).map_groups(
         _pin(dedup_explode), batch_format="pyarrow"
     ).materialize()
-    # the hash-shuffle join spawns one aggregator ACTOR per partition,
-    # each reserving a CPU — more partitions than cluster CPUs deadlocks
-    # the actor pool (observed under the 4-CPU test fixture)
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    join_parts = max(2, min(num_partitions, ncpu // 2))
-    # materialize the join output for the same reason: its aggregator
-    # actors hold reserved CPUs until the join drains, starving the
-    # downstream pair shuffle when both run in one streaming plan
-    joined = sides.join(
-        store, "inner", join_parts, on=("key",), right_on=(id_col,)
-    ).materialize()
+    joined = _store_join(sides, store, id_col, num_partitions).materialize()
     return _partition_by(joined, ["doc_a", "doc_b"], num_partitions).map_groups(
         _pin(score_fn), batch_format="pyarrow"
     )
+
+
+def _store_join(sides: ray.data.Dataset, store: ray.data.Dataset,
+                id_col: str, num_partitions: int) -> ray.data.Dataset:
+    """Inner-join ``sides.key == store[id_col]`` through ONE union
+    exchange instead of Ray's hash-shuffle join (whose per-partition
+    aggregator ACTORS reserve CPUs up front and cost ~3 s of spin-up +
+    drain per call — measured vs ~1 s for this task-based join on the
+    200k bench; the actor-count-vs-CPU deadlock guard the old path
+    needed disappears with it). Store rows ride the exchange null-
+    padded with the sides columns (validity-bitmap-only overhead);
+    each partition sorts its store shard by id once and gathers
+    payloads for its side rows with one searchsorted + take. Store ids
+    are unique by construction (one row per doc)."""
+    store_schema = store.schema().base_schema
+    payload = [f for f in store_schema if f.name != id_col]
+    key_t = store_schema.field(id_col).type
+
+    @_pin
+    def tag_sides(b: pa.Table) -> pa.Table:
+        cols = {"key": pc.cast(b.column("key"), key_t),
+                "doc_a": b.column("doc_a"), "doc_b": b.column("doc_b")}
+        for f in payload:
+            cols[f.name] = pa.nulls(b.num_rows, f.type)
+        cols["__sd"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    @_pin
+    def tag_store(b: pa.Table) -> pa.Table:
+        cols = {"key": b.column(id_col),
+                "doc_a": pa.nulls(b.num_rows, pa.int64()),
+                "doc_b": pa.nulls(b.num_rows, pa.int64())}
+        for f in payload:
+            cols[f.name] = b.column(f.name)
+        cols["__sd"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    unioned = sides.map_batches(
+        tag_sides, batch_format="pyarrow", zero_copy_batch=True).union(
+        store.map_batches(tag_store, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def resolve(part: pa.Table) -> pa.Table:
+        if "__part" in part.column_names:
+            part = part.drop_columns(["__part"])
+        sd = part.column("__sd").to_numpy(zero_copy_only=False)
+        part = part.drop_columns(["__sd"])
+        s = part.filter(pa.array(sd == 0))
+        r = part.filter(pa.array(sd == 1))
+        if s.num_rows == 0 or r.num_rows == 0:
+            return pa.table({n: pa.array([], type=part.schema.field(n).type)
+                             for n in part.column_names})
+        rk = r.column("key")
+        if isinstance(rk, pa.ChunkedArray):
+            rk = rk.combine_chunks()
+        rkv = rk.to_numpy(zero_copy_only=False)
+        order = np.argsort(rkv, kind="stable")
+        rks = rkv[order]
+        sk = s.column("key").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rks, sk)
+        pos[pos >= len(rks)] = 0
+        valid = rks[pos] == sk
+        take = order[pos[valid]]
+        s_hit = s.filter(pa.array(valid))
+        gathered = r.take(pa.array(take))
+        cols = {"key": s_hit.column("key"),
+                "doc_a": s_hit.column("doc_a"),
+                "doc_b": s_hit.column("doc_b")}
+        for f in payload:
+            cols[f.name] = gathered.column(f.name)
+        return pa.table(cols)
+
+    return _partition_by(unioned, ["key"], num_partitions).map_groups(
+        _pin(resolve), batch_format="pyarrow")
 
 
 def _pair_segments(group: pa.Table, stat_prefix: str = "lsh"):
