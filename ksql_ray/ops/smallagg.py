@@ -59,10 +59,20 @@ def grouped_sum(parts: ray.data.Dataset, key_cols: list[str],
         ref = _sum_merge_task.remote(key_cols, sum_cols,
                                      *m.to_arrow_refs())
         return ray.data.from_arrow_refs([ref])
-    agg = m.groupby(key_cols).sum(sum_cols)
-    return agg.map_batches(
-        lambda b: b.rename_columns(key_cols + sum_cols),
-        batch_format="pyarrow", zero_copy_batch=True)
+    from .dedup import _partition_by, _pin
+
+    def merge(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        df = group.to_pandas().groupby(
+            key_cols, dropna=False, sort=False)[sum_cols].sum(
+        ).reset_index()
+        return pa.table({c: pa.Array.from_pandas(
+            df[c], type=group.schema.field(c).type)
+            for c in key_cols + sum_cols})
+
+    return _partition_by(m, key_cols).map_groups(
+        _pin(merge), batch_format="pyarrow")
 
 
 @ray.remote
@@ -93,10 +103,20 @@ def grouped_max(parts: ray.data.Dataset, key_cols: list[str],
         ref = _max_merge_task.remote(key_cols, max_cols,
                                      *m.to_arrow_refs())
         return ray.data.from_arrow_refs([ref])
-    agg = m.groupby(key_cols).max(max_cols)
-    return agg.map_batches(
-        lambda b: b.rename_columns(key_cols + max_cols),
-        batch_format="pyarrow", zero_copy_batch=True)
+    from .dedup import _partition_by, _pin
+
+    def merge(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        df = group.to_pandas().groupby(
+            key_cols, dropna=False, sort=False)[max_cols].max(
+        ).reset_index()
+        return pa.table({c: pa.Array.from_pandas(
+            df[c], type=group.schema.field(c).type)
+            for c in key_cols + max_cols})
+
+    return _partition_by(m, key_cols).map_groups(
+        _pin(merge), batch_format="pyarrow")
 
 
 @ray.remote
@@ -119,7 +139,14 @@ def distinct_small(parts: ray.data.Dataset,
     if m.size_bytes() <= _SMALL_PARTIAL_BYTES:
         ref = _distinct_merge_task.remote(cols, *m.to_arrow_refs())
         return ray.data.from_arrow_refs([ref])
-    agg = m.groupby(cols).count()
-    return agg.map_batches(
-        lambda b: b.rename_columns(cols + ["__cnt"]).select(cols),
-        batch_format="pyarrow", zero_copy_batch=True)
+    from .dedup import _partition_by, _pin
+
+    def merge(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        df = group.to_pandas().drop_duplicates()
+        return pa.table({c: pa.Array.from_pandas(
+            df[c], type=group.schema.field(c).type) for c in cols})
+
+    return _partition_by(m, cols).map_groups(
+        _pin(merge), batch_format="pyarrow")
