@@ -95,12 +95,14 @@ def _corpus_stats(ds: ray.data.Dataset, text_col: str,
         lambda b: _partial_stats(b, text_col, terms),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    agg = parts.groupby("term").sum(["df", "tok"])
+    from .smallagg import grouped_sum
+
+    agg = grouped_sum(parts, ["term"], ["df", "tok"])
     rows = {r["term"]: r for r in agg.take_all()}
     stats = rows.pop("\0docstats")
-    n = int(stats["sum(df)"])
-    avgdl = float(stats["sum(tok)"]) / n if n else 0.0
-    df = {t: int(rows[t]["sum(df)"]) if t in rows else 0 for t in terms}
+    n = int(stats["df"])
+    avgdl = float(stats["tok"]) / n if n else 0.0
+    df = {t: int(rows[t]["df"]) if t in rows else 0 for t in terms}
     return n, avgdl, df
 
 
@@ -230,5 +232,7 @@ def bm25_topk(ds: ray.data.Dataset, query: str, k: int = 10,
                                 avgdl, k1, b, k),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    return scored.sort(["score", id_col],
-                       descending=[True, False]).limit(k)
+    from .smallagg import topk_table
+
+    return topk_table(scored, [("score", "descending"),
+                               (id_col, "ascending")], k)

@@ -116,12 +116,11 @@ def cms_counters(ds: ray.data.Dataset, key_col: str, depth: int = 4,
                          "bucket": pa.array(b, type=pa.int64()),
                          "cnt": pa.array(cnt[d, b], type=pa.int64())})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True).groupby(
-        ["d", "bucket"]).sum("cnt")
-    return agg.map_batches(
-        lambda b: b.rename_columns(["d", "bucket", "cnt"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+    from .smallagg import grouped_sum
+
+    return grouped_sum(ds.map_batches(partial, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       ["d", "bucket"], ["cnt"])
 
 
 def cms_estimate(counters: pa.Table, keys, depth: int, width: int,

@@ -96,11 +96,14 @@ def hashed_bigram_counts(ds: ray.data.Dataset, text_col: str = "text",
         return pa.table({"b": pa.array(nz, type=pa.int64()),
                          "cnt": pa.array(cnt[nz], type=pa.int64())})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True).groupby("b").sum("cnt")
+    from .smallagg import grouped_sum
+
+    agg = grouped_sum(ds.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["b"], ["cnt"])
     out = np.zeros(buckets, dtype=np.int64)
     for r in agg.take_all():
-        out[int(r["b"])] = int(r["sum(cnt)"])
+        out[int(r["b"])] = int(r["cnt"])
     return out
 
 
@@ -151,14 +154,16 @@ def _fused_counts(ds: ray.data.Dataset, text_col: str, buckets: int,
                          "raw": pa.array(raw[nz], type=pa.int64()),
                          "tgt": pa.array(tgt[nz], type=pa.int64())})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True).groupby("b").sum(
-        ["raw", "tgt"])
+    from .smallagg import grouped_sum
+
+    agg = grouped_sum(ds.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["b"], ["raw", "tgt"])
     raw = np.zeros(buckets, dtype=np.int64)
     tgt = np.zeros(buckets, dtype=np.int64)
     for r in agg.take_all():
-        raw[int(r["b"])] = int(r["sum(raw)"])
-        tgt[int(r["b"])] = int(r["sum(tgt)"])
+        raw[int(r["b"])] = int(r["raw"])
+        tgt[int(r["b"])] = int(r["tgt"])
     return tgt, raw
 
 
@@ -186,5 +191,7 @@ def dsir_select(raw_ds: ray.data.Dataset,
         raw = hashed_bigram_counts(raw_ds, text_col, buckets, hash)
     lw = dsir_logweights(tgt, raw, a)
     scored = score_dsir(raw_ds, lw, text_col, id_col, hash)
-    return scored.sort(["dsir_logw", id_col],
-                       descending=[True, False]).limit(n)
+    from .smallagg import topk_table
+
+    return topk_table(scored, [("dsir_logw", "descending"),
+                               (id_col, "ascending")], n)

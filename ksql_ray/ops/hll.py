@@ -103,12 +103,11 @@ def hll_registers(ds: ray.data.Dataset, key_col: str, p: int = 8,
         return pa.table({"register": pa.array(nz, type=pa.int64()),
                          "rho": pa.array(best[nz], type=pa.int64())})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True).groupby("register").max(
-        "rho")
-    return agg.map_batches(
-        lambda b: b.rename_columns(["register", "rho"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+    from .smallagg import grouped_max
+
+    return grouped_max(ds.map_batches(partial, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       ["register"], ["rho"])
 
 
 def hll_estimate(registers: pa.Table, p: int = 8) -> float:

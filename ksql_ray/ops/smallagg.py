@@ -15,12 +15,13 @@ distributed groupby runs unchanged, so semantics never depend on size.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
 from .cube import _SMALL_PARTIAL_BYTES
 
-__all__ = ["grouped_sum", "grouped_max", "distinct_small"]
+__all__ = ["grouped_sum", "grouped_max", "distinct_small", "topk_table"]
 
 
 def _with_schema(blocks: tuple[pa.Table, ...],
@@ -150,3 +151,32 @@ def distinct_small(parts: ray.data.Dataset,
 
     return _partition_by(m, cols).map_groups(
         _pin(merge), batch_format="pyarrow")
+
+
+@ray.remote
+def _topk_merge_task(sort_keys, k: int, *blocks: pa.Table) -> pa.Table:
+    bs = [b for b in blocks if b.num_columns]
+    if not bs:
+        return pa.table({})
+    t = pa.concat_tables(bs, promote_options="default")
+    idx = pc.sort_indices(t, sort_keys=sort_keys)
+    return t.take(idx.slice(0, k))
+
+
+def topk_table(ds: ray.data.Dataset, sort_keys, k: int) -> ray.data.Dataset:
+    """Global top-k rows under ``sort_keys`` (list of (col, order)):
+    per-block local top-k, then ONE merge task over the B·k survivors
+    — exact (every global top-k row is in its own block's top-k) and
+    replaces Ray's global sort + limit (a full range shuffle). Merge
+    memory is O(blocks x k); for k beyond ~10^5 prefer ds.sort()."""
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        idx = pc.sort_indices(b, sort_keys=sort_keys)
+        return b.take(idx.slice(0, k))
+
+    m = ds.map_batches(local, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    ref = _topk_merge_task.remote(list(sort_keys), k, *m.to_arrow_refs())
+    return ray.data.from_arrow_refs([ref])
