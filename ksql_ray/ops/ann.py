@@ -85,19 +85,40 @@ class BruteForceTopK:
         return _topk_partial_table(self.qids, ids, sims, self.k)
 
 
-def _merge_topk_fn(k: int):
-    def merge(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        cos = group.column("cosine").to_numpy(zero_copy_only=False)
-        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((vid, -cos))[:k]
-        return pa.table({
-            "query_id": pa.array([qid] * len(order), type=pa.int64()),
-            "vec_id": pa.array(vid[order], type=pa.int64()),
-            "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
-        })
+@ray.remote
+def _merge_topk_task(k: int, *blocks: pa.Table) -> pa.Table:
+    """All queries' per-batch top-k partials (tiny: batches x queries
+    x k rows) merged in ONE task: segment-sorted (query asc, cosine
+    desc, vec_id asc), per-segment rank, rank <= k kept. Replaces a
+    Ray sort-groupby shuffle over kilobytes."""
+    bs = [b for b in blocks if b.num_columns]
+    if not bs:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "vec_id": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64())})
+    t = pa.concat_tables(bs, promote_options="default")
+    qid = t.column("query_id").to_numpy(zero_copy_only=False)
+    cos = t.column("cosine").to_numpy(zero_copy_only=False)
+    vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, -cos, qid))
+    qs = qid[order]
+    seg_start = np.zeros(len(qs), dtype=np.int64)
+    new = np.flatnonzero(np.diff(qs)) + 1
+    seg_start[new] = new
+    np.maximum.accumulate(seg_start, out=seg_start)
+    rank = np.arange(len(qs), dtype=np.int64) - seg_start + 1
+    keep = rank <= k
+    return pa.table({
+        "query_id": pa.array(qs[keep], type=pa.int64()),
+        "vec_id": pa.array(vid[order][keep], type=pa.int64()),
+        "rank": pa.array(rank[keep], type=pa.int64()),
+    })
 
-    return merge
+
+def _merge_topk(partials: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    m = partials.materialize()
+    ref = _merge_topk_task.remote(k, *m.to_arrow_refs())
+    return ray.data.from_arrow_refs([ref])
 
 
 def brute_force_topk(
@@ -121,9 +142,7 @@ def brute_force_topk(
         concurrency=(1, 8),
         max_restarts=0,  # ctor args in object store + restarts -> ray#53727 warning
     )
-    return partials.groupby("query_id").map_groups(
-        _merge_topk_fn(k), batch_format="pyarrow"
-    )
+    return _merge_topk(partials, k)
 
 
 class IVFTopK:
@@ -242,6 +261,4 @@ def ivf_topk(
         concurrency=(1, 8),
         max_restarts=0,  # ctor args in object store + restarts -> ray#53727 warning
     )
-    return partials.groupby("query_id").map_groups(
-        _merge_topk_fn(k), batch_format="pyarrow"
-    )
+    return _merge_topk(partials, k)
