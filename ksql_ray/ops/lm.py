@@ -142,10 +142,9 @@ def train_bigram_lm(ds: ray.data.Dataset, text_col: str = "text",
         lambda b: _partial_trans_counts(b, text_col),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    agg = parts.groupby(["w1", "w2"]).sum("cnt").map_batches(
-        lambda b: b.rename_columns(["w1", "w2", "cnt"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
+    from .smallagg import grouped_sum
+
+    agg = grouped_sum(parts, ["w1", "w2"], ["cnt"])
     tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
     if tables:
         merged = pa.concat_tables(tables, promote_options="permissive")

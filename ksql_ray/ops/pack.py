@@ -111,15 +111,28 @@ def pack_shards(docs: ray.data.Dataset, budget: int,
 
     @_pin
     def local_pack(group: pa.Table) -> pa.Table:
+        # an exchange partition may hold SEVERAL ranges (hash of __r
+        # mod P): sort by (__r, id) and cumsum per __r segment
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        rv = group.column("__r").to_numpy(zero_copy_only=False)
         ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         n = group.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
-        r = int(group.column("__r")[0].as_py())
-        order = np.argsort(ids, kind="stable")
-        excl = offsets[r] + np.concatenate(([0], np.cumsum(n[order])[:-1]))
+        order = np.lexsort((ids, rv))
+        rs, ns = rv[order], n[order]
+        run = np.concatenate(([0], np.cumsum(ns)[:-1]))
+        seg = np.zeros(len(rs), dtype=np.int64)
+        newseg = np.flatnonzero(np.diff(rs)) + 1
+        seg[newseg] = newseg
+        np.maximum.accumulate(seg, out=seg)
+        excl = offsets[rs] + (run - run[seg])
         shard = excl // budget
-        return pa.table({id_col: ids[order], "n_tokens": n[order],
+        return pa.table({id_col: ids[order], "n_tokens": ns,
                          "shard_id": shard.astype(np.int64)})
 
-    return proj.map_batches(tag_range, batch_format="pyarrow",
-                            zero_copy_batch=True).groupby("__r").map_groups(
-        local_pack, batch_format="pyarrow")
+    from .dedup import _partition_by
+
+    return _partition_by(
+        proj.map_batches(tag_range, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["__r"]).map_groups(local_pack, batch_format="pyarrow")

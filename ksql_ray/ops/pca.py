@@ -65,20 +65,22 @@ def _moments(ds: ray.data.Dataset, col: str, dim: int):
                           type=pa.float64()),
         })
 
-    agg = ds.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True).groupby(["i", "j"]).sum(
-        ["xx", "sx", "n"])
+    from .smallagg import grouped_sum
+
+    agg = grouped_sum(ds.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["i", "j"], ["xx", "sx", "n"])
     rows = agg.take_all()          # exactly d*d rows, independent of data
     xtx = np.zeros((dim, dim))
     s = np.zeros(dim)
     n = 0.0
     for r in rows:
         i, j = int(r["i"]), int(r["j"])
-        xtx[i, j] = r["sum(xx)"]
+        xtx[i, j] = r["xx"]
         if i == j:
-            s[i] = r["sum(sx)"]
+            s[i] = r["sx"]
         if i == 0 and j == 0:
-            n = r["sum(n)"]
+            n = r["n"]
     if n == 0:
         raise ValueError("empty dataset")
     return int(n), s / n, xtx / n

@@ -44,6 +44,42 @@ import ray.data
 from .cluster import _assign, _round_half_away, _seed_centroids, _task_groups
 from .vectors import pack_u64_rows, unpack_u64, vecs_np
 
+
+@ray.remote
+def _merge_adc_topk_task(k: int, *blocks: pa.Table) -> pa.Table:
+    """All queries' ADC-distance partials (tiny) merged in ONE task:
+    segment-sorted (query asc, dist asc, vec_id asc), per-segment rank
+    <= k kept — replaces a Ray sort-groupby shuffle over kilobytes."""
+    bs = [b for b in blocks if b.num_columns]
+    if not bs:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "vec_id": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64())})
+    t = pa.concat_tables(bs, promote_options="default")
+    qid = t.column("query_id").to_numpy(zero_copy_only=False)
+    d = t.column("adc_dist").to_numpy(zero_copy_only=False)
+    vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, d, qid))
+    qs = qid[order]
+    seg = np.zeros(len(qs), dtype=np.int64)
+    newseg = np.flatnonzero(np.diff(qs)) + 1
+    seg[newseg] = newseg
+    np.maximum.accumulate(seg, out=seg)
+    rank = np.arange(len(qs), dtype=np.int64) - seg + 1
+    keep = rank <= k
+    return pa.table({
+        "query_id": pa.array(qs[keep], type=pa.int64()),
+        "vec_id": pa.array(vid[order][keep], type=pa.int64()),
+        "rank": pa.array(rank[keep], type=pa.int64()),
+    })
+
+
+def _merge_adc_topk(partials: "ray.data.Dataset", k: int):
+    m = partials.materialize()
+    ref = _merge_adc_topk_task.remote(k, *m.to_arrow_refs())
+    return ray.data.from_arrow_refs([ref])
+
+
 __all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_build", "ivfpq_topk"]
 
 
@@ -226,8 +262,7 @@ def pq_topk(codes_ds: ray.data.Dataset, cents: np.ndarray,
             "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
         })
 
-    return partials.groupby("query_id").map_groups(
-        merge, batch_format="pyarrow")
+    return _merge_adc_topk(partials, k)
 
 
 # ---------------------------------------------------------------------------
@@ -432,5 +467,4 @@ def ivfpq_topk(codes_ds: ray.data.Dataset, coarse: np.ndarray,
             "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
         })
 
-    return partials.groupby("query_id").map_groups(
-        merge, batch_format="pyarrow")
+    return _merge_adc_topk(partials, k)
