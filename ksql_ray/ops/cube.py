@@ -175,9 +175,9 @@ def cube_agg(ds: ray.data.Dataset, keys: list[str],
 
     key_types = {f.name: f.type for f in ds.schema().base_schema
                  if f.name in keys}
-    base = parts.groupby(keys).sum(["__sum", "__cnt"]).map_batches(
-        lambda b: b.rename_columns(keys + ["__sum", "__cnt"]),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    from .smallagg import grouped_sum
+
+    base = grouped_sum(parts, keys, ["__sum", "__cnt"]).materialize()
 
     def _widen_sub(sub: tuple[str, ...]):
         def fix(b: pa.Table) -> pa.Table:
@@ -198,11 +198,8 @@ def cube_agg(ds: ray.data.Dataset, keys: list[str],
             if r == len(keys):
                 agg = base
             else:
-                agg = base.groupby(list(sub)).sum(
-                    ["__sum", "__cnt"]).map_batches(
-                    lambda b, _s=sub: b.rename_columns(
-                        list(_s) + ["__sum", "__cnt"]),
-                    batch_format="pyarrow", zero_copy_batch=True)
+                agg = grouped_sum(base, list(sub),
+                                  ["__sum", "__cnt"])
             levels.append(agg.map_batches(_widen_sub(sub),
                                           batch_format="pyarrow"))
     tot = base.sum(["__sum", "__cnt"])
@@ -242,10 +239,9 @@ def rollup_agg(ds: ray.data.Dataset, keys: list[str],
         return ray.data.from_arrow_refs([ref])
 
     def _merge(level_keys: list[str], src: ray.data.Dataset):
-        agg = src.groupby(level_keys).sum(["__sum", "__cnt"])
-        return agg.map_batches(
-            lambda b: b.rename_columns(level_keys + ["__sum", "__cnt"]),
-            batch_format="pyarrow", zero_copy_batch=True)
+        from .smallagg import grouped_sum
+
+        return grouped_sum(src, level_keys, ["__sum", "__cnt"])
 
     key_types = {f.name: f.type for f in ds.schema().base_schema
                  if f.name in keys}
