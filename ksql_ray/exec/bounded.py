@@ -537,9 +537,15 @@ class Engine:
                 )
             # fall through on empty input: the groupby path yields the
             # correct empty dataset
-        merged = mat.groupby("__part").map_groups(
-            _pinned(merge_fn), batch_format="pyarrow"
-        )
+        from .exchange import exchange_map_groups, use_direct_exchange
+
+        if use_direct_exchange():
+            merged = exchange_map_groups(mat, self.num_partitions,
+                                         _pinned(merge_fn))
+        else:
+            merged = mat.groupby("__part").map_groups(
+                _pinned(merge_fn), batch_format="pyarrow"
+            )
         return merged.map_batches(
             _pinned(finalize_fn), batch_format="pyarrow", zero_copy_batch=True
         )

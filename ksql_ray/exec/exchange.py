@@ -76,6 +76,10 @@ def _split_block(num_partitions: int, *tbls: pa.Table):
     order = np.argsort(ids, kind="stable")
     s = tbl.take(pa.array(order))
     bounds = np.searchsorted(ids[order], np.arange(num_partitions + 1))
+    if bounds[num_partitions] != len(ids) or (len(ids) and ids[order[0]] < 0):
+        raise ValueError(
+            f"__part ids outside [0, {num_partitions}) — caller's "
+            "partition count disagrees with the tagging stage")
     out = [s.slice(bounds[p], bounds[p + 1] - bounds[p])
            for p in range(num_partitions)]
     counts = np.diff(bounds).astype(np.int64)

@@ -291,6 +291,10 @@ def copartition_join(
         order = list(dict.fromkeys(lnames + rnames))
         return out.select([c for c in order if c in out.column_names])
 
+    from .exchange import exchange_map_groups, use_direct_exchange
+
+    if use_direct_exchange():
+        return exchange_map_groups(tagged, num_partitions, fix)
     return tagged.groupby("__part").map_groups(fix, batch_format="pyarrow")
 
 
