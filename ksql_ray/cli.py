@@ -64,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="checkpoint state stores every K epochs")
     s.add_argument("--resume", action="store_true",
                    help="resume from the newest checkpoint in --checkpoint-dir")
+    s.add_argument("--reshard-from", default=None, metavar="OLD_CKPT",
+                   help="re-shard OLD_CKPT's checkpoint (taken at any "
+                        "partition count) into --checkpoint-dir at "
+                        "--partitions, then resume from it: the N->4N "
+                        "cluster-rescale path")
     s.add_argument("--max-inflight", type=int, default=2,
                    help="pipelined epochs in flight")
     s.add_argument("--salt", action="store_true",
@@ -1017,6 +1022,9 @@ def _run_stream(args) -> int:
         resume=args.resume, pre_transform=pre_transform,
         salt_by_window=args.salt,
     )
+    if args.reshard_from:
+        info = job.reshard_from(args.reshard_from)
+        print(json.dumps({"resharded": info}), flush=True)
     t0 = _time.perf_counter()
     job.run(files, files_per_epoch=args.files_per_epoch,
             max_inflight=args.max_inflight)

@@ -126,7 +126,12 @@ def _shuffled(ds: ray.data.Dataset, key: str, num_partitions: int):
         part = hash_partition_ids(batch, [key], num_partitions)
         return batch.append_column("__part", pa.array(part, type=pa.int64()))
 
-    return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True).groupby("__part")
+    from .dedup import _Partitioned
+
+    return _Partitioned(
+        ds.map_batches(add_part, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        num_partitions)
 
 
 def _mirror(batch: pa.Table) -> pa.Table:

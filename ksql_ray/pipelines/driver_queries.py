@@ -2656,6 +2656,65 @@ REGISTRY["streaming_recovery"] = RawQ(
 )
 
 
+def _streaming_rescale(sf_dir: str) -> pa.Table:
+    """Cluster rescale under the oracle gate (north_rule's two-cluster-
+    size clause): half the epochs run at 4 partitions with checkpoints,
+    the checkpoint is RESHARDED to 8 partitions
+    (StreamingJob.reshard_from — keyed state re-bucketed by the same
+    routing hash), a fresh 8-partition job resumes and replays the full
+    stream, and the committed EMIT FINAL output must still equal the
+    bounded SQL aggregate."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.driver import StreamingJob
+
+    def b():
+        return (Select(F("user_id"), Count(F("event_id")).As("cnt"),
+                       Sum(F("value")).As("sv"))
+                .From(Schema("events")).GroupBy(F("user_id"))
+                .Windowed(Tumbling(1, HOURS)).EmitFinal())
+
+    cat = testdata_catalog(sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    n = tbl.num_rows
+    batches = [tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+               for i in range(8)]
+    base = tempfile.mkdtemp(prefix="ksql_ray_stream_rescale_")
+    out, ck4, ck8 = f"{base}/out", f"{base}/ck4", f"{base}/ck8"
+    try:
+        job = StreamingJob(b(), cat, out, num_partitions=4,
+                           lateness_us=1 << 60,
+                           checkpoint_dir=ck4, checkpoint_every=1)
+        for batch in batches[:4]:
+            job.process_epoch([batch])
+        # "cluster grows" here: reshard 4 -> 8 and resume at 8
+        job2 = StreamingJob(b(), cat, out, num_partitions=8,
+                            lateness_us=1 << 60,
+                            checkpoint_dir=ck8, checkpoint_every=2)
+        info = job2.reshard_from(ck4)
+        assert info["old_partitions"] == 4 and info["new_partitions"] == 8
+        for batch in batches:  # full replay; committed epochs skip
+            job2.process_epoch([batch])
+        job2.finish()
+        return _round_cols(job2.result(), {"sv": 4})
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+REGISTRY["streaming_rescale"] = RawQ(
+    _streaming_rescale,
+    f"SELECT make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US}) AS window_start, "
+    f"make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US} + {HOUR_US}) AS window_end, "
+    "user_id, count(event_id) AS cnt, ROUND(sum(value), 4) AS sv "
+    "FROM events GROUP BY 1, 2, 3",
+)
+
+
 def _join_cross_large(sf_dir: str) -> pa.Table:
     """Large x large CROSS via the block-nested-loop opt-in: force the
     BNL path with broadcast_max_bytes=0 (no side may broadcast) and

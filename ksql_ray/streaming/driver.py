@@ -685,6 +685,7 @@ class StreamingJob:
                 "lateness_us": lateness_us,
                 "emit": self.emit,
             }
+        self.spec = spec
         self.actors = [
             StateActor.remote(p, spec, out_dir, self.finalizer)
             for p in range(num_partitions)
@@ -738,6 +739,157 @@ class StreamingJob:
         self.epoch = -1
         self._resume_cursor = epoch
 
+    def reshard_from(self, old_dir: str) -> dict:
+        """Re-shard a checkpoint taken at a DIFFERENT partition count
+        into THIS job's ``checkpoint_dir`` / ``num_partitions`` — the
+        N -> 4N cluster-rescale path: take a checkpoint on the small
+        cluster, reshard, resume on the big one (``resume=True`` on a
+        job constructed with the new partition count).
+
+        Every keyed state entry lives in exactly ONE old partition
+        (routing is a deterministic key hash), so resharding is pure
+        re-bucketing — no merge logic: vectorized-state rows re-route
+        via the same ``hash_partition_ids`` the prep tasks use; session
+        dict entries re-route by their key tuple cast to the plan's key
+        types (type width changes the hash — the cast is load-bearing).
+        Watermarks take the min over old partitions (identical in
+        practice: every actor folds the same epoch watermark);
+        src_max folds elementwise-min (conservative: a lower floor
+        never late-drops rows the old run kept). rows_in/out and
+        late_drop counters ride on partition 0 so job-level sums are
+        preserved. Returns {epoch, old_partitions, new_partitions}.
+
+        Reshard an IN-FLIGHT job's checkpoint (crashed / paused mid-
+        stream), not a finished one: ``finish()`` flushes under the
+        final epoch's part ids, and a resharded resume that finishes
+        AGAIN re-flushes keys now routed to part ids whose flush file
+        doesn't exist yet — double emission (same reason resuming any
+        completed job is undefined; with unchanged P the idempotent
+        sink happens to mask it)."""
+        import glob as _glob
+
+        from ..exec.groupby import hash_partition_ids
+
+        if not self.checkpoint_dir:
+            raise PlanError("reshard_from requires checkpoint_dir on "
+                            "the new job")
+        with open(os.path.join(old_dir, "checkpoint.json")) as f:
+            doc = json.load(f)
+        epoch = doc["epoch"]
+        paths = sorted(_glob.glob(os.path.join(
+            old_dir, f"state-*-epoch-{epoch:06d}.pkl")))
+        if not paths:
+            raise PlanError(f"no state snapshots for epoch {epoch} "
+                            f"in {old_dir}")
+        old_p = doc.get("num_partitions", len(paths))
+        new_p = self.num_partitions
+        plan = self.plan
+        part_cols = (
+            plan.key_names
+            if (plan.include_ts and plan.key_names
+                and not plan.salt_by_window)
+            else plan.all_keys
+        )
+        if self.spec.get("session"):
+            key_types = list(self.spec["kwargs"]["key_types"])
+            nk = len(plan.key_names)
+
+            def route_keys(keys: list[tuple]) -> np.ndarray:
+                cols = {
+                    n: pa.array([k[i] for k in keys], type=key_types[i])
+                    for i, n in enumerate(plan.key_names)
+                }
+                return hash_partition_ids(pa.table(cols),
+                                          plan.key_names, new_p)
+
+        vec_slices: list[list[pa.Table]] = [[] for _ in range(new_p)]
+        d_state: list[dict] = [dict() for _ in range(new_p)]
+        d_sessions: list[dict] = [dict() for _ in range(new_p)]
+        wms, src_max = [], {}
+        rows_in = rows_out = late = 0
+        session_mode = None
+        for path in paths:
+            with open(path, "rb") as f:
+                blob = f.read()
+            outer = pickle.loads(blob)
+            if isinstance(outer, dict) and outer.get("v") == 2:
+                state_blob, sm = outer["state"], outer.get("src_max", {})
+            else:
+                state_blob, sm = blob, {}
+            for s, m in sm.items():
+                cur = src_max.get(s)
+                src_max[s] = m if cur is None else min(cur, m)
+            d = pickle.loads(state_blob)
+            wms.append(d["watermark"])
+            rows_in += d["rows_in"]
+            rows_out += d["rows_out"]
+            late += d["late_drops"]
+            if "vec_state" in d:
+                session_mode = False
+                st = d["vec_state"]
+                if st is not None and st.num_rows:
+                    ids = hash_partition_ids(st, part_cols, new_p)
+                    order = np.argsort(ids, kind="stable")
+                    s = st.take(pa.array(order))
+                    b = np.searchsorted(ids[order], np.arange(new_p + 1))
+                    for q in range(new_p):
+                        if b[q + 1] > b[q]:
+                            vec_slices[q].append(
+                                s.slice(b[q], b[q + 1] - b[q]))
+            else:
+                session_mode = True
+                skeys = list(d["state"].keys())
+                if skeys:
+                    for k, q in zip(skeys, route_keys(
+                            [k[:nk] for k in skeys])):
+                        d_state[q][k] = d["state"][k]
+                wkeys = list(d["sessions"].keys())
+                if wkeys:
+                    for k, q in zip(wkeys, route_keys(wkeys)):
+                        d_sessions[q][k] = d["sessions"][k]
+        wm = min(wms)
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        for q in range(new_p):
+            if session_mode:
+                inner = {
+                    "state": d_state[q], "sessions": d_sessions[q],
+                    "watermark": wm,
+                    "rows_in": rows_in if q == 0 else 0,
+                    "rows_out": rows_out if q == 0 else 0,
+                    "late_drops": late if q == 0 else 0,
+                }
+            else:
+                vt = (pa.concat_tables(vec_slices[q],
+                                       promote_options="permissive")
+                      if vec_slices[q] else None)
+                inner = {
+                    "vec_state": vt, "watermark": wm,
+                    "rows_in": rows_in if q == 0 else 0,
+                    "rows_out": rows_out if q == 0 else 0,
+                    "late_drops": late if q == 0 else 0,
+                }
+            final = os.path.join(
+                self.checkpoint_dir,
+                f"state-{q:04d}-epoch-{epoch:06d}.pkl")
+            tmp = final + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(pickle.dumps({
+                    "v": 2, "state": pickle.dumps(inner),
+                    "src_max": dict(src_max)}))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, final)
+        tmp = self.ckpt_manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch, "num_partitions": new_p}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.ckpt_manifest)
+        # adopt the resharded checkpoint exactly like resume=True
+        self._restore()
+        return {"epoch": epoch, "old_partitions": old_p,
+                "new_partitions": new_p}
+
     def _maybe_checkpoint(self) -> None:
         if not self.checkpoint_dir or not self.checkpoint_every:
             return
@@ -746,7 +898,8 @@ class StreamingJob:
         ray.get([a.checkpoint.remote(self.epoch, self.checkpoint_dir) for a in self.actors])
         tmp = self.ckpt_manifest + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"epoch": self.epoch}, f)
+            json.dump({"epoch": self.epoch,
+                       "num_partitions": self.num_partitions}, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.ckpt_manifest)
@@ -853,7 +1006,8 @@ class StreamingJob:
             ray.get(ckpt_refs)
             tmp = self.ckpt_manifest + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"epoch": epoch}, f)
+                json.dump({"epoch": epoch,
+                           "num_partitions": self.num_partitions}, f)
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, self.ckpt_manifest)

@@ -80,6 +80,21 @@ def test_empty_input_dataset(ray_session):
     assert out.count() == 0
 
 
+def test_out_of_range_part_id_raises(ray_session):
+    # a tagging stage that disagrees with the caller's partition count
+    # must fail loudly, never silently drop rows
+    import pytest
+
+    from ksql_ray.exec.exchange import exchange_map_groups
+
+    ds = ray.data.from_items([{"k": i} for i in range(10)]).map_batches(
+        lambda b: b.append_column(
+            "__part", pa.array([7] * b.num_rows, type=pa.int64())),
+        batch_format="pyarrow")
+    with pytest.raises(Exception, match="__part ids outside"):
+        exchange_map_groups(ds, 4, lambda g: g).materialize()
+
+
 def test_chained_exchanges(ray_session):
     ds = ray.data.from_items(
         [{"k": f"k{i % 7}", "v": i % 3} for i in range(999)])
