@@ -91,6 +91,9 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--checkpoint-dir", default=None)
     dd.add_argument("--checkpoint-every", type=int, default=0)
     dd.add_argument("--resume", action="store_true")
+    dd.add_argument("--reshard-from", default=None, metavar="OLD_CKPT",
+                    help="re-shard OLD_CKPT into --checkpoint-dir at "
+                         "--partitions, then resume (cluster rescale)")
 
     nd = sub.add_parser(
         "neardup",
@@ -733,6 +736,9 @@ def _run_dedup(args) -> int:
         args.sink, text_col=args.text_col, method=args.method, columns=cols,
         num_partitions=args.partitions, checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every, resume=args.resume)
+    if args.reshard_from:
+        print(json.dumps({"resharded": job.reshard_from(
+            args.reshard_from)}), flush=True)
     job.run(files, files_per_epoch=args.files_per_epoch)
     m = job.finish()
     print(json.dumps({

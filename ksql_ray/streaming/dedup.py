@@ -286,6 +286,70 @@ class StreamingDedupJob:
             # cursor only advance the deterministic file counter (their
             # keys are restored; their sink files already exist)
 
+    def reshard_from(self, old_dir: str) -> dict:
+        """Re-shard a dedup checkpoint taken at a DIFFERENT partition
+        count into this job's ``checkpoint_dir`` / ``P`` (the N -> 4N
+        cluster-rescale path, same contract as
+        ``StreamingJob.reshard_from``). Every seen key lives in exactly
+        one old partition (routing is ``fp0 % P``), so resharding is
+        pure re-bucketing: all increment files <= the cursor epoch are
+        read, keys re-routed by ``fp0 % new_P``, and ONE consolidated
+        increment per new partition is written at the cursor epoch
+        (restore reads every increment <= cursor, so a single file
+        satisfies it). Reshard an in-flight job's checkpoint, not a
+        finished one. Adopts the new checkpoint immediately (no
+        ``resume=True`` needed). Returns {epoch, old_partitions,
+        new_partitions, keys}."""
+        import glob as _glob
+        import json
+        import os
+
+        if not self.checkpoint_dir:
+            raise ValueError("reshard_from requires checkpoint_dir on "
+                             "the new job")
+        with open(os.path.join(old_dir, "checkpoint.json")) as f:
+            doc = json.load(f)
+        epoch = doc["epoch"]
+        paths = [p for p in sorted(_glob.glob(
+            os.path.join(old_dir, "keys-*-epoch-*.parquet")))
+            if int(p.rsplit("-epoch-", 1)[1].split(".")[0]) <= epoch]
+        old_parts = {int(os.path.basename(p).split("-")[1])
+                     for p in paths}
+        tbls = [pq.read_table(p) for p in paths]
+        if tbls:
+            t = pa.concat_tables(tbls, promote_options="default")
+            a = t.column("fp0").to_numpy(zero_copy_only=False).view(
+                np.uint64)
+            b = t.column("fp1").to_numpy(zero_copy_only=False).view(
+                np.uint64)
+        else:
+            a = b = np.empty(0, np.uint64)
+        ids = (a % np.uint64(self.P)).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        bounds = np.searchsorted(ids[order], np.arange(self.P + 1))
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        for q in range(self.P):
+            sel = order[bounds[q]:bounds[q + 1]]
+            final = os.path.join(
+                self.checkpoint_dir,
+                f"keys-{q:04d}-epoch-{epoch:06d}.parquet")
+            tmp = final + ".tmp"
+            pq.write_table(pa.table({
+                "fp0": pa.array(a[sel].view(np.int64)),
+                "fp1": pa.array(b[sel].view(np.int64))}), tmp)
+            os.replace(tmp, final)
+        cursor = os.path.join(self.checkpoint_dir, "checkpoint.json")
+        tmp = cursor + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch, "num_partitions": self.P}, f)
+        os.replace(tmp, cursor)
+        self._resume_cursor = epoch
+        self._restored_keys = sum(ray.get(
+            [ac.restore.remote(self.checkpoint_dir, epoch)
+             for ac in self.actors]))
+        return {"epoch": epoch, "old_partitions": len(old_parts),
+                "new_partitions": self.P, "keys": int(len(a))}
+
     def _submit_epoch(self, files_or_tables: Sequence):
         """Submit one epoch without waiting. Per-actor task-queue order
         serializes epochs inside each state actor, so several epochs can
