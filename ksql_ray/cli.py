@@ -117,6 +117,9 @@ def main(argv: list[str] | None = None) -> int:
     nd.add_argument("--checkpoint-dir", default=None)
     nd.add_argument("--checkpoint-every", type=int, default=0)
     nd.add_argument("--resume", action="store_true")
+    nd.add_argument("--reshard-from", default=None, metavar="OLD_CKPT",
+                    help="re-shard OLD_CKPT into --checkpoint-dir at "
+                         "--partitions, then resume (cluster rescale)")
 
     ed = sub.add_parser(
         "embdedup",
@@ -141,6 +144,9 @@ def main(argv: list[str] | None = None) -> int:
     ed.add_argument("--checkpoint-dir", default=None)
     ed.add_argument("--checkpoint-every", type=int, default=0)
     ed.add_argument("--resume", action="store_true")
+    ed.add_argument("--reshard-from", default=None, metavar="OLD_CKPT",
+                    help="re-shard OLD_CKPT into --checkpoint-dir at "
+                         "--partitions, then resume (cluster rescale)")
 
     sj = sub.add_parser(
         "simjoin",
@@ -779,6 +785,9 @@ def _run_embdedup(args) -> int:
         threshold=args.threshold, star_cap=args.star_cap,
         num_partitions=args.partitions, checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every, resume=args.resume)
+    if args.reshard_from:
+        print(json.dumps({"resharded": job.reshard_from(
+            args.reshard_from)}), flush=True)
     job.run(files, files_per_epoch=args.files_per_epoch)
     m = job.finish()
     print(json.dumps({
@@ -879,6 +888,9 @@ def _run_neardup(args) -> int:
         star_cap=args.star_cap, num_partitions=args.partitions,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every, resume=args.resume)
+    if args.reshard_from:
+        print(json.dumps({"resharded": job.reshard_from(
+            args.reshard_from)}), flush=True)
     job.run(files, files_per_epoch=args.files_per_epoch)
     m = job.finish()
     print(json.dumps({

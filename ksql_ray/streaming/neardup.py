@@ -473,6 +473,64 @@ class StreamingNearDupJob:
             # cursor only advance the deterministic file counter (their
             # index records are restored; sink files already committed)
 
+    def reshard_from(self, old_dir: str) -> dict:
+        """Re-shard a near-dup (or embedding-dedup — inherited)
+        checkpoint taken at a DIFFERENT partition count into this
+        job's ``checkpoint_dir`` / ``P`` (the N -> 4N cluster-rescale
+        path; same contract as ``StreamingDedupJob.reshard_from``).
+        Records re-route by the same ``key % P`` the prep tasks use.
+        Old increments are concatenated per old partition in epoch
+        order, then re-bucketed with a STABLE sort — a given key's
+        records all lived in one old partition, so within-key arrival
+        order (which fixes the deterministic star caps) is preserved.
+        Reshard an in-flight job's checkpoint, not a finished one."""
+        import glob as _glob
+        import json
+        import os
+
+        if not self.checkpoint_dir:
+            raise ValueError("reshard_from requires checkpoint_dir on "
+                             "the new job")
+        with open(os.path.join(old_dir, "checkpoint.json")) as f:
+            doc = json.load(f)
+        epoch = doc["epoch"]
+        paths = [p for p in sorted(_glob.glob(
+            os.path.join(old_dir, "runs-*-epoch-*.parquet")))
+            if int(p.rsplit("-epoch-", 1)[1].split(".")[0]) <= epoch]
+        old_parts = {int(os.path.basename(p).split("-")[1])
+                     for p in paths}
+        tbls = [pq.read_table(p) for p in paths]  # sorted: (part, epoch)
+        t = (pa.concat_tables(tbls, promote_options="default")
+             if tbls else pa.table({
+                 "key": pa.array([], pa.int64()),
+                 "sig": pa.array([], pa.large_binary())}))
+        k = t.column("key").to_numpy(zero_copy_only=False).view(
+            np.uint64) if t.num_rows else np.empty(0, np.uint64)
+        ids = (k % np.uint64(self.P)).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        s = t.take(pa.array(order)) if t.num_rows else t
+        bounds = np.searchsorted(ids[order], np.arange(self.P + 1))
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        for q in range(self.P):
+            final = os.path.join(
+                self.checkpoint_dir,
+                f"runs-{q:04d}-epoch-{epoch:06d}.parquet")
+            tmp = final + ".tmp"
+            pq.write_table(s.slice(bounds[q], bounds[q + 1] - bounds[q]),
+                           tmp)
+            os.replace(tmp, final)
+        cursor = os.path.join(self.checkpoint_dir, "checkpoint.json")
+        tmp = cursor + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch, "num_partitions": self.P}, f)
+        os.replace(tmp, cursor)
+        self._resume_cursor = epoch
+        self._restored_records = sum(ray.get(
+            [a.restore.remote(self.checkpoint_dir, epoch)
+             for a in self.actors]))
+        return {"epoch": epoch, "old_partitions": len(old_parts),
+                "new_partitions": self.P, "records": int(len(k))}
+
     def _prep_one(self, f):
         return _neardup_prep.options(num_returns=self.P + 1).remote(
             [f], self.columns, self.text_col, self.ngram, self.L,
