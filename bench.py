@@ -998,6 +998,11 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["bpe_learn_200k"] = min2(_bpe_learn)
     out["bpe_encode_200k"] = min2(
         lambda: bpe_token_counts(turns4(), list(_bpe_merges)).count())
+
+    from ksql_ray.ops.diversity import distinct_ngram_ratios
+
+    out["distinct_ngrams_200k"] = min2(
+        lambda: distinct_ngram_ratios(turns4(), ns=(1, 2)).num_rows)
     out["bottom_k_sample_200k"] = min2(lambda: bottom_k_sample(
         turns3(), "turn_idx", 10_000, method="fast").count())
     out["mixture_sample_200k"] = min2(lambda: mixture_sample(

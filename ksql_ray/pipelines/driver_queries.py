@@ -5631,6 +5631,34 @@ _LINES_PLANT_SQL = (
 )
 
 
+def _op_distinct_ngrams(sf_dir: str) -> pa.Table:
+    """Corpus distinct-n diversity (Li et al. 2016) for n in {1, 2}:
+    exact distinct / total gram counts via one gram-disjoint exchange
+    per n."""
+    from ..ops.diversity import distinct_ngram_ratios
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    return distinct_ngram_ratios(ds, ns=(1, 2))
+
+
+REGISTRY["op_distinct_ngrams"] = RawQ(
+    _op_distinct_ngrams,
+    r"WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+    r"trim(lower(text)), '\s+')) AS t, generate_subscripts("
+    r"regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos "
+    "FROM documents), "
+    "bi AS (SELECT a.t || ' ' || b.t AS g FROM toks a JOIN toks b "
+    "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+    "u AS (SELECT 1 AS n, COUNT(DISTINCT t)::BIGINT AS distinct_grams, "
+    "COUNT(*)::BIGINT AS total_grams, "
+    "ROUND(COUNT(DISTINCT t)::DOUBLE / COUNT(*), 6) AS distinct_ratio "
+    "FROM toks), "
+    "b2 AS (SELECT 2 AS n, COUNT(DISTINCT g)::BIGINT, COUNT(*)::BIGINT, "
+    "ROUND(COUNT(DISTINCT g)::DOUBLE / COUNT(*), 6) FROM bi) "
+    "SELECT * FROM u UNION ALL SELECT * FROM b2",
+)
+
+
 def _op_dedup_lines(sf_dir: str) -> pa.Table:
     """Intra-document line dedup (keep first occurrence) over planted
     multi-line pages."""
