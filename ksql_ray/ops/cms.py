@@ -132,7 +132,11 @@ def cms_estimate(counters: pa.Table, keys, depth: int, width: int,
     d = counters.column("d").to_numpy(zero_copy_only=False)
     b = counters.column("bucket").to_numpy(zero_copy_only=False)
     c = counters.column("cnt").to_numpy(zero_copy_only=False)
-    dense[d, b] = c
+    # scatter-ADD: the streaming job's counters() may carry the same
+    # (d, bucket) cell once per partition (different keys colliding
+    # into one bucket across partitions); plain assignment would keep
+    # only the last partition's count
+    np.add.at(dense, (d, b), c)
     karr = np.asarray([str(k) if k is not None else "" for k in keys],
                       dtype=object)
     if len(karr) == 0:

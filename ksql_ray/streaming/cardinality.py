@@ -138,6 +138,15 @@ class HLLStateActor:
 class StreamingHLLJob:
     """Continuous distinct-count over a micro-batch Parquet stream."""
 
+    def reshard_from(self, old_dir: str) -> dict:
+        """Rescale an HLL checkpoint: registers re-route by
+        register id mod the new partition count (exact — register
+        shards are disjoint)."""
+        from .rescale import mod_route, reshard_snapshots
+
+        return reshard_snapshots(self, old_dir, "hll",
+                                 route=mod_route("register"))
+
     def __init__(self, *, key_col: str, p: int = 8,
                  columns: Sequence[str] | None = None,
                  hash: str = "fast", num_partitions: int = 4,
@@ -376,6 +385,14 @@ class StreamingGroupedHLLJob:
     ops/hll.grouped_hll). Register max-merge is order- and
     replay-insensitive, so replayed epochs cannot corrupt state;
     checkpoint/resume mirrors StreamingHLLJob."""
+
+    def reshard_from(self, old_dir: str) -> dict:
+        """Rescale a grouped-HLL checkpoint: (key, register, rho) rows
+        re-route by the same key hash the prep uses."""
+        from .rescale import hash_str_route, reshard_snapshots
+
+        return reshard_snapshots(self, old_dir, "ghll",
+                                 route=hash_str_route(self.key_col))
 
     def __init__(self, *, key_col: str, val_col: str, p: int = 8,
                  columns: Sequence[str] | None = None,

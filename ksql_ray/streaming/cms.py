@@ -147,6 +147,15 @@ class CMSStateActor:
 class StreamingCMSJob:
     """Continuous frequency sketch over a micro-batch Parquet stream."""
 
+    def reshard_from(self, old_dir: str) -> dict:
+        """Rescale a CMS checkpoint: counters are additive and the
+        final estimate sums every partition, so old counter tables
+        redistribute round-robin and cell-sum."""
+        from .rescale import cms_combine, reshard_snapshots
+
+        return reshard_snapshots(self, old_dir, "cms",
+                                 combine=cms_combine)
+
     def __init__(self, *, key_col: str, depth: int = 4, width: int = 256,
                  columns: Sequence[str] | None = None,
                  hash: str = "fast", num_partitions: int = 4,

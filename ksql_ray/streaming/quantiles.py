@@ -118,6 +118,16 @@ class StreamingQuantilesJob:
     """Continuous quantile tracking over a micro-batch Parquet stream.
     Epoch pipelining and resume mirror ``StreamingTopKJob``."""
 
+    def reshard_from(self, old_dir: str) -> dict:
+        """Rescale a quantile-sketch checkpoint: summaries are
+        partition-agnostic (the final answer merges every partition),
+        so old summaries redistribute round-robin; same-level buffers
+        merge weight-exactly with n summed and err maxed."""
+        from .rescale import quantile_combine, reshard_snapshots
+
+        return reshard_snapshots(self, old_dir, "qs",
+                                 combine=quantile_combine)
+
     def __init__(self, *, col: str, capacity: int = 4096,
                  columns: Sequence[str] | None = None,
                  num_partitions: int = 4,
@@ -379,6 +389,16 @@ class StreamingGroupedQuantilesJob:
     equals SQL ``quantile_disc(col, q) GROUP BY key`` at every epoch
     boundary; count merge is addition, so the state actors carry the
     CMS-style epoch fence and checkpoint/resume is exactly-once."""
+
+    def reshard_from(self, old_dir: str) -> dict:
+        """Rescale a grouped-quantiles checkpoint: (key, value, count)
+        histogram rows re-route by the same first-key hash the prep
+        uses."""
+        from .rescale import hash_str_route, reshard_snapshots
+
+        return reshard_snapshots(
+            self, old_dir, "gq",
+            route=hash_str_route(self.key_cols[0]))
 
     def __init__(self, *, key_cols, col: str,
                  columns: Sequence[str] | None = None,

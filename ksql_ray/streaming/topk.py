@@ -185,6 +185,18 @@ class StreamingTopKJob:
     """Continuous heavy-hitter tracking over a micro-batch Parquet
     stream. Epoch pipelining and resume mirror ``StreamingDedupJob``."""
 
+    def reshard_from(self, old_dir: str) -> dict:
+        """Rescale a top-k checkpoint to this job's partition count
+        (see streaming/rescale.py): counters re-route by the same key
+        hash the prep uses; the undercount bound maxes over
+        contributing old partitions."""
+        from .rescale import (hash_str_route, reshard_snapshots,
+                              topk_combine)
+
+        return reshard_snapshots(self, old_dir, "topk",
+                                 route=hash_str_route("key"),
+                                 combine=topk_combine)
+
     def __init__(self, *, key_cols: Sequence[str],
                  columns: Sequence[str] | None = None,
                  capacity: int = 4096, num_partitions: int = 8,

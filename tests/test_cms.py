@@ -207,3 +207,33 @@ def test_streaming_cms_empty_files(tmp_path):
         np.where(pd.isna(keys), "", keys).astype(object),
         DEPTH, WIDTH, "fast")
     assert np.array_equal(_dense(job.counters()), want)
+
+
+def test_cms_estimate_sums_duplicate_cells():
+    # the streaming job's counters() carries one row per partition-cell;
+    # two partitions' keys can collide into the SAME (d, bucket) —
+    # estimate must sum, not overwrite (regression: dense[d,b] = c)
+    import pyarrow as pa
+
+    from ksql_ray.ops.cms import cms_estimate
+
+    counters = pa.table({
+        "d": pa.array([0, 0, 1], type=pa.int64()),
+        "bucket": pa.array([5, 5, 9], type=pa.int64()),
+        "cnt": pa.array([3, 4, 7], type=pa.int64()),
+    })
+    # whichever key hits (0,5) must see 7, not 4
+    import numpy as np
+
+    from ksql_ray.ops.cms import buckets_from_keys
+
+    key = "probe"
+    b = buckets_from_keys(np.asarray([key], dtype=object), 2, 16, "md5")
+    fake = pa.table({
+        "d": pa.array([0, 0, 1], type=pa.int64()),
+        "bucket": pa.array([int(b[0, 0]), int(b[0, 0]),
+                            int(b[1, 0])], type=pa.int64()),
+        "cnt": pa.array([3, 4, 7], type=pa.int64()),
+    })
+    est = cms_estimate(fake, [key], 2, 16, "md5")
+    assert est.column("est").to_pylist() == [7]
