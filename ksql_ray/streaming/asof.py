@@ -357,6 +357,26 @@ class StreamingAsofJob:
     key/time columns are never emitted from the right side).
     """
 
+    def reshard_from(self, old_dir: str) -> dict:
+        """Rescale an as-of-join checkpoint: the buffered left rows and
+        right history re-route by the same `by`-key hash the prep
+        uses; watermarks / flush cursors fold min (equal across
+        partitions in practice — every actor folds the same epoch
+        maxima; flushed rows are gone from the buffers, so a lower
+        cursor cannot re-emit)."""
+        from .rescale import _pkl_reshard
+
+        info = _pkl_reshard(
+            self, old_dir, "asof",
+            table_fields={"lbuf": self.by, "rhist": self.by},
+            min_fields=["l_max", "r_max", "flushed_upto"],
+            sum_fields=[], restore_actors=False)
+        # actors are created lazily on the first epoch (they need the
+        # stream schemas); flag resume so _ensure_actors restores from
+        # the freshly written reshard
+        self._resume = True
+        return info
+
     def __init__(self, out_dir: str, *, on: str, by: Sequence[str],
                  right_cols: dict[str, str],
                  left_columns: Sequence[str],

@@ -572,6 +572,20 @@ class StreamingCEPJob:
     waiting (per-actor task-queue order keeps state transitions exactly
     sequential), ``max_inflight`` epochs overlap."""
 
+    def reshard_from(self, old_dir: str) -> dict:
+        """Rescale a CEP checkpoint: buffered rows and open partial
+        sequences re-route by the same partition-key hash the prep
+        uses; watermark / flush cursor fold min; job-total counters
+        ride partition 0."""
+        from .rescale import _pkl_reshard
+
+        return _pkl_reshard(
+            self, old_dir, "cep",
+            table_fields={"buffer": self.keys, "partials": self.keys},
+            min_fields=["watermark", "flushed_upto"],
+            sum_fields=["rows_in", "matches_out", "late_drops",
+                        "expired_partials"])
+
     def __init__(self, out_dir: str, *, partition_by: Sequence[str],
                  order_by: str,
                  steps: Sequence[tuple[str, "Expr | Callable"]],

@@ -539,6 +539,18 @@ class StreamingTransitionsJob(_RowsJobBase):
     """Continuous per-key label transition counts. ``transitions()``
     returns the global (from_label, to_label, cnt) matrix, sorted."""
 
+    def reshard_from(self, old_dir: str) -> dict:
+        """Rescale a transitions checkpoint: the (from, to, cnt) matrix
+        is additive (redistribute + sum); the per-key carry rows
+        re-route by the same combined-key hash the prep uses."""
+        from .rescale import (hash_str_route, reshard_snapshots,
+                              transitions_counts_combine)
+
+        return reshard_snapshots(self, old_dir, specs=[
+            ("trans-counts", None, transitions_counts_combine),
+            ("trans-carry", hash_str_route("key"), None),
+        ])
+
     def __init__(self, *, key_cols: Sequence[str], ord_col: str,
                  label_col: str, columns: Sequence[str] | None = None,
                  num_partitions: int = 8,
@@ -575,6 +587,14 @@ class StreamingAnomalyJob(_RowsJobBase):
     returns every emitted row with ``n_before`` and ``zscore``
     appended (rows whose key had >= min_n prior values and positive
     variance; |z| > threshold when a threshold is set)."""
+
+    def reshard_from(self, old_dir: str) -> dict:
+        """Rescale an anomaly checkpoint: per-key running moments
+        re-route by the same combined-key hash the prep uses."""
+        from .rescale import hash_str_route, reshard_snapshots
+
+        return reshard_snapshots(self, old_dir, "anom-state",
+                                 route=hash_str_route("key"))
 
     def __init__(self, *, key_cols: Sequence[str], ord_col: str,
                  val_col: str, columns: Sequence[str] | None = None,

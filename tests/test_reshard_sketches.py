@@ -138,3 +138,56 @@ def test_cms_reshard(stream_files, tmp_path, old_p, new_p):
 
     _run_reshard(mk, stream_files, tmp_path, f"cms{old_p}{new_p}",
                  old_p, new_p, answer)
+
+
+@pytest.mark.parametrize("old_p,new_p", [(3, 5), (5, 2)])
+def test_transitions_reshard(stream_files, tmp_path, old_p, new_p):
+    from ksql_ray.streaming.rows import StreamingTransitionsJob
+
+    def mk(p, ck):
+        return StreamingTransitionsJob(
+            key_cols=["conv_id"], ord_col="ts", label_col="role",
+            num_partitions=p, checkpoint_dir=ck, checkpoint_every=1)
+
+    def answer(job):
+        df = job.transitions().to_pandas().groupby(
+            ["from_label", "to_label"], as_index=False)["cnt"].sum()
+        return sorted(map(tuple, df.itertuples(index=False)))
+
+    _run_reshard(mk, stream_files, tmp_path, f"tr{old_p}{new_p}",
+                 old_p, new_p, answer)
+
+
+@pytest.mark.parametrize("old_p,new_p", [(3, 5), (5, 2)])
+def test_anomaly_reshard(stream_files, tmp_path, old_p, new_p):
+    # pre-crash EMISSIONS are not part of actor state; compare the
+    # post-resume emissions of a resharded resume vs a same-P resume
+    # from the same checkpoint (state equality implies equal z-scores)
+    from ksql_ray.streaming.rows import StreamingAnomalyJob
+
+    tag = f"an{old_p}{new_p}"
+    ck = str(tmp_path / f"cko_{tag}")
+
+    def mk(p, ckd=None, resume=False):
+        return StreamingAnomalyJob(
+            key_cols=["conv_id"], ord_col="ts", val_col="turn_idx",
+            min_n=3, threshold=1.5, num_partitions=p,
+            checkpoint_dir=ckd, checkpoint_every=1, resume=resume)
+
+    job = mk(old_p, ck)
+    job.run(stream_files[:3], files_per_epoch=1)
+
+    resharded = mk(new_p, str(tmp_path / f"ckn_{tag}"))
+    resharded.reshard_from(ck)
+    resharded.run(stream_files, files_per_epoch=1)
+
+    plain = mk(old_p, ck, resume=True)
+    plain.run(stream_files, files_per_epoch=1)
+
+    def rows(job):
+        t = job.result()
+        if t is None:
+            return []
+        return sorted(map(tuple, zip(*[c.to_pylist() for c in t.columns])))
+
+    assert rows(resharded) == rows(plain)
