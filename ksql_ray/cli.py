@@ -206,6 +206,9 @@ def main(argv: list[str] | None = None) -> int:
     ce.add_argument("--checkpoint-dir", default=None)
     ce.add_argument("--checkpoint-every", type=int, default=0)
     ce.add_argument("--resume", action="store_true")
+    ce.add_argument("--reshard-from", default=None, metavar="OLD_CKPT",
+                    help="re-shard OLD_CKPT into --checkpoint-dir at "
+                         "--partitions, then resume (cluster rescale)")
 
     tk = sub.add_parser(
         "topk",
@@ -227,6 +230,9 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--checkpoint-dir", default=None)
     tk.add_argument("--checkpoint-every", type=int, default=0)
     tk.add_argument("--resume", action="store_true")
+    tk.add_argument("--reshard-from", default=None, metavar="OLD_CKPT",
+                    help="re-shard OLD_CKPT into --checkpoint-dir at "
+                         "--partitions, then resume (cluster rescale)")
 
     hl = sub.add_parser(
         "hll",
@@ -245,6 +251,9 @@ def main(argv: list[str] | None = None) -> int:
     hl.add_argument("--checkpoint-dir", default=None)
     hl.add_argument("--checkpoint-every", type=int, default=0)
     hl.add_argument("--resume", action="store_true")
+    hl.add_argument("--reshard-from", default=None, metavar="OLD_CKPT",
+                    help="re-shard OLD_CKPT into --checkpoint-dir at "
+                         "--partitions, then resume (cluster rescale)")
 
     qu = sub.add_parser(
         "quantiles",
@@ -266,6 +275,9 @@ def main(argv: list[str] | None = None) -> int:
     qu.add_argument("--checkpoint-dir", default=None)
     qu.add_argument("--checkpoint-every", type=int, default=0)
     qu.add_argument("--resume", action="store_true")
+    qu.add_argument("--reshard-from", default=None, metavar="OLD_CKPT",
+                    help="re-shard OLD_CKPT into --checkpoint-dir at "
+                         "--partitions, then resume (cluster rescale)")
 
     aj = sub.add_parser(
         "asof",
@@ -293,6 +305,9 @@ def main(argv: list[str] | None = None) -> int:
     aj.add_argument("--checkpoint-dir", default=None)
     aj.add_argument("--checkpoint-every", type=int, default=0)
     aj.add_argument("--resume", action="store_true")
+    aj.add_argument("--reshard-from", default=None, metavar="OLD_CKPT",
+                    help="re-shard OLD_CKPT into --checkpoint-dir at "
+                         "--partitions, then resume (cluster rescale)")
 
     cp = sub.add_parser(
         "compact",
@@ -442,6 +457,9 @@ def _run_asof(args) -> int:
         num_partitions=args.partitions,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every, resume=args.resume)
+    if getattr(args, "reshard_from", None):
+        print(json.dumps({"resharded": job.reshard_from(
+            args.reshard_from)}), flush=True)
     job.run(lf, rf, files_per_epoch=args.files_per_epoch)
     m = job.finish()
     print(json.dumps({
@@ -579,6 +597,9 @@ def _run_topk(args) -> int:
         key_cols=key_cols, columns=key_cols, capacity=args.capacity,
         num_partitions=args.partitions, checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every, resume=args.resume)
+    if getattr(args, "reshard_from", None):
+        print(json.dumps({"resharded": job.reshard_from(
+            args.reshard_from)}), flush=True)
     job.run(files, files_per_epoch=args.files_per_epoch)
     m = job.finish()
     snap = job.topk(args.k)
@@ -628,6 +649,9 @@ def _run_hll(args) -> int:
             num_partitions=args.partitions,
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every, resume=args.resume)
+        if getattr(args, "reshard_from", None):
+            print(json.dumps({"resharded": gjob.reshard_from(
+                args.reshard_from)}), flush=True)
         gjob.run(files, files_per_epoch=args.files_per_epoch)
         gm = gjob.finish()
         print(json.dumps({
@@ -643,6 +667,9 @@ def _run_hll(args) -> int:
         key_col=args.key_col, p=args.p, columns=[args.key_col],
         num_partitions=args.partitions, checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every, resume=args.resume)
+    if getattr(args, "reshard_from", None):
+        print(json.dumps({"resharded": job.reshard_from(
+            args.reshard_from)}), flush=True)
     job.run(files, files_per_epoch=args.files_per_epoch)
     m = job.finish()
     print(json.dumps({
@@ -685,6 +712,9 @@ def _run_quantiles(args) -> int:
             num_partitions=args.partitions,
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every, resume=args.resume)
+        if getattr(args, "reshard_from", None):
+            print(json.dumps({"resharded": job.reshard_from(
+                args.reshard_from)}), flush=True)
         job.run(files, files_per_epoch=args.files_per_epoch)
         m = job.finish()
         snap = job.quantiles(qs)
@@ -702,6 +732,9 @@ def _run_quantiles(args) -> int:
         col=args.col, capacity=args.capacity, columns=[args.col],
         num_partitions=args.partitions, checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every, resume=args.resume)
+    if getattr(args, "reshard_from", None):
+        print(json.dumps({"resharded": job.reshard_from(
+            args.reshard_from)}), flush=True)
     job.run(files, files_per_epoch=args.files_per_epoch)
     m = job.finish()
     snap = job.quantiles(qs)
@@ -845,6 +878,9 @@ def _run_cep(args) -> int:
         num_partitions=args.partitions, input_files=files,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every, resume=args.resume)
+    if getattr(args, "reshard_from", None):
+        print(json.dumps({"resharded": job.reshard_from(
+            args.reshard_from)}), flush=True)
     job.run(files, files_per_epoch=args.files_per_epoch)
     m = job.finish()
     print(json.dumps({
