@@ -132,3 +132,29 @@ def test_embdedup_reshard_matches_single_run(tmp_path):
     ref.run(files, files_per_epoch=1)
     ref.finish()
     assert _neardup_rows(job2) == _neardup_rows(ref)
+
+
+def test_dedup_chained_rescale(stream_files, tmp_path):
+    """Rescale twice (3 -> 6 -> 2) mid-stream; the final output still
+    equals an uninterrupted run."""
+    out = str(tmp_path / "out_chain")
+    ck = [str(tmp_path / f"ck_{i}") for i in range(3)]
+    j1 = StreamingDedupJob(out, num_partitions=3,
+                           checkpoint_dir=ck[0], checkpoint_every=1)
+    j1.run(stream_files[:2], files_per_epoch=1)
+    j2 = StreamingDedupJob(out, num_partitions=6,
+                           checkpoint_dir=ck[1], checkpoint_every=1)
+    j2.reshard_from(ck[0])
+    j2.run(stream_files[:4], files_per_epoch=1)
+    j3 = StreamingDedupJob(out, num_partitions=2,
+                           checkpoint_dir=ck[2], checkpoint_every=1)
+    info = j3.reshard_from(ck[1])
+    assert info["epoch"] == 3
+    j3.run(stream_files, files_per_epoch=1)
+    j3.finish()
+
+    ref = StreamingDedupJob(str(tmp_path / "ref_chain"),
+                            num_partitions=4)
+    ref.run(stream_files, files_per_epoch=1)
+    ref.finish()
+    assert _rows(j3) == _rows(ref)
