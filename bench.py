@@ -401,6 +401,29 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["streaming_dedup_200k"] = min2(_sdedup)
 
+    # cluster-rescale cost: reshard a 200k-key dedup checkpoint 8 -> 32
+    # partitions (checkpoint built once outside the timer)
+    _rs_base = _tempfile.mkdtemp(prefix="ksql_bench_rescale_")
+    _rs_job = StreamingDedupJob(
+        f"{_rs_base}/out", method="fast", num_partitions=8,
+        columns=["conv_id", "turn_idx", "text"],
+        checkpoint_dir=f"{_rs_base}/ck8", checkpoint_every=4)
+    _rs_job.run(sfiles, files_per_epoch=16)
+
+    def _rescale():
+        nd = _tempfile.mkdtemp(prefix="ksql_bench_rescale_new_")
+        try:
+            j = StreamingDedupJob(
+                f"{nd}/out", method="fast", num_partitions=32,
+                columns=["conv_id", "turn_idx", "text"],
+                checkpoint_dir=f"{nd}/ck32", checkpoint_every=4)
+            j.reshard_from(f"{_rs_base}/ck8")
+        finally:
+            _shutil.rmtree(nd, ignore_errors=True)
+
+    out["rescale_dedup_200k"] = min2(_rescale)
+    _shutil.rmtree(_rs_base, ignore_errors=True)
+
     # the WHOLE prep chain on ingest: normalize -> Gopher quality
     # filter -> first-occurrence dedup in one pass (pre_transform runs
     # inside the prep tasks, before fingerprinting)
