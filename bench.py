@@ -1022,6 +1022,16 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["bpe_encode_200k"] = min2(
         lambda: bpe_token_counts(turns4(), list(_bpe_merges)).count())
 
+    # model-based filtering: multinomial NB trained on (text -> role),
+    # then the whole corpus classified (one count pass + one score pass)
+    from ksql_ray.ops.nbayes import classify_nb, train_nb
+
+    def _nb():
+        model = train_nb(turns4(), "text", "role", alpha=0.5)
+        classify_nb(turns4(), model, id_col="turn_idx").count()
+
+    out["nb_train_classify_200k"] = min2(_nb)
+
     from ksql_ray.ops.diversity import distinct_ngram_ratios
 
     out["distinct_ngrams_200k"] = min2(

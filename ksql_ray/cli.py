@@ -255,6 +255,30 @@ def main(argv: list[str] | None = None) -> int:
                     help="re-shard OLD_CKPT into --checkpoint-dir at "
                          "--partitions, then resume (cluster rescale)")
 
+    sp = sub.add_parser(
+        "sample",
+        help="streaming uniform distinct-key sample (ray-job "
+             "entrypoint): deterministic bottom-k by key hash, O(k) "
+             "state per partition")
+    sp.add_argument("--input", required=True,
+                    help="directory of parquet micro-batch files")
+    sp.add_argument("--key-col", required=True)
+    sp.add_argument("--k", type=int, default=1000)
+    sp.add_argument("--method", choices=["md5", "fast"], default="fast",
+                    help="key-hash function (md5 = SQL-checkable, "
+                         "fast = vectorized)")
+    sp.add_argument("--seed", default="", help="hash salt")
+    sp.add_argument("--out", default=None,
+                    help="write the sampled keys parquet here")
+    sp.add_argument("--partitions", type=int, default=4)
+    sp.add_argument("--files-per-epoch", type=int, default=8)
+    sp.add_argument("--checkpoint-dir", default=None)
+    sp.add_argument("--checkpoint-every", type=int, default=0)
+    sp.add_argument("--resume", action="store_true")
+    sp.add_argument("--reshard-from", default=None, metavar="OLD_CKPT",
+                    help="re-shard OLD_CKPT into --checkpoint-dir at "
+                         "--partitions, then resume (cluster rescale)")
+
     qu = sub.add_parser(
         "quantiles",
         help="streaming quantiles (ray-job entrypoint): deterministic "
@@ -381,6 +405,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_hll(args)
     if args.cmd == "quantiles":
         return _run_quantiles(args)
+    if args.cmd == "sample":
+        return _run_sample(args)
     if args.cmd == "stream":
         return _run_stream(args)
     if args.cmd == "dedup":
@@ -616,6 +642,57 @@ def _run_topk(args) -> int:
         "topk": [[r["key"], r["cnt"]] for r in snap.to_pylist()],
     }))
     if owns_session:  # never tear down a caller's (e.g. pytest's) session
+        ray.shutdown()
+    return 0
+
+
+def _run_sample(args) -> int:
+    """Streaming uniform-sample job (owns the Ray session, one JSON
+    summary line — the same ``ray job submit`` shape as ``hll``)."""
+    import glob
+    import json
+    import time as _time
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False, ignore_reinit_error=True)
+    from .streaming.sample import StreamingSampleJob
+
+    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not files:
+        print(f"error: no parquet files under {args.input}", file=sys.stderr)
+        return 1
+    t0 = _time.perf_counter()
+    job = StreamingSampleJob(
+        key_col=args.key_col, k=args.k, method=args.method,
+        seed=args.seed, columns=[args.key_col],
+        num_partitions=args.partitions,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
+    if getattr(args, "reshard_from", None):
+        print(json.dumps({"resharded": job.reshard_from(
+            args.reshard_from)}), flush=True)
+    job.run(files, files_per_epoch=args.files_per_epoch)
+    m = job.finish()
+    out = None
+    if args.out:
+        import pyarrow.parquet as _pq
+
+        os.makedirs(args.out, exist_ok=True)
+        out = os.path.join(args.out, "sample.parquet")
+        tmp = out + ".tmp"
+        _pq.write_table(job.sample(), tmp)
+        os.replace(tmp, out)
+    print(json.dumps({
+        "files": len(files), "epochs": m["epochs"],
+        "sec": round(_time.perf_counter() - t0, 3),
+        "rows_in": m["rows_in"], "sample_rows": m["sample_rows"],
+        "k": args.k, "out": out,
+    }))
+    if owns_session:
         ray.shutdown()
     return 0
 

@@ -5713,6 +5713,116 @@ REGISTRY["op_strip_boilerplate"] = RawQ(
 )
 
 
+def _streaming_sample(sf_dir: str) -> pa.Table:
+    """Uniform distinct-key sample on ingest: documents replayed as 8
+    micro-batch files through StreamingSampleJob (bottom-k by md5 key
+    hash); the merged sample is a pure function of the distinct-key
+    set, so it must equal the bounded ORDER BY hash LIMIT k cut."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.sample import StreamingSampleJob
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"])
+    n = tbl.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_ssamp_in_")
+    try:
+        files = []
+        for i in range(8):
+            s = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingSampleJob(key_col="doc_id", k=40, method="md5",
+                                 num_partitions=4)
+        job.run(files, files_per_epoch=2)
+        m = job.finish()
+        assert m["rows_in"] == n and m["sample_rows"] == 40, m
+        return job.sample()
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+
+
+REGISTRY["streaming_sample"] = RawQ(
+    _streaming_sample,
+    # bottom-k by the repo-wide md5 sampling contract
+    # (ops/sample.add_sample_hash): int64 of the first 8 md5 hex chars
+    # of str(key); ties (none at 32 bits / 5k keys) break by key asc
+    "SELECT key, h FROM ("
+    "  SELECT DISTINCT doc_id::VARCHAR AS key,"
+    "         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT)"
+    "           ::BIGINT AS h"
+    "  FROM documents) "
+    "ORDER BY h, key LIMIT 40",
+)
+
+
+def _op_nb_scores(sf_dir: str) -> pa.Table:
+    from ..ops.nbayes import score_nb, train_nb
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    model = train_nb(ds, "text", "lang", alpha=0.5)
+    t = _collect(score_nb(ds, model))
+    return _round_cols(t, {"score": 4})
+
+
+# add-alpha multinomial NB (ops/nbayes.py docstring spells out the
+# contract); trained on the scored corpus itself, so the vocabulary is
+# closed and no OOV branch is exercised on either side
+_NB_SQL_BODY = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), v AS (SELECT count(DISTINCT tok) AS vs FROM toks),
+cls AS (SELECT lang AS label, count(*) AS nd,
+               sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS nt
+        FROM documents GROUP BY 1),
+pri AS (SELECT label, ln(nd / (SELECT sum(nd) FROM cls)) AS lpri, nt
+        FROM cls),
+tc AS (SELECT lang AS label, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+sc AS (
+  SELECT t.doc_id, p.label,
+         sum(ln((coalesce(tc.c, 0) + 0.5) / (p.nt + 0.5 * v.vs)))
+           + any_value(p.lpri) AS score
+  FROM toks t CROSS JOIN pri p CROSS JOIN v
+  LEFT JOIN tc ON tc.label = p.label AND tc.tok = t.tok
+  GROUP BY 1, 2)
+"""
+
+REGISTRY["op_nb_scores"] = RawQ(
+    _op_nb_scores,
+    _NB_SQL_BODY
+    + "SELECT doc_id, label, ROUND(score, 4) AS score FROM sc",
+)
+
+
+def _op_nb_classify(sf_dir: str) -> pa.Table:
+    from ..ops.nbayes import classify_nb, train_nb
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    model = train_nb(ds, "text", "lang", alpha=0.5)
+    t = _collect(classify_nb(ds, model))
+    return _round_cols(t, {"score": 4})
+
+
+REGISTRY["op_nb_classify"] = RawQ(
+    _op_nb_classify,
+    # argmax with ties by ascending label; class priors differ (doc
+    # counts per lang are distinct at every sf), so the winning margin
+    # is far above the ~1e-11 engine-vs-SQL summation noise
+    _NB_SQL_BODY
+    + "SELECT doc_id, pred, ROUND(score, 4) AS score FROM ("
+    "  SELECT doc_id, label AS pred, score, ROW_NUMBER() OVER ("
+    "    PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc) "
+    "WHERE rn = 1",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3
