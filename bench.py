@@ -794,6 +794,27 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["top_bigrams_200k"] = min2(lambda: top_ngrams(
         docs_ds(), n=2, k=25).count())
 
+    # conversation triage metrics (pure combiner; full transcript cols)
+    from ksql_ray.ops.transcripts import conversation_stats
+
+    def turns6():
+        return ray.data.read_parquet(paths["transcripts"])
+
+    out["conv_stats_200k"] = min2(lambda: conversation_stats(
+        turns6(), ["conv_id"]).count())
+
+    # corpus vocabulary shape (one term exchange + one merge task)
+    from ksql_ray.ops.terms import corpus_zipf_stats
+
+    out["zipf_stats_200k"] = min2(lambda: corpus_zipf_stats(
+        docs_ds(), k=100).count())
+
+    # robust per-key outlier flags (exact per-key median + MAD)
+    from ksql_ray.ops.profile import mad_outliers
+
+    out["mad_outliers_200k"] = min2(lambda: mad_outliers(
+        turns6(), "conv_id", "turn_idx", c=3.0).count())
+
     # rank family, next-turn pairing, transition matrix, cumulative agg
     from ksql_ray.ops.rows import (rank_per_key, transition_counts,
                                    with_lead)

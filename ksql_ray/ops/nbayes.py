@@ -246,7 +246,7 @@ class _NBScorer:
 
 def score_nb(ds: ray.data.Dataset, model: NBModel, text_col: str = "text",
              id_col: str = "doc_id", oov: str = "smooth",
-             concurrency: int = 4) -> ray.data.Dataset:
+             concurrency=(1, 8)) -> ray.data.Dataset:
     """Per-document per-class log-scores: (id, label, score) rows,
     ``n_docs x C`` of them. The model ships once per actor."""
     if oov not in ("smooth", "skip"):
@@ -260,7 +260,7 @@ def score_nb(ds: ray.data.Dataset, model: NBModel, text_col: str = "text",
 
 def classify_nb(ds: ray.data.Dataset, model: NBModel, text_col: str = "text",
                 id_col: str = "doc_id", oov: str = "smooth",
-                concurrency: int = 4) -> ray.data.Dataset:
+                concurrency=(1, 8)) -> ray.data.Dataset:
     """Argmax classification: (id, pred, score) with ties broken by
     ascending label (np.argmax takes the first maximum and labels are
     sorted ascending)."""

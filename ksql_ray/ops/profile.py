@@ -28,7 +28,7 @@ import ray.data
 from .cube import _SMALL_PARTIAL_BYTES
 from .dedup import _pin
 
-__all__ = ["profile_columns", "grouped_corr"]
+__all__ = ["profile_columns", "grouped_corr", "mad_outliers"]
 
 _NUMERIC = (pa.types.is_integer, pa.types.is_floating)
 
@@ -217,3 +217,127 @@ def profile_columns(ds: ray.data.Dataset,
     ref = _profile_merge.remote(cols, len(stats_refs),
                                 *stats_refs, *dist_refs)
     return ray.data.from_arrow_refs([ref])
+
+
+def _interp_median(v: np.ndarray, starts: np.ndarray,
+                   nv: np.ndarray) -> np.ndarray:
+    """Per-segment interpolated median (quantile_cont 0.5) over sorted
+    values; segments with nv == 0 yield NaN. Interpolation form is
+    ``lo + 0.5*(hi - lo)`` — DuckDB's quantile_cont formula — so the
+    oracle comparison is bit-exact, not just 1-ulp close."""
+    med = np.full(len(starts), np.nan)
+    ok = nv > 0
+    lo = v[starts[ok] + (nv[ok] - 1) // 2]
+    hi = v[starts[ok] + nv[ok] // 2]
+    med[ok] = lo + 0.5 * (hi - lo)
+    return med
+
+
+class _MadFlagger:
+    """Actor-pool flag pass: the broadcast (key -> med, mad) map is
+    resolved ONCE per actor (never per batch)."""
+
+    def __init__(self, stats_ref, key_col: str, val_col: str, c: float):
+        import pandas as pd
+
+        med_map, mad_map = ray.get(stats_ref)
+        self._med = pd.Series(med_map)
+        self._mad = pd.Series(mad_map)
+        self._key, self._val, self._c = key_col, val_col, c
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = pd.Series(
+            batch.column(self._key).to_numpy(zero_copy_only=False))
+        med = keys.map(self._med).to_numpy(dtype=np.float64)
+        mad = keys.map(self._mad).to_numpy(dtype=np.float64)
+        v = pc.cast(batch.column(self._val), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        dev = np.abs(v - med)
+        flag = dev > self._c * mad
+        mask = np.isnan(v) | np.isnan(med) | np.isnan(mad)
+        return (batch
+                .append_column("med", pa.array(med, mask=np.isnan(med)))
+                .append_column("mad", pa.array(mad, mask=np.isnan(mad)))
+                .append_column("is_outlier",
+                               pa.array(flag, type=pa.bool_(), mask=mask)))
+
+
+def mad_outliers(ds: ray.data.Dataset, key_col: str, val_col: str,
+                 c: float = 3.0, num_partitions: int = 32,
+                 concurrency=(1, 8)) -> ray.data.Dataset:
+    """Per-key robust outlier flags: row is an outlier iff
+    ``|x - median_key| > c * MAD_key`` (MAD = median absolute deviation,
+    the robust z-score — unlike mean/stddev, one corrupt feed can't
+    drag the threshold). Appends ``med``, ``mad``, ``is_outlier`` to the
+    input rows; NULL values (or keys whose MAD is undefined) flag NULL.
+
+    Scale shape: ONE hash exchange of the (key, value) projection
+    computes exact per-key median + MAD (keys are partition-disjoint;
+    two in-memory per-segment median scans over one sort). The
+    resulting stats table is O(distinct keys) — broadcast once with
+    ``ray.put`` and joined back by a stateless actor-pool map, so the
+    full-width rows never shuffle. Medians interpolate exactly like
+    DuckDB ``median`` (quantile_cont 0.5)."""
+    from .dedup import _partition_by
+    from .rows import _key_arrays, _segment_starts
+
+    sel = ds.select_columns([key_col, val_col])
+
+    def stats(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        kt = group.schema.field(key_col).type if \
+            key_col in group.column_names else pa.string()
+        empty = pa.table({key_col: pa.nulls(0, kt),
+                          "med": pa.array([], type=pa.float64()),
+                          "mad": pa.array([], type=pa.float64())})
+        if group.num_rows == 0 or key_col not in group.column_names:
+            return empty
+        tbl = group.take(pc.sort_indices(
+            group, sort_keys=[(key_col, "ascending"),
+                              (val_col, "ascending")],
+            null_placement="at_end"))
+        n = tbl.num_rows
+        v = pc.cast(tbl.column(val_col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        seg = _segment_starts(_key_arrays(tbl, [key_col]), n)  # per row
+        starts = np.unique(seg)                       # per segment
+        # values sort nulls-last within each key: valid count per segment
+        nv = np.add.reduceat(~np.isnan(v), starts).astype(np.int64) \
+            if n else np.zeros(0, dtype=np.int64)
+        med = _interp_median(v, starts, nv)
+        kcodes = np.searchsorted(starts, seg)
+        dev = np.abs(v - med[kcodes])
+        order = np.lexsort((dev, kcodes))  # NaN devs land last per key
+        mad = _interp_median(dev[order], starts, nv)
+        return pa.table({
+            key_col: tbl.column(key_col).take(pa.array(starts)),
+            "med": pa.array(med, mask=np.isnan(med)),
+            "mad": pa.array(mad, mask=np.isnan(mad))})
+
+    parts = _partition_by(sel, [key_col], num_partitions).map_groups(
+        _pin(stats), batch_format="pyarrow").materialize()
+
+    import pandas as pd
+
+    blocks = [b for b in ray.get(parts.to_arrow_refs())
+              if "med" in b.column_names]
+    st = pa.concat_tables(blocks, promote_options="default") if blocks \
+        else pa.table({key_col: pa.nulls(0, pa.string()),
+                       "med": pa.array([], type=pa.float64()),
+                       "mad": pa.array([], type=pa.float64())})
+    kv = st.column(key_col).to_numpy(zero_copy_only=False)
+    stats_ref = ray.put((
+        pd.Series(st.column("med").to_numpy(zero_copy_only=False),
+                  index=kv).to_dict(),
+        pd.Series(st.column("mad").to_numpy(zero_copy_only=False),
+                  index=kv).to_dict()))
+    return ds.map_batches(_MadFlagger, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=concurrency,
+                          fn_constructor_args=(stats_ref, key_col,
+                                               val_col, c),
+                          # ctor ref in object store + restarts ->
+                          # ray#53727 warning
+                          max_restarts=0)

@@ -21,7 +21,8 @@ import ray.data
 
 from .cube import _SMALL_PARTIAL_BYTES
 
-__all__ = ["grouped_sum", "grouped_max", "distinct_small", "topk_table"]
+__all__ = ["grouped_sum", "grouped_max", "grouped_agg", "distinct_small",
+           "topk_table"]
 
 
 def _with_schema(blocks: tuple[pa.Table, ...],
@@ -115,6 +116,49 @@ def grouped_max(parts: ray.data.Dataset, key_cols: list[str],
         return pa.table({c: pa.Array.from_pandas(
             df[c], type=group.schema.field(c).type)
             for c in key_cols + max_cols})
+
+    return _partition_by(m, key_cols).map_groups(
+        _pin(merge), batch_format="pyarrow")
+
+
+def _agg_merge(t: pa.Table, key_cols: list[str],
+               aggs: dict[str, str]) -> pa.Table:
+    df = t.to_pandas()
+    g = df.groupby(key_cols, dropna=False, sort=False).agg(aggs).reset_index()
+    return pa.table({c: pa.Array.from_pandas(g[c],
+                                             type=t.schema.field(c).type)
+                     for c in key_cols + list(aggs)})
+
+
+@ray.remote
+def _mixed_merge_task(key_cols: list[str], aggs: dict[str, str],
+                      *blocks: pa.Table) -> pa.Table:
+    blocks = _with_schema(blocks, key_cols + list(aggs))
+    if not blocks:
+        return pa.table({})
+    return _agg_merge(pa.concat_tables(blocks, promote_options="default"),
+                      key_cols, aggs)
+
+
+def grouped_agg(parts: ray.data.Dataset, key_cols: list[str],
+                aggs: dict[str, str]) -> ray.data.Dataset:
+    """Mixed-function partial merge: ``aggs`` maps column -> one of
+    {'sum', 'min', 'max'} (the self-merging aggregates — a count
+    partial merges by sum). Output columns are ``key_cols +
+    list(aggs)``; one task when small, a hash exchange otherwise."""
+    bad = {f for f in aggs.values() if f not in ("sum", "min", "max")}
+    if bad:
+        raise ValueError(f"non-mergeable agg functions: {sorted(bad)}")
+    m = parts.materialize()
+    if m.size_bytes() <= _SMALL_PARTIAL_BYTES:
+        ref = _mixed_merge_task.remote(key_cols, aggs, *m.to_arrow_refs())
+        return ray.data.from_arrow_refs([ref])
+    from .dedup import _partition_by, _pin
+
+    def merge(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        return _agg_merge(group, key_cols, aggs)
 
     return _partition_by(m, key_cols).map_groups(
         _pin(merge), batch_format="pyarrow")

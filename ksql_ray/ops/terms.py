@@ -27,7 +27,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-__all__ = ["top_terms", "top_ngrams", "tfidf_top_terms"]
+__all__ = ["top_terms", "top_ngrams", "tfidf_top_terms",
+           "corpus_zipf_stats"]
 
 
 def _partial_counts(batch: pa.Table, text_col: str) -> pa.Table:
@@ -197,6 +198,89 @@ def tfidf_top_terms(ds: ray.data.Dataset, id_col: str = "doc_id",
 
     return _partition_by(scored, [id_col], num_partitions).map_groups(
         _pin(topk), batch_format="pyarrow")
+
+
+def corpus_zipf_stats(ds: ray.data.Dataset, text_col: str = "text",
+                      k: int = 100,
+                      num_partitions: int = 32) -> ray.data.Dataset:
+    """One-row corpus vocabulary-shape summary: ``vocab_size`` (distinct
+    terms), ``total_tokens``, ``hapax_cnt`` (terms occurring exactly
+    once — the Zipf tail), and ``top_mass`` (fraction of all token
+    occurrences covered by the k most frequent terms — the Zipf head;
+    boilerplate/template corpora show top_mass near 1). Tokenization
+    contract as ``top_terms``.
+
+    Scale shape: per-batch partial counts (shuffle = per-batch
+    vocabulary, not token occurrences) -> ONE hash exchange by term
+    (partitions are term-disjoint, so vocab / hapax / local top-k are
+    all exact per partition) -> a single merge task folds P scalar
+    partials + P·k top-k candidate rows. Nothing global ever
+    materializes beyond P·(k+1) rows."""
+    import numpy as np
+
+    from .dedup import _partition_by, _pin
+
+    parts = ds.map_batches(
+        lambda b: _partial_counts(b, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def local(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        empty = pa.table({
+            "cnt": pa.array([], type=pa.int64()),
+            "vocab_p": pa.array([], type=pa.int64()),
+            "tokens_p": pa.array([], type=pa.int64()),
+            "hapax_p": pa.array([], type=pa.int64())})
+        if group.num_rows == 0 or "term" not in group.column_names:
+            return empty
+        s = group.to_pandas().groupby("term", sort=False)["cnt"].sum()
+        cnts = s.to_numpy()
+        top = np.sort(cnts)[::-1][:k].astype(np.int64)
+        if len(top) == 0:
+            return empty
+        # scalar partials ride row 0 of the top-k block (zeros below),
+        # so one table type carries both through the merge
+        vocab = np.zeros(len(top), dtype=np.int64)
+        vocab[0] = len(cnts)
+        tokens = np.zeros(len(top), dtype=np.int64)
+        tokens[0] = int(cnts.sum())
+        hapax = np.zeros(len(top), dtype=np.int64)
+        hapax[0] = int((cnts == 1).sum())
+        return pa.table({"cnt": pa.array(top),
+                         "vocab_p": pa.array(vocab),
+                         "tokens_p": pa.array(tokens),
+                         "hapax_p": pa.array(hapax)})
+
+    locals_ds = _partition_by(parts, ["term"], num_partitions).map_groups(
+        _pin(local), batch_format="pyarrow")
+
+    @ray.remote
+    def merge(*blocks: pa.Table) -> pa.Table:
+        bs = [b for b in blocks
+              if "cnt" in b.column_names and b.num_rows]
+        if not bs:
+            return pa.table({
+                "vocab_size": pa.array([0], type=pa.int64()),
+                "total_tokens": pa.array([0], type=pa.int64()),
+                "hapax_cnt": pa.array([0], type=pa.int64()),
+                "top_mass": pa.array([0.0], type=pa.float64())})
+        t = pa.concat_tables(bs, promote_options="default")
+        df = t.to_pandas()
+        total = int(df["tokens_p"].sum())
+        top = np.sort(df["cnt"].to_numpy())[::-1][:k]
+        return pa.table({
+            "vocab_size": pa.array([int(df["vocab_p"].sum())],
+                                   type=pa.int64()),
+            "total_tokens": pa.array([total], type=pa.int64()),
+            "hapax_cnt": pa.array([int(df["hapax_p"].sum())],
+                                  type=pa.int64()),
+            "top_mass": pa.array(
+                [float(top.sum()) / total if total else 0.0],
+                type=pa.float64())})
+
+    refs = locals_ds.materialize().to_arrow_refs()
+    return ray.data.from_arrow_refs([merge.remote(*refs)])
 
 
 def _top_counts(parts: ray.data.Dataset, k: int,

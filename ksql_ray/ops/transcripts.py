@@ -33,7 +33,7 @@ import ray.data
 
 from .dedup import _partition_by, _pin
 
-__all__ = ["assemble_conversations", "chunk_split"]
+__all__ = ["assemble_conversations", "chunk_split", "conversation_stats"]
 
 _WS = r"\s+"
 
@@ -96,6 +96,104 @@ def assemble_conversations(
 
     return _partition_by(ds, key_cols, num_partitions).map_groups(
         _pin(assemble), batch_format="pyarrow")
+
+
+def conversation_stats(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    text_col: str = "text",
+    role_col: str | None = "role",
+    roles: tuple[str, ...] = ("user", "assistant"),
+    tool_col: str | None = "tool",
+) -> ray.data.Dataset:
+    """Per-conversation health metrics over a turns table — the
+    corpus-triage pass before transcript assembly (turn counts, role
+    mix, tool usage, size, span). One row per key with ``n_turns``,
+    ``n_<role>`` per listed role, ``n_tool`` (non-null ``tool_col``
+    rows, when given), ``total_chars`` (sum of text lengths, NULL text
+    counted 0), ``first_ts`` / ``last_ts``, ``duration_s`` and
+    ``avg_chars``.
+
+    Scale shape: every metric is a self-merging aggregate, so the op is
+    a pure combiner — per-batch pandas groupby partials (one row per
+    key per batch) merged by ``smallagg.grouped_agg`` (one task when
+    the per-key partials are small, a hash exchange otherwise). The
+    shuffle never carries text — only the per-key counter rows — so at
+    10^12 turns the exchanged volume is O(distinct convs x batches),
+    ~10^3x below the input. The reference builder has no multi-metric
+    grouped projection like this (string + time + conditional counts in
+    one pass); closest analogs are its COUNT/MIN/MAX aggregates
+    (reference ksql/functions.go)."""
+    from .smallagg import grouped_agg
+
+    role_outs = {r: f"n_{r}" for r in roles}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cols = {k: batch.column(k).to_pandas() for k in key_cols}
+        chars = pc.cast(pc.utf8_length(pc.fill_null(
+            batch.column(text_col), "")), pa.int64())
+        cols["total_chars"] = chars.to_pandas()
+        ts_us = pc.cast(batch.column(ts_col), pa.int64())
+        cols["first_us"] = ts_us.to_pandas()
+        cols["last_us"] = cols["first_us"]
+        if role_col is not None:
+            role = batch.column(role_col)
+            for r, out in role_outs.items():
+                cols[out] = pc.cast(
+                    pc.fill_null(pc.equal(role, r), False),
+                    pa.int64()).to_pandas()
+        if tool_col is not None:
+            cols["n_tool"] = pc.cast(
+                pc.is_valid(batch.column(tool_col)), pa.int64()).to_pandas()
+        df = pd.DataFrame(cols)
+        aggs = {"total_chars": "sum", "first_us": "min", "last_us": "max"}
+        aggs.update({out: "sum" for out in role_outs.values()})
+        if tool_col is not None:
+            aggs["n_tool"] = "sum"
+        g = df.groupby(key_cols, dropna=False, sort=False).agg(
+            n_turns=(("total_chars", "size")), **{
+                k: (k, f) for k, f in aggs.items()}).reset_index()
+        out = {k: pa.Array.from_pandas(
+            g[k], type=batch.schema.field(k).type) for k in key_cols}
+        out["n_turns"] = pa.array(g["n_turns"].to_numpy(),
+                                  type=pa.int64())
+        for c in aggs:
+            out[c] = pa.array(g[c].to_numpy(), type=pa.int64())
+        return pa.table(out)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    merge_aggs = {"n_turns": "sum"}
+    merge_aggs.update({out: "sum" for out in role_outs.values()})
+    if tool_col is not None:
+        merge_aggs["n_tool"] = "sum"
+    merge_aggs.update({"total_chars": "sum", "first_us": "min",
+                       "last_us": "max"})
+    merged = grouped_agg(parts, key_cols, merge_aggs)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 and "first_us" not in batch.column_names:
+            return batch
+        first = batch.column("first_us")
+        last = batch.column("last_us")
+        dur = pc.divide(pc.cast(pc.subtract(last, first), pa.float64()),
+                        1_000_000.0)
+        avg = pc.divide(pc.cast(batch.column("total_chars"), pa.float64()),
+                        pc.cast(batch.column("n_turns"), pa.float64()))
+        batch = batch.set_column(
+            batch.column_names.index("first_us"), "first_ts",
+            pc.cast(first, pa.timestamp("us")))
+        batch = batch.set_column(
+            batch.column_names.index("last_us"), "last_ts",
+            pc.cast(last, pa.timestamp("us")))
+        return batch.append_column("duration_s", dur).append_column(
+            "avg_chars", avg)
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def chunk_split(

@@ -5823,6 +5823,145 @@ REGISTRY["op_nb_classify"] = RawQ(
 )
 
 
+def _op_conv_stats(sf_dir: str) -> pa.Table:
+    from ..ops.transcripts import conversation_stats
+
+    ds = _read_clean(f"{sf_dir}/events.parquet")
+    t = _collect(conversation_stats(
+        ds, ["user_id"], ts_col="ts", text_col="props",
+        role_col="event_type", roles=("click", "error"), tool_col=None))
+    t = t.select(["user_id", "n_turns", "n_click", "n_error",
+                  "total_chars", "first_ts", "last_ts", "duration_s",
+                  "avg_chars"])
+    return _round_cols(t, {"duration_s": 4, "avg_chars": 4})
+
+
+REGISTRY["op_conv_stats"] = RawQ(
+    _op_conv_stats,
+    # conversation triage metrics (ops/transcripts.py conversation_stats):
+    # pure-combiner grouped projection — counts, role mix, text volume,
+    # time span — one row per conversation key
+    "SELECT user_id, count(*)::BIGINT AS n_turns,"
+    "  count(*) FILTER (event_type = 'click')::BIGINT AS n_click,"
+    "  count(*) FILTER (event_type = 'error')::BIGINT AS n_error,"
+    "  sum(length(coalesce(props, '')))::BIGINT AS total_chars,"
+    "  min(ts) AS first_ts, max(ts) AS last_ts,"
+    "  ROUND(epoch_us(max(ts) - min(ts)) / 1000000.0, 4) AS duration_s,"
+    "  ROUND(sum(length(coalesce(props, ''))) / count(*)::DOUBLE, 4)"
+    "    AS avg_chars "
+    "FROM events GROUP BY user_id",
+)
+
+
+def _op_zipf_stats(sf_dir: str) -> pa.Table:
+    from ..ops.terms import corpus_zipf_stats
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet")
+    return _round_cols(_collect(corpus_zipf_stats(ds, k=10)),
+                       {"top_mass": 6})
+
+
+REGISTRY["op_zipf_stats"] = RawQ(
+    _op_zipf_stats,
+    # corpus vocabulary shape (ops/terms.py corpus_zipf_stats): distinct
+    # terms, token total, hapax tail, top-10 head mass — one row
+    r"""
+WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS term
+              FROM documents),
+c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+t AS (SELECT count(*)::BIGINT AS vocab_size, sum(cnt)::BIGINT AS total_tokens,
+             count(*) FILTER (cnt = 1)::BIGINT AS hapax_cnt FROM c),
+top AS (SELECT sum(cnt)::DOUBLE AS mass
+        FROM (SELECT cnt FROM c ORDER BY cnt DESC, term LIMIT 10))
+SELECT vocab_size, total_tokens, hapax_cnt,
+       ROUND(mass / total_tokens, 6) AS top_mass FROM t, top""",
+)
+
+
+def _op_mad_outliers(sf_dir: str) -> pa.Table:
+    from ..ops.profile import mad_outliers
+
+    ds = _read_clean(f"{sf_dir}/events.parquet")
+    t = _collect(mad_outliers(ds, "event_type", "value", c=1.5))
+    t = t.select(["event_id", "event_type", "med", "mad", "is_outlier"])
+    return _round_cols(t, {"med": 4, "mad": 4})
+
+
+REGISTRY["op_mad_outliers"] = RawQ(
+    _op_mad_outliers,
+    # robust per-key outlier flags (ops/profile.py mad_outliers):
+    # |x - median| > c*MAD; the engine's interpolated median uses
+    # DuckDB's own quantile_cont formula so med/mad are bit-exact
+    "WITH med AS (SELECT event_type, median(value) AS med"
+    "             FROM events GROUP BY 1),"
+    "dev AS (SELECT e.event_type, median(abs(e.value - m.med)) AS mad"
+    "        FROM events e JOIN med m USING (event_type) GROUP BY 1) "
+    "SELECT e.event_id, e.event_type, ROUND(m.med, 4) AS med,"
+    "  ROUND(d.mad, 4) AS mad,"
+    "  (abs(e.value - m.med) > 1.5 * d.mad) AS is_outlier "
+    "FROM events e JOIN med m USING (event_type)"
+    " JOIN dev d USING (event_type)",
+)
+
+
+def _streaming_session_export(sf_dir: str) -> pa.Table:
+    """Session-close conversation export — the transcript flagship made
+    continuous: when the watermark closes a session window, its turns
+    are emitted as ONE assembled 'role: text' training document in
+    stable (ts, event_id) order. Pure composition: Session window +
+    ordered CollectList (streaming/accumulators.py _CollectListAcc
+    sorts merged partials by the catalog's offset-order tuple), doc
+    join vectorized post-emit. This is the north star's per-turn
+    text-equality invariant exercised inside a streaming window."""
+    def b():
+        return (Select(F("user_id"),
+                       CollectList(F("event_type")).As("roles"),
+                       CollectList(F("props")).As("texts"),
+                       Count(F("event_id")).As("n_turns"))
+                .From(Schema("events")).GroupBy(F("user_id"))
+                .Windowed(Session(30, MINUTES)).EmitFinal())
+
+    t = _stream_events(sf_dir, b, "sexp")
+
+    def join_docs(tbl: pa.Table) -> pa.Table:
+        roles = tbl.column("roles")
+        texts = tbl.column("texts")
+        if isinstance(roles, pa.ChunkedArray):
+            roles = roles.combine_chunks()
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lines = pc.binary_join_element_wise(
+            pc.cast(roles.values, pa.string()),
+            pc.cast(texts.values, pa.string()), ": ")
+        docs = pc.binary_join(
+            pa.ListArray.from_arrays(texts.offsets, lines), chr(10))
+        out = tbl.drop_columns(["roles", "texts"])
+        return out.append_column("doc", docs)
+
+    return join_docs(t)
+
+
+REGISTRY["streaming_session_export"] = RawQ(
+    _streaming_session_export,
+    f"""WITH flagged AS (
+      SELECT user_id, event_id, event_type, props, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged)
+    SELECT min(ts) AS window_start, max(ts) AS window_end, user_id,
+           count(event_id) AS n_turns,
+           string_agg(event_type || ': ' || props, chr(10)
+                      ORDER BY ts, event_id) AS doc
+    FROM sessions GROUP BY user_id, sess_id""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3

@@ -452,3 +452,70 @@ def test_state_bounded_under_watermark(stream_catalog, fixture_dir, tmp_path):
     job.finish()
     # late in the stream, open state must be far below its peak
     assert open_counts[-1] < max(open_counts), f"state never shrank: {open_counts}"
+
+
+def test_session_export_assembles_docs(stream_catalog, fixture_dir, tmp_path):
+    """Session-close conversation export: two ordered CollectLists in one
+    session-window query, joined post-emit into 'role: text' documents —
+    streaming result == bounded engine == DuckDB string_agg oracle."""
+    import duckdb
+    import pyarrow.compute as pc
+
+    gap_us = 2 * 60 * 1_000_000
+    q = (
+        Select(F("conv_id"), CollectList(F("role")).As("roles"),
+               CollectList(F("text")).As("texts"),
+               Count(F("turn_idx")).As("n_turns"))
+        .From(Schema("transcripts"))
+        .GroupBy(F("conv_id"))
+        .Windowed(Session(2, MINUTES))
+        .EmitFinal()
+    )
+    files = _stream_files(fixture_dir)
+    job = StreamingJob(q, stream_catalog, str(tmp_path / "out"),
+                       num_partitions=4, lateness_us=1 << 60)
+    job.run(files)
+    job.finish()
+
+    def join_docs(tbl):
+        roles = tbl.column("roles").combine_chunks() if isinstance(
+            tbl.column("roles"), pa.ChunkedArray) else tbl.column("roles")
+        texts = tbl.column("texts").combine_chunks() if isinstance(
+            tbl.column("texts"), pa.ChunkedArray) else tbl.column("texts")
+        lines = pc.binary_join_element_wise(
+            pc.cast(roles.values, pa.string()),
+            pc.cast(texts.values, pa.string()), ": ")
+        docs = pc.binary_join(
+            pa.ListArray.from_arrays(texts.offsets, lines), chr(10))
+        return tbl.drop_columns(["roles", "texts"]).append_column(
+            "doc", docs)
+
+    streamed = join_docs(job.result())
+
+    from ksql_ray import Engine
+
+    eng = Engine(stream_catalog, num_partitions=4)
+    assert_tables_equal(streamed, join_docs(eng.table(q)))
+
+    con = duckdb.connect()
+    glob_pat = fixture_dir["transcripts"] + "/*.parquet"
+    oracle = con.sql(f"""
+        WITH flagged AS (
+          SELECT conv_id, turn_idx, role, text, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM '{glob_pat}'
+          WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        ), sessions AS (
+          SELECT *, sum(new_sess) OVER (PARTITION BY conv_id
+                      ORDER BY ts, turn_idx ROWS UNBOUNDED PRECEDING)
+                 AS sess_id
+          FROM flagged)
+        SELECT min(ts) AS window_start, max(ts) AS window_end, conv_id,
+               count(turn_idx)::BIGINT AS n_turns,
+               string_agg(role || ': ' || text, chr(10)
+                          ORDER BY ts, turn_idx) AS doc
+        FROM sessions GROUP BY conv_id, sess_id""").arrow()
+    con.close()
+    assert_tables_equal(streamed, oracle)
