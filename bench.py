@@ -598,6 +598,24 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
             n_tables=4, vec_dtype=np.float32,
         ).count())
 
+    # contrastive hard-negative mining: 256 anchors vs the 100k corpus
+    # (labels synthesized by id bucket; the training-minibatch shape)
+    from ksql_ray.ops.ann import mine_hard_negatives
+
+    def _with_labels():
+        def lab(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id")
+            return b.append_column("label", pc.cast(
+                pc.subtract(ids, pc.multiply(pc.divide(ids, 16), 16)),
+                pa.int32()))
+        return ray.data.read_parquet(vec_path).map_batches(
+            lab, batch_format="pyarrow", zero_copy_batch=True)
+
+    out["hard_negatives_100k_256a"] = min2(
+        lambda: mine_hard_negatives(
+            _with_labels(), k=8,
+            anchor_ids=list(range(0, 25_600, 100))).count())
+
     qcol = pq.read_table(vec_path).slice(0, 16).column("embedding").combine_chunks()
     qm2 = qcol.flatten().to_numpy(zero_copy_only=False).reshape(16, 64).astype(np.float64)
     out["ivf_ann_100k_16q"] = min2(
@@ -814,6 +832,17 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["mad_outliers_200k"] = min2(lambda: mad_outliers(
         turns6(), "conv_id", "turn_idx", c=3.0).count())
+
+    # cross-source duplication matrix (templated fixture text means
+    # real dup groups exist; role stands in for the source column)
+    from ksql_ray.ops.dedup import source_overlap
+
+    def turns_src():
+        return ray.data.read_parquet(
+            paths["transcripts"], columns=["role", "text"])
+
+    out["source_overlap_200k"] = min2(lambda: source_overlap(
+        turns_src(), source_col="role", fingerprint="fast").count())
 
     # rank family, next-turn pairing, transition matrix, cumulative agg
     from ksql_ray.ops.rows import (rank_per_key, transition_counts,

@@ -262,3 +262,95 @@ def ivf_topk(
         max_restarts=0,  # ctor args in object store + restarts -> ray#53727 warning
     )
     return _merge_topk(partials, k)
+
+
+@ray.remote
+def _anchor_bundle(id_col: str, label_col: str, vec_col: str,
+                   anchor_ids, *blocks: pa.Table) -> dict:
+    t = pa.concat_tables([b for b in blocks if b.num_rows],
+                         promote_options="default")
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    if anchor_ids is not None:
+        keep = np.isin(ids, np.asarray(anchor_ids))
+        t = t.filter(pa.array(keep))
+        ids = ids[keep]
+    return {
+        "ids": ids.astype(np.int64),
+        "labels": t.column(label_col).to_numpy(zero_copy_only=False),
+        "matrix": normalize_rows(vecs_np(t.column(vec_col))),
+    }
+
+
+class _HardNegTopK:
+    """Actor-pool stage: anchor bundle resolved once per actor; one
+    matmul per batch; same-id and SAME-LABEL candidates masked out."""
+
+    def __init__(self, bundle_ref, k: int, id_col: str, vec_col: str,
+                 label_col: str):
+        b = ray.get(bundle_ref) if isinstance(bundle_ref, ray.ObjectRef) \
+            else bundle_ref
+        self.qids = b["ids"]
+        self.qlabels = b["labels"]
+        self.qm = b["matrix"]
+        self.k, self.id_col, self.vec_col, self.label_col = \
+            k, id_col, vec_col, label_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = vecs_np(batch.column(self.vec_col))
+        if emb.size == 0:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64())})
+        emb = normalize_rows(emb)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        labels = batch.column(self.label_col).to_numpy(
+            zero_copy_only=False)
+        sims = self.qm @ emb.T
+        mask = (self.qids[:, None] == ids[None, :]) | \
+               (self.qlabels[:, None] == labels[None, :])
+        sims[mask] = -np.inf
+        return _topk_partial_table(self.qids, ids, sims, self.k)
+
+
+def mine_hard_negatives(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_ids: list[int] | None = None,
+) -> ray.data.Dataset:
+    """Contrastive hard-negative mining: for each anchor vector, the k
+    nearest-by-cosine vectors with a DIFFERENT label -> (anchor_id,
+    neg_id, rank) with rank 1 = hardest (cosine desc, neg_id asc ties).
+    The standard batch-mining pass for embedding/reranker training
+    (e.g. Xiong et al. 2021 ANCE): negatives near the decision boundary
+    carry the gradient signal that random negatives don't.
+
+    Scale shape: the anchor bundle (ids, labels, normalized matrix) is
+    assembled in ONE remote task from the materialized blocks and
+    broadcast once per actor; the corpus streams through a matmul per
+    batch with per-batch top-k partials (k rows per anchor per batch on
+    the wire), one small merge task at the end. The bundle is
+    O(n_anchors x dim): mine minibatches via ``anchor_ids`` (the
+    training-loop usage) at 10^9-vector scale, or route through
+    ``ivf_topk`` buckets first; the full-corpus form here is the
+    exact, oracle-checkable baseline."""
+    sel = ds.select_columns([id_col, label_col, vec_col])
+    m = sel.materialize()
+    bref = _anchor_bundle.remote(id_col, label_col, vec_col,
+                                 anchor_ids, *m.to_arrow_refs())
+    partials = m.map_batches(
+        _HardNegTopK,
+        fn_constructor_kwargs={"bundle_ref": bref, "k": k,
+                               "id_col": id_col, "vec_col": vec_col,
+                               "label_col": label_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        max_restarts=0,  # ctor ref in object store + restarts -> ray#53727
+    )
+    out = _merge_topk(partials, k)
+    return out.map_batches(
+        lambda b: b.rename_columns(["anchor_id", "neg_id", "rank"]),
+        batch_format="pyarrow", zero_copy_batch=True)

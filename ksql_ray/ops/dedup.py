@@ -1093,3 +1093,98 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = "vec_id",
         })
 
     return _score_via_store(cands, store, id_col, score, num_partitions)
+
+
+def source_overlap(ds: ray.data.Dataset, text_col: str = "text",
+                   source_col: str = "source",
+                   fingerprint: str = "md5",
+                   num_partitions: int = 32) -> ray.data.Dataset:
+    """Cross-source duplication matrix — the provenance diagnostic run
+    before mixing corpora ("how much of source A is already in B?"):
+    one row per source pair (source_a <= source_b) with ``n_groups`` =
+    number of distinct duplicate-content groups the pair shares.
+    Off-diagonal rows count content present in BOTH sources; diagonal
+    rows count content duplicated (>= 2 copies) WITHIN one source.
+
+    Scale shape: per-batch distinct (fingerprint, source, cnt) partials
+    (the shuffle carries one row per distinct text per source per
+    batch, never documents) -> ONE hash exchange by fingerprint
+    (hash-disjoint partitions make each group's source set complete) ->
+    per-partition vectorized pair expansion (the per-group source list
+    is bounded by the source alphabet, so pairs come from <=n_sources
+    strided same-segment comparisons, no row loop) -> per-partition
+    (source_a, source_b, n) partials merged by smallagg.grouped_sum.
+    ``fingerprint="fast"`` swaps md5 for the 128-bit vectorized hash
+    (the 10^9-doc path; "md5" is the oracle-reproducible form)."""
+    from .smallagg import grouped_sum
+    from .text import add_fast_fingerprint
+
+    fast = fingerprint == "fast"
+    hcols = ["h", "h_hi"] if fast else ["h"]
+
+    def digest(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        sel = batch.select([source_col, text_col])
+        b = add_fast_fingerprint(sel, text_col, "h") if fast \
+            else add_fingerprint(sel, text_col, "h")
+        df = b.drop_columns([text_col]).to_pandas()
+        g = df.groupby(hcols + [source_col], sort=False).size()
+        g = g.rename("cnt").reset_index()
+        out = {c: pa.Array.from_pandas(g[c], type=b.schema.field(c).type)
+               for c in hcols + [source_col]}
+        out["cnt"] = pa.array(g["cnt"].to_numpy(), type=pa.int64())
+        return pa.table(out)
+
+    parts = ds.map_batches(_pin(digest), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def expand(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        st = group.schema.field(source_col).type if \
+            source_col in group.column_names else pa.string()
+        empty = pa.table({"source_a": pa.nulls(0, st),
+                          "source_b": pa.nulls(0, st),
+                          "n": pa.array([], type=pa.int64())})
+        if group.num_rows == 0 or "cnt" not in group.column_names:
+            return empty
+        df = group.to_pandas().groupby(
+            hcols + [source_col], sort=False)["cnt"].sum().reset_index()
+        df = df.sort_values(hcols + [source_col], kind="stable")
+        src = df[source_col].to_numpy()
+        cnt = df["cnt"].to_numpy()
+        hkey = df[hcols[0]].to_numpy() if len(hcols) == 1 else \
+            list(zip(df["h"].to_numpy(), df["h_hi"].to_numpy()))
+        hkey = pd.factorize(pd.Series(hkey))[0]
+        n = len(df)
+        pairs_a, pairs_b = [src[cnt >= 2]], [src[cnt >= 2]]  # diagonal
+        d = 1
+        while True:  # <= per-group source-alphabet iterations, not rows
+            same = hkey[d:] == hkey[:-d] if d < n else np.zeros(0, bool)
+            if not same.any():
+                break
+            pairs_a.append(src[:-d][same])
+            pairs_b.append(src[d:][same])
+            d += 1
+        a = np.concatenate(pairs_a)
+        b = np.concatenate(pairs_b)
+        if not len(a):
+            return empty
+        pdf = pd.DataFrame({"source_a": a, "source_b": b})
+        g = pdf.groupby(["source_a", "source_b"], sort=False).size()
+        g = g.rename("n").reset_index()
+        return pa.table({
+            "source_a": pa.Array.from_pandas(g["source_a"], type=st),
+            "source_b": pa.Array.from_pandas(g["source_b"], type=st),
+            "n": pa.array(g["n"].to_numpy(), type=pa.int64())})
+
+    expanded = _partition_by(parts, hcols, num_partitions).map_groups(
+        _pin(expand), batch_format="pyarrow")
+    merged = grouped_sum(expanded, ["source_a", "source_b"], ["n"])
+    return merged.map_batches(
+        lambda b: b.rename_columns(
+            ["source_a", "source_b", "n_groups"]
+            if b.column_names == ["source_a", "source_b", "n"]
+            else b.column_names),
+        batch_format="pyarrow", zero_copy_batch=True)

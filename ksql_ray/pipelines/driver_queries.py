@@ -5962,6 +5962,88 @@ REGISTRY["streaming_session_export"] = RawQ(
 )
 
 
+def _op_source_overlap(sf_dir: str) -> pa.Table:
+    """Cross-source duplication matrix over documents plus planted
+    duplicates: every 7th doc mirrored into a synthetic 'mirror' source
+    (cross-source overlap) and every 13th doc copied within its own
+    source (diagonal intra-source dups) — the fixture corpus itself has
+    no exact duplicates, so the plant is what the op must find."""
+    from ..ops.dedup import source_overlap
+
+    docs = _read_clean(f"{sf_dir}/documents.parquet").select_columns(
+        ["doc_id", "text", "source"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        text = pc.cast(batch.column("text"), pa.string())
+        src = pc.cast(batch.column("source"), pa.string())
+        base = pa.table({"text": text, "source": src})
+        m7 = pc.equal(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 7), 7)), 0)
+        cp7 = pa.table({
+            "text": text.filter(m7),
+            # typed literal: zero-row planted batches must not become
+            # null-typed (round-3 verdict harness lesson)
+            "source": pa.array(
+                ["mirror"] * pc.sum(pc.cast(m7, pa.int64())).as_py(),
+                type=pa.string())})
+        m13 = pc.equal(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 13), 13)), 0)
+        cp13 = pa.table({"text": text.filter(m13),
+                         "source": src.filter(m13)})
+        return pa.concat_tables([base, cp7, cp13])
+
+    corpus = docs.map_batches(plant, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return _collect(source_overlap(corpus))
+
+
+REGISTRY["op_source_overlap"] = RawQ(
+    _op_source_overlap,
+    # provenance diagnostic (ops/dedup.py source_overlap): per source
+    # pair, # of duplicate-content groups shared (diagonal = intra-
+    # source dups); plant mirrors every 7th doc cross-source and
+    # copies every 13th within-source
+    """
+WITH corpus AS (
+  SELECT text, source FROM documents
+  UNION ALL SELECT text, 'mirror' FROM documents WHERE doc_id % 7 = 0
+  UNION ALL SELECT text, source FROM documents WHERE doc_id % 13 = 0
+), f AS (SELECT md5(text) AS h, source, count(*) AS c
+         FROM corpus GROUP BY 1, 2),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM f a JOIN f b ON a.h = b.h AND a.source < b.source
+  UNION ALL SELECT source, source FROM f WHERE c >= 2)
+SELECT source_a, source_b, count(*)::BIGINT AS n_groups
+FROM pairs GROUP BY 1, 2""",
+)
+
+
+def _op_hard_negatives(sf_dir: str) -> pa.Table:
+    from ..ops.ann import mine_hard_negatives
+
+    ds = _read_clean(f"{sf_dir}/embeddings.parquet")
+    return _collect(mine_hard_negatives(ds, k=5))
+
+
+REGISTRY["op_hard_negatives"] = RawQ(
+    _op_hard_negatives,
+    # contrastive hard-negative mining (ops/ann.py mine_hard_negatives):
+    # per anchor, the 5 nearest-by-cosine vectors with a DIFFERENT label
+    """SELECT a.vec_id AS anchor_id, e.vec_id AS neg_id,
+       row_number() OVER (
+         PARTITION BY a.vec_id
+         ORDER BY list_inner_product(a.embedding, e.embedding) /
+                  (sqrt(list_sum(list_transform(a.embedding, x -> x*x))) *
+                   sqrt(list_sum(list_transform(e.embedding, x -> x*x))))
+                  DESC, e.vec_id) AS rank
+FROM embeddings a JOIN embeddings e
+  ON e.vec_id != a.vec_id AND e.label != a.label
+QUALIFY rank <= 5""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3

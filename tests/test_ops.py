@@ -349,3 +349,65 @@ def test_simhash_blocks_scheme_exact(ray_session):
     assert got_chunks <= brute
     if got_chunks != brute:
         assert stats.get("simhash.capped_buckets", 0) > 0
+
+
+# ------------------------------------------------------ hard-negative mining
+def test_hard_negatives_brute_force(ray_session):
+    import numpy as np
+
+    from ksql_ray.ops.ann import mine_hard_negatives
+
+    # anchors on axes: nearest different-label vector is unambiguous
+    vecs = np.array([
+        [1.0, 0.0], [0.9, 0.1],        # label 0 cluster
+        [0.0, 1.0], [0.1, 0.9],        # label 1 cluster
+        [0.7, 0.7],                    # label 2, between clusters
+    ])
+    t = pa.table({
+        "vec_id": pa.array(range(5), pa.int64()),
+        "embedding": pa.array(vecs.tolist(),
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1, 1, 2], pa.int32()),
+    })
+    out = {(r["anchor_id"], r["rank"]): r["neg_id"]
+           for r in mine_hard_negatives(
+               ray.data.from_arrow(t).repartition(2), k=1).take_all()}
+    # the diagonal vector 4 is every axis cluster's hardest negative
+    assert out[(0, 1)] == 4 and out[(2, 1)] == 4
+    # for 4 itself both clusters tie by symmetry -> lowest neg_id wins
+    assert out[(4, 1)] in (1, 3)
+
+
+def test_hard_negatives_same_label_only_is_empty(ray_session):
+    import numpy as np
+
+    from ksql_ray.ops.ann import mine_hard_negatives
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([7, 7], pa.int32()),
+    })
+    assert mine_hard_negatives(ray.data.from_arrow(t), k=3).count() == 0
+
+
+def test_hard_negatives_anchor_subset(ray_session):
+    import numpy as np
+
+    from ksql_ray.ops.ann import mine_hard_negatives
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((20, 4))
+    t = pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(20)], pa.int32()),
+    })
+    rows = mine_hard_negatives(ray.data.from_arrow(t), k=2,
+                               anchor_ids=[3, 7]).take_all()
+    assert {r["anchor_id"] for r in rows} == {3, 7}
+    assert all(r["rank"] <= 2 for r in rows)
+    # negatives never share the anchor's label
+    lbl = {i: i % 3 for i in range(20)}
+    assert all(lbl[r["anchor_id"]] != lbl[r["neg_id"]] for r in rows)

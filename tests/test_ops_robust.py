@@ -171,3 +171,41 @@ def test_mad_outliers_null_value_rows_flag_null(ray_session):
     nulls = out[out.v.isna()]
     assert nulls.is_outlier.isna().all()   # NULL value -> NULL flag
     assert out[out.v == 50.0].is_outlier.astype(bool).all()
+
+
+# ---------------------------------------------------------- source_overlap
+def test_source_overlap_brute_force(ray_session):
+    from ksql_ray.ops.dedup import source_overlap
+
+    t = pa.table({
+        "text": pa.array(["x", "x", "y", "y", "y", "z", "w", "w", "x"]),
+        "source": pa.array(["A", "B", "A", "A", "C", "B", "C", "C", "A"]),
+    })
+    out = {(r["source_a"], r["source_b"]): r["n_groups"]
+           for r in source_overlap(
+               ray.data.from_arrow(t).repartition(3)).take_all()}
+    # x in {A:2, B:1}; y in {A:2, C:1}; w in {C:2}; z unique
+    assert out == {("A", "A"): 2, ("A", "B"): 1, ("A", "C"): 1,
+                   ("C", "C"): 1}
+
+
+def test_source_overlap_fast_fingerprint_agrees(ray_session):
+    from ksql_ray.ops.dedup import source_overlap
+
+    t = pa.table({
+        "text": pa.array(["x", "x", "y", "y", "y", "z", "w", "w", "x"]),
+        "source": pa.array(["A", "B", "A", "A", "C", "B", "C", "C", "A"]),
+    })
+    md5 = sorted(map(tuple, (r.values() for r in source_overlap(
+        ray.data.from_arrow(t)).take_all())))
+    fast = sorted(map(tuple, (r.values() for r in source_overlap(
+        ray.data.from_arrow(t), fingerprint="fast").take_all())))
+    assert md5 == fast
+
+
+def test_source_overlap_no_dups_is_empty(ray_session):
+    from ksql_ray.ops.dedup import source_overlap
+
+    t = pa.table({"text": pa.array(["a", "b", "c"]),
+                  "source": pa.array(["A", "B", "C"])})
+    assert source_overlap(ray.data.from_arrow(t)).count() == 0
