@@ -833,6 +833,13 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["mad_outliers_200k"] = min2(lambda: mad_outliers(
         turns6(), "conv_id", "turn_idx", c=3.0).count())
 
+    # per-key debounce (chained emission; batched bisection per round)
+    from ksql_ray.ops.rows import throttle
+
+    out["throttle_200k"] = min2(lambda: throttle(
+        turns3(), ["conv_id"], "ts", 60_000_000,
+        tiebreak="turn_idx").count())
+
     # cross-source duplication matrix (templated fixture text means
     # real dup groups exist; role stands in for the source column)
     from ksql_ray.ops.dedup import source_overlap

@@ -37,7 +37,7 @@ __all__ = ["top_n_per_key", "sessionize", "with_lag", "with_lead",
            "moving_agg", "time_range_agg", "time_range_distinct",
            "rank_per_key", "rank_dist_per_key", "first_last_per_key",
            "standardize_per_key", "transition_counts",
-           "top_values_per_key"]
+           "top_values_per_key", "throttle"]
 
 
 def _segment_starts(sort_keys: list[np.ndarray], n: int) -> np.ndarray:
@@ -835,3 +835,85 @@ def top_values_per_key(ds: ray.data.Dataset, key_cols: list[str],
         key_cols + [col], ["cnt"])
     return top_n_per_key(merged, key_cols, "cnt", k, descending=True,
                          tiebreak=col, num_partitions=num_partitions)
+
+
+def throttle(ds: ray.data.Dataset, key_cols: list[str], ts_col: str,
+             interval_us: int, tiebreak: str | None = None,
+             mode: str = "chain",
+             num_partitions: int = 32) -> ray.data.Dataset:
+    """Per-key event rate limiting — keep at most one row per key per
+    ``interval_us`` and drop the rest (telemetry debounce, alert
+    suppression, per-device ingest throttling). Two semantics, both in
+    event time with (ts, tiebreak) ordering:
+
+    * ``mode="chain"`` (debounce): emit the key's first row, then
+      repeatedly the FIRST row at/after the previous emission +
+      interval — the Kafka-Streams-suppress / sensor-debounce rule.
+      The next emission depends on the previous one, so no plain SQL
+      window expresses it; the gate oracle is a recursive CTE.
+    * ``mode="bucket"``: emit the first row per (key,
+      floor(ts / interval)) grid cell — stateless, coarser (two kept
+      rows may be < interval apart across a cell boundary).
+
+    Returns the kept rows with all input columns.
+
+    Scale shape: ONE hash shuffle on the key, then a per-partition
+    sort + segment pass. Chain selection is a per-round batched binary
+    search (lo/hi bisection over every active key SIMULTANEOUSLY —
+    numpy vector ops only, ~log2(segment) passes per round); rounds =
+    max emissions for any key in the partition, which rate limiting
+    bounds by time-span / interval. No per-row or per-key Python."""
+    if mode not in ("chain", "bucket"):
+        raise ValueError("mode must be 'chain' or 'bucket'")
+    if interval_us <= 0:
+        raise ValueError("interval_us must be > 0")
+    sort_spec = [(k, "ascending") for k in key_cols] + \
+        [(ts_col, "ascending")] + \
+        ([(tiebreak, "ascending")] if tiebreak else [])
+
+    def pick(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            return group
+        tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
+        n = tbl.num_rows
+        t = pc.cast(tbl.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        seg = _segment_starts(_key_arrays(tbl, key_cols), n)
+        if mode == "bucket":
+            bucket = t // interval_us
+            first = np.ones(n, dtype=bool)
+            first[1:] = (seg[1:] != seg[:-1]) | (bucket[1:] != bucket[:-1])
+            return tbl.filter(pa.array(first))
+        starts = np.unique(seg)
+        ends = np.r_[starts[1:], n]
+        emitted = np.zeros(n, dtype=bool)
+        cur = starts.copy()
+        seg_end = ends.copy()
+        active = cur < seg_end
+        while active.any():
+            cur_a = cur[active]
+            emitted[cur_a] = True
+            deadline = t[cur_a] + interval_us
+            # batched per-segment lower_bound: first idx in
+            # (cur, end) with t >= deadline, bisected across all
+            # active segments at once
+            lo = cur_a + 1
+            hi = seg_end[active]
+            while True:
+                unresolved = lo < hi
+                if not unresolved.any():
+                    break
+                mid = (lo + hi) // 2
+                below = np.zeros(len(lo), dtype=bool)
+                below[unresolved] = t[mid[unresolved]] < \
+                    deadline[unresolved]
+                lo = np.where(unresolved & below, mid + 1, lo)
+                hi = np.where(unresolved & ~below, mid, hi)
+            cur[active] = lo
+            active = cur < seg_end
+        return tbl.filter(pa.array(emitted))
+
+    return _partition_by(ds, key_cols, num_partitions).map_groups(
+        _pin(pick), batch_format="pyarrow")

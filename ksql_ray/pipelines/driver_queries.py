@@ -6044,6 +6044,67 @@ QUALIFY rank <= 5""",
 )
 
 
+_THROTTLE_US = 6 * HOUR_US
+
+
+def _op_throttle(sf_dir: str) -> pa.Table:
+    from ..ops.rows import throttle
+
+    ds = _read_clean(f"{sf_dir}/events.parquet")
+    t = _collect(throttle(ds, ["user_id"], "ts", _THROTTLE_US,
+                          tiebreak="event_id"))
+    return t.select(["user_id", "event_id", "ts", "event_type"])
+
+
+REGISTRY["op_throttle"] = RawQ(
+    _op_throttle,
+    # chained per-key debounce (ops/rows.py throttle mode='chain'):
+    # emit first row, then repeatedly the first row >= prev emission +
+    # 6h — stateful chain, hence the recursive-CTE oracle
+    f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id, ts, event_type
+  FROM events),
+chain AS (
+  SELECT user_id, tus, event_id, ts, event_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY tus, event_id) AS rn
+    FROM ev) WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.tus, e.event_id, e.ts, e.event_type
+  FROM chain c JOIN ev e
+    ON e.user_id = c.user_id AND e.tus >= c.tus + {_THROTTLE_US}
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev e2 WHERE e2.user_id = c.user_id
+      AND e2.tus >= c.tus + {_THROTTLE_US}
+      AND (e2.tus < e.tus
+           OR (e2.tus = e.tus AND e2.event_id < e.event_id))))
+SELECT user_id, event_id, ts, event_type FROM chain""",
+)
+
+
+def _op_throttle_bucket(sf_dir: str) -> pa.Table:
+    from ..ops.rows import throttle
+
+    ds = _read_clean(f"{sf_dir}/events.parquet")
+    t = _collect(throttle(ds, ["user_id"], "ts", _THROTTLE_US,
+                          tiebreak="event_id", mode="bucket"))
+    return t.select(["user_id", "event_id", "ts", "event_type"])
+
+
+REGISTRY["op_throttle_bucket"] = RawQ(
+    _op_throttle_bucket,
+    # grid-cell rate limit (mode='bucket'): first row per (key,
+    # floor(ts/6h)) — the stateless coarse variant
+    f"""
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, epoch_us(ts) // {_THROTTLE_US}
+    ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events) WHERE rn = 1""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3

@@ -472,3 +472,65 @@ def test_time_range_agg_null_ts_rejected(ray_session):
     with pytest.raises(Exception, match="NULL timestamps"):
         collect(time_range_agg(ray.data.from_arrow(t), ["k"], "ts",
                                "v", range_us=5))
+
+
+# ------------------------------------------------------------- throttle
+def test_throttle_chain_brute_force(ray_session):
+    from ksql_ray.ops.rows import throttle
+
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + ["b"] * 2),
+        "ts": pa.array([0, 5, 11, 12, 25, 0, 100], pa.timestamp("us")),
+        "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+    })
+    out = throttle(ray.data.from_arrow(t).repartition(3), ["k"], "ts",
+                   10, tiebreak="id").take_all()
+    # a: emit 0 -> next >= 10 is ts 11 -> next >= 21 is ts 25; b: both
+    assert sorted(r["id"] for r in out) == [1, 3, 5, 6, 7]
+
+
+def test_throttle_ties_break_by_tiebreak(ray_session):
+    from ksql_ray.ops.rows import throttle
+
+    t = pa.table({
+        "k": pa.array(["a"] * 4),
+        "ts": pa.array([0, 10, 10, 10], pa.timestamp("us")),
+        "id": pa.array([9, 3, 2, 8], pa.int64()),
+    })
+    out = throttle(ray.data.from_arrow(t), ["k"], "ts", 10,
+                   tiebreak="id").take_all()
+    # deadline 10 lands on three equal-ts rows: smallest id (2) wins
+    assert sorted(r["id"] for r in out) == [2, 9]
+
+
+def test_throttle_bucket_vs_chain_semantics(ray_session):
+    from ksql_ray.ops.rows import throttle
+
+    # rows at ts 9 and 10 straddle a bucket edge: bucket keeps both,
+    # chain suppresses the second (9 + 10 > 10)
+    t = pa.table({
+        "k": pa.array(["a", "a"]),
+        "ts": pa.array([9, 10], pa.timestamp("us")),
+        "id": pa.array([1, 2], pa.int64()),
+    })
+    chain = throttle(ray.data.from_arrow(t), ["k"], "ts", 10,
+                     tiebreak="id").take_all()
+    bucket = throttle(ray.data.from_arrow(t), ["k"], "ts", 10,
+                      tiebreak="id", mode="bucket").take_all()
+    assert [r["id"] for r in chain] == [1]
+    assert sorted(r["id"] for r in bucket) == [1, 2]
+
+
+def test_throttle_validation_and_empty(ray_session):
+    import pytest as _pytest
+
+    from ksql_ray.ops.rows import throttle
+
+    t = pa.table({"k": pa.array([], type=pa.string()),
+                  "ts": pa.array([], type=pa.timestamp("us")),
+                  "id": pa.array([], type=pa.int64())})
+    assert throttle(ray.data.from_arrow(t), ["k"], "ts", 10).count() == 0
+    with _pytest.raises(ValueError):
+        throttle(ray.data.from_arrow(t), ["k"], "ts", 0)
+    with _pytest.raises(ValueError):
+        throttle(ray.data.from_arrow(t), ["k"], "ts", 10, mode="nope")
