@@ -424,6 +424,23 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["rescale_dedup_200k"] = min2(_rescale)
     _shutil.rmtree(_rs_base, ignore_errors=True)
 
+    # streaming per-key debounce-on-ingest (last-emission state actors)
+    from ksql_ray.streaming.throttle import StreamingThrottleJob
+
+    def _sthrottle():
+        outd = _tempfile.mkdtemp(prefix="ksql_bench_sthr_")
+        try:
+            job = StreamingThrottleJob(
+                outd, key_cols=["conv_id"], ts_col="ts",
+                interval_us=60_000_000, method="fast", num_partitions=8,
+                columns=["conv_id", "turn_idx", "ts"])
+            job.run(sfiles, files_per_epoch=16)
+            job.finish()
+        finally:
+            _shutil.rmtree(outd, ignore_errors=True)
+
+    out["streaming_throttle_200k"] = min2(_sthrottle)
+
     # the WHOLE prep chain on ingest: normalize -> Gopher quality
     # filter -> first-occurrence dedup in one pass (pre_transform runs
     # inside the prep tasks, before fingerprinting)

@@ -95,6 +95,34 @@ def main(argv: list[str] | None = None) -> int:
                     help="re-shard OLD_CKPT into --checkpoint-dir at "
                          "--partitions, then resume (cluster rescale)")
 
+    th = sub.add_parser(
+        "throttle",
+        help="streaming per-key debounce-on-ingest (ray-job entrypoint): "
+             "keep at most one row per key per interval")
+    th.add_argument("--input", required=True,
+                    help="directory of parquet micro-batch files")
+    th.add_argument("--sink", required=True,
+                    help="committed-output directory")
+    th.add_argument("--key-cols", required=True,
+                    help="comma-separated key columns")
+    th.add_argument("--ts-col", default="ts")
+    th.add_argument("--interval-s", type=float, required=True,
+                    help="minimum seconds between emissions per key")
+    th.add_argument("--method", default="fast", choices=["fast", "md5"],
+                    help="key fingerprint: vectorized 128-bit (scale "
+                         "path) or md5 (SQL-oracle form)")
+    th.add_argument("--columns", default=None,
+                    help="comma-separated passthrough columns "
+                         "(default all)")
+    th.add_argument("--partitions", type=int, default=16)
+    th.add_argument("--files-per-epoch", type=int, default=8)
+    th.add_argument("--checkpoint-dir", default=None)
+    th.add_argument("--checkpoint-every", type=int, default=0)
+    th.add_argument("--resume", action="store_true")
+    th.add_argument("--reshard-from", default=None, metavar="OLD_CKPT",
+                    help="re-shard OLD_CKPT into --checkpoint-dir at "
+                         "--partitions, then resume (cluster rescale)")
+
     nd = sub.add_parser(
         "neardup",
         help="streaming MinHash-LSH near-dup suppression (ray-job "
@@ -411,6 +439,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_stream(args)
     if args.cmd == "dedup":
         return _run_dedup(args)
+    if args.cmd == "throttle":
+        return _run_throttle(args)
     if args.cmd == "neardup":
         return _run_neardup(args)
     if args.cmd == "cep":
@@ -862,6 +892,49 @@ def _run_dedup(args) -> int:
         "sec": round(_time.perf_counter() - t0, 3),
         "rows_in": m["rows_in"], "rows_out": m["rows_out"],
         "state_keys": m["state_keys"], "sink": args.sink,
+    }))
+    if owns_session:  # never tear down a caller's (e.g. pytest's) session
+        ray.shutdown()
+    return 0
+
+
+def _run_throttle(args) -> int:
+    """Streaming per-key throttle job (owns the Ray session, one JSON
+    summary line — the same ``ray job submit`` shape as ``dedup``)."""
+    import glob
+    import json
+    import time as _time
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False, ignore_reinit_error=True)
+    from .streaming.throttle import StreamingThrottleJob
+
+    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not files:
+        print(f"error: no parquet files under {args.input}", file=sys.stderr)
+        return 1
+    cols = args.columns.split(",") if args.columns else None
+    t0 = _time.perf_counter()
+    job = StreamingThrottleJob(
+        args.sink, key_cols=args.key_cols.split(","), ts_col=args.ts_col,
+        interval_us=int(args.interval_s * 1_000_000), method=args.method,
+        columns=cols, num_partitions=args.partitions,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
+    if args.reshard_from:
+        print(json.dumps({"resharded": job.reshard_from(
+            args.reshard_from)}), flush=True)
+    job.run(files, files_per_epoch=args.files_per_epoch)
+    m = job.finish()
+    print(json.dumps({
+        "files": len(files), "epochs": m["epochs"],
+        "sec": round(_time.perf_counter() - t0, 3),
+        "rows_in": m["rows_in"], "rows_out": m["rows_out"],
+        "state_records": m["state_records"], "sink": args.sink,
     }))
     if owns_session:  # never tear down a caller's (e.g. pytest's) session
         ray.shutdown()

@@ -6105,6 +6105,47 @@ SELECT user_id, event_id, ts, event_type FROM (
 )
 
 
+def _streaming_throttle(sf_dir: str) -> pa.Table:
+    """Debounce-on-ingest: events replayed ts-ordered as 8 micro-batch
+    files through StreamingThrottleJob (per-key last-emission state,
+    md5 key fingerprints); with ts-ordered arrival the emitted set
+    equals the bounded chain-throttle recursive-CTE oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.throttle import StreamingThrottleJob
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
+        ("ts", "ascending"), ("event_id", "ascending")]))
+    n = tbl.num_rows
+    fdir = tempfile.mkdtemp(prefix="ksql_ray_sthr_in_")
+    out = tempfile.mkdtemp(prefix="ksql_ray_sthr_out_")
+    try:
+        files = []
+        for i in range(8):
+            s = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+            p = os.path.join(fdir, f"b{i:02d}.parquet")
+            pq.write_table(s, p)
+            files.append(p)
+        job = StreamingThrottleJob(
+            out, key_cols=["user_id"], ts_col="ts",
+            interval_us=_THROTTLE_US, method="md5", num_partitions=4)
+        job.run(files, files_per_epoch=2)
+        t = job.result()
+        return t.select(["user_id", "event_id", "ts", "event_type"])
+    finally:
+        shutil.rmtree(fdir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+REGISTRY["streaming_throttle"] = RawQ(
+    _streaming_throttle, REGISTRY["op_throttle"].sql)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3
