@@ -850,6 +850,13 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["mad_outliers_200k"] = min2(lambda: mad_outliers(
         turns6(), "conv_id", "turn_idx", c=3.0).count())
 
+    # Flesch readability (three RE2 kernels + one reduceat)
+    from ksql_ray.ops.quality import add_readability
+
+    out["readability_200k"] = min2(lambda: docs_ds().map_batches(
+        add_readability, batch_format="pyarrow",
+        zero_copy_batch=True).count())
+
     # per-key debounce (chained emission; batched bisection per round)
     from ksql_ray.ops.rows import throttle
 

@@ -837,6 +837,39 @@ def top_values_per_key(ds: ray.data.Dataset, key_cols: list[str],
                          tiebreak=col, num_partitions=num_partitions)
 
 
+def _chain_emitted(t: np.ndarray, starts: np.ndarray,
+                   interval_us: int) -> np.ndarray:
+    """Chained debounce over per-segment ts-sorted values: emitted mask
+    for "first row, then repeatedly the first row >= previous emission
+    + interval". Pure numpy (property-tested directly): each round
+    emits one row per active segment and advances it with a BATCHED
+    lower-bound bisection across all active segments at once."""
+    n = len(t)
+    ends = np.r_[starts[1:], n]
+    emitted = np.zeros(n, dtype=bool)
+    cur = starts.copy()
+    active = cur < ends
+    while active.any():
+        cur_a = cur[active]
+        emitted[cur_a] = True
+        deadline = t[cur_a] + interval_us
+        lo = cur_a + 1
+        hi = ends[active]
+        while True:
+            unresolved = lo < hi
+            if not unresolved.any():
+                break
+            mid = (lo + hi) // 2
+            below = np.zeros(len(lo), dtype=bool)
+            below[unresolved] = t[mid[unresolved]] < \
+                deadline[unresolved]
+            lo = np.where(unresolved & below, mid + 1, lo)
+            hi = np.where(unresolved & ~below, mid, hi)
+        cur[active] = lo
+        active = cur < ends
+    return emitted
+
+
 def throttle(ds: ray.data.Dataset, key_cols: list[str], ts_col: str,
              interval_us: int, tiebreak: str | None = None,
              mode: str = "chain",
@@ -886,34 +919,8 @@ def throttle(ds: ray.data.Dataset, key_cols: list[str], ts_col: str,
             first = np.ones(n, dtype=bool)
             first[1:] = (seg[1:] != seg[:-1]) | (bucket[1:] != bucket[:-1])
             return tbl.filter(pa.array(first))
-        starts = np.unique(seg)
-        ends = np.r_[starts[1:], n]
-        emitted = np.zeros(n, dtype=bool)
-        cur = starts.copy()
-        seg_end = ends.copy()
-        active = cur < seg_end
-        while active.any():
-            cur_a = cur[active]
-            emitted[cur_a] = True
-            deadline = t[cur_a] + interval_us
-            # batched per-segment lower_bound: first idx in
-            # (cur, end) with t >= deadline, bisected across all
-            # active segments at once
-            lo = cur_a + 1
-            hi = seg_end[active]
-            while True:
-                unresolved = lo < hi
-                if not unresolved.any():
-                    break
-                mid = (lo + hi) // 2
-                below = np.zeros(len(lo), dtype=bool)
-                below[unresolved] = t[mid[unresolved]] < \
-                    deadline[unresolved]
-                lo = np.where(unresolved & below, mid + 1, lo)
-                hi = np.where(unresolved & ~below, mid, hi)
-            cur[active] = lo
-            active = cur < seg_end
-        return tbl.filter(pa.array(emitted))
+        return tbl.filter(pa.array(
+            _chain_emitted(t, np.unique(seg), interval_us)))
 
     return _partition_by(ds, key_cols, num_partitions).map_groups(
         _pin(pick), batch_format="pyarrow")

@@ -6146,6 +6146,37 @@ REGISTRY["streaming_throttle"] = RawQ(
     _streaming_throttle, REGISTRY["op_throttle"].sql)
 
 
+def _op_readability(sf_dir: str) -> pa.Table:
+    from ..ops.quality import add_readability
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet").select_columns(
+        ["doc_id", "text"])
+    t = _collect(ds.map_batches(add_readability, batch_format="pyarrow",
+                                zero_copy_batch=True))
+    return t.select(["doc_id", "flesch"])
+
+
+REGISTRY["op_readability"] = RawQ(
+    _op_readability,
+    # Flesch reading ease (ops/quality.py add_readability): vowel-run
+    # syllables (floor 1/word), [.!?]+ sentence runs, 4dp both sides
+    r"""
+WITH t AS (SELECT doc_id, trim(lower(text)) AS lt FROM documents),
+w AS (SELECT doc_id, lt, regexp_split_to_array(lt, '\s+') AS toks FROM t),
+syl AS (
+  SELECT doc_id, len(toks)::DOUBLE AS words,
+    greatest(len(regexp_extract_all(lt, '[.!?]+')), 1)::DOUBLE
+      AS sentences,
+    (len(regexp_extract_all(lt, '[aeiouy]+'))
+     + len(list_filter(toks, x -> NOT regexp_matches(x, '[aeiouy]'))))
+      ::DOUBLE AS syllables
+  FROM w)
+SELECT doc_id, ROUND(206.835 - 1.015 * (words / sentences)
+                     - 84.6 * (syllables / words), 4) AS flesch
+FROM syl""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3

@@ -471,3 +471,60 @@ def test_strip_markup_matches_duckdb(duck):
                '[ \t]+', ' ', 'g'), ' ' || chr(9) || chr(13))
         FROM smk""").fetchall()]
     assert got == exp
+
+
+# ------------------------------------------------------------ readability
+def test_readability_brute_force():
+    from ksql_ray.ops.quality import add_readability
+
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([
+            "The cat sat. On the mat!",     # 6 words, 2 sentences
+            "xyzzy 123 ?!",                 # no-vowel words floor at 1
+            None,                           # NULL -> NULL
+            "word",                         # no sentence punct -> 1
+        ]),
+    })
+    out = add_readability(t).to_pydict()
+
+    def brute(text):
+        import re
+        lt = text.strip().lower()
+        toks = re.split(r"\s+", lt)
+        words = len(toks)
+        sents = max(len(re.findall(r"[.!?]+", lt)), 1)
+        syl = len(re.findall(r"[aeiouy]+", lt)) + sum(
+            1 for x in toks if not re.search(r"[aeiouy]", x))
+        v = 206.835 - 1.015 * (words / sents) - 84.6 * (syl / words)
+        import numpy as _np
+        return float(_np.trunc(v * 1e4 + (0.5 if v >= 0 else -0.5)) / 1e4)
+
+    for i, text in enumerate(t.column("text").to_pylist()):
+        if text is None:
+            assert out["flesch"][i] is None
+        else:
+            assert out["flesch"][i] == brute(text), (i, text)
+
+
+def test_readability_vs_duckdb(docs_ds, duck):
+    from conftest import assert_tables_equal, collect
+    from ksql_ray.ops.quality import add_readability
+
+    got = collect(docs_ds.map_batches(
+        add_readability, batch_format="pyarrow",
+        zero_copy_batch=True)).select(["doc_id", "flesch"])
+    exp = duck.sql(r"""
+WITH t AS (SELECT doc_id, trim(lower(text)) AS lt FROM documents),
+w AS (SELECT doc_id, lt, regexp_split_to_array(lt, '\s+') AS toks FROM t),
+syl AS (
+  SELECT doc_id, len(toks)::DOUBLE AS words,
+    greatest(len(regexp_extract_all(lt, '[.!?]+')), 1)::DOUBLE AS sentences,
+    (len(regexp_extract_all(lt, '[aeiouy]+'))
+     + len(list_filter(toks, x -> NOT regexp_matches(x, '[aeiouy]'))))
+      ::DOUBLE AS syllables
+  FROM w)
+SELECT doc_id, ROUND(206.835 - 1.015 * (words / sentences)
+                     - 84.6 * (syllables / words), 4) AS flesch
+FROM syl""").arrow()
+    assert_tables_equal(got, exp, float_tol=0)

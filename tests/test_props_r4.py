@@ -144,3 +144,65 @@ def test_similarity_join_sound_and_complete_on_dups(ray_session):
                     got.column("right_id").to_pylist()))
     for i in range(6):
         assert (i, 100 + i) in found
+
+
+# ------------------------------------------------------- throttle chain
+@st.composite
+def segmented_times(draw):
+    """Random per-key ts arrays: list of sorted int64 segments."""
+    n_seg = draw(st.integers(1, 6))
+    segs = []
+    for _ in range(n_seg):
+        m = draw(st.integers(0, 30))
+        ts = sorted(draw(st.lists(st.integers(0, 400), min_size=m,
+                                  max_size=m)))
+        segs.append(np.array(ts, dtype=np.int64))
+    return segs
+
+
+@given(segmented_times(), st.integers(1, 100))
+@settings(max_examples=60, deadline=None)
+def test_chain_emitted_matches_sequential_reference(segs, interval):
+    from ksql_ray.ops.rows import _chain_emitted
+
+    t = np.concatenate([s for s in segs]) if segs else np.zeros(0)
+    starts = np.array(np.cumsum([0] + [len(s) for s in segs[:-1]]),
+                      dtype=np.int64)
+    starts = starts[[len(s) > 0 for s in segs]]
+    # drop empty segments (the op's np.unique(seg) never yields them)
+    t = t.astype(np.int64)
+    got = _chain_emitted(t, starts, interval)
+
+    # one-row-at-a-time reference
+    exp = np.zeros(len(t), dtype=bool)
+    pos = 0
+    for s in segs:
+        last = None
+        for j in range(len(s)):
+            if last is None or s[j] >= last + interval:
+                exp[pos + j] = True
+                last = s[j]
+        pos += len(s)
+    assert np.array_equal(got, exp)
+
+    # invariants: first row of every segment emits; emitted rows are
+    # >= interval apart within a segment
+    pos = 0
+    for s in segs:
+        idx = np.flatnonzero(got[pos:pos + len(s)])
+        if len(s):
+            assert got[pos]
+        if len(idx) > 1:
+            assert (np.diff(s[idx]) >= interval).all()
+        pos += len(s)
+
+
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1,
+                max_size=50))
+@settings(max_examples=40, deadline=None)
+def test_interp_median_matches_numpy(vals):
+    from ksql_ray.ops.profile import _interp_median
+
+    v = np.sort(np.array(vals, dtype=np.float64))
+    got = _interp_median(v, np.array([0]), np.array([len(v)]))
+    assert got[0] == pytest.approx(np.median(v), rel=0, abs=1e-9)
