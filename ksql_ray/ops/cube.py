@@ -32,7 +32,8 @@ import ray.data
 
 from .dedup import _pin
 
-__all__ = ["rollup_agg", "cube_agg", "pivot_agg"]
+__all__ = ["rollup_agg", "cube_agg", "pivot_agg",
+           "grouping_sets_agg"]
 
 # Partials at or under this size are merged in ONE remote task instead
 # of one Ray sort-groupby per rollup level (each costs ~2.4 s fixed on
@@ -355,3 +356,112 @@ def pivot_agg(ds: ray.data.Dataset, key_col: str, pivot_col: str,
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+@ray.remote
+def _gsets_merge_task(keys: list[str], sets: list[tuple],
+                      *blocks: pa.Table) -> pa.Table:
+    """User-listed grouping sets from small partials, one task — one
+    output block PER LISTED SET (SQL emits duplicates if a set is
+    listed twice), each re-aggregating the merged base level."""
+    import pandas as pd
+
+    t = pa.concat_tables(blocks, promote_options="default")
+    key_types = {k: t.schema.field(k).type for k in keys}
+    base = t.to_pandas().groupby(keys, dropna=False, sort=False).agg(
+        __sum=("__sum", "sum"), __cnt=("__cnt", "sum")).reset_index()
+    outs = []
+    for sub in sets:
+        if sub:
+            g = base.groupby(list(sub), dropna=False, sort=False).agg(
+                __sum=("__sum", "sum"),
+                __cnt=("__cnt", "sum")).reset_index()
+        else:
+            g = pd.DataFrame({"__sum": [base["__sum"].sum()],
+                              "__cnt": [base["__cnt"].sum()]})
+        n = len(g)
+        cols = {}
+        for k in keys:
+            if k in sub:
+                cols[k] = pa.Array.from_pandas(g[k], type=key_types[k])
+            else:
+                cols[k] = pa.nulls(n, key_types[k])
+        cnt = g["__cnt"].to_numpy(np.int64)
+        cols["sum_v"] = pa.array(g["__sum"].to_numpy(np.float64),
+                                 type=pa.float64(), mask=cnt == 0)
+        cols["cnt_v"] = pa.array(cnt, type=pa.int64())
+        outs.append(pa.table(cols))
+    return pa.concat_tables(outs)
+
+
+def grouping_sets_agg(ds: ray.data.Dataset, keys: list[str],
+                      sets: list[tuple], value_col: str
+                      ) -> ray.data.Dataset:
+    """SQL ``GROUP BY GROUPING SETS (...)``: the user-listed subset
+    family (ROLLUP and CUBE are the prefix / power-set special cases),
+    NULL in unused key columns, ``sum_v``/``cnt_v`` per group; a set
+    listed twice emits twice (SQL semantics). Same scale shape as
+    ``cube_agg``: one scan of per-batch distinct-key partials, every
+    set re-aggregated from the merged base level (one task small, one
+    ``grouped_sum`` exchange per distinct non-base set large)."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    sets = [tuple(s) for s in sets]
+    if not sets:
+        raise ValueError("sets must be non-empty")
+    for s in sets:
+        bad = [c for c in s if c not in keys]
+        if bad:
+            raise ValueError(f"grouping-set columns not in keys: {bad}")
+
+    parts = ds.map_batches(
+        _pin(lambda b: _base_partial(b, keys, value_col)),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if parts.size_bytes() <= _SMALL_PARTIAL_BYTES:
+        ref = _gsets_merge_task.remote(keys, sets,
+                                       *parts.to_arrow_refs())
+        return ray.data.from_arrow_refs([ref])
+
+    from .smallagg import grouped_sum
+
+    key_types = {f.name: f.type for f in ds.schema().base_schema
+                 if f.name in keys}
+    base = grouped_sum(parts, keys, ["__sum", "__cnt"]).materialize()
+
+    def _widen_sub(sub: tuple):
+        def fix(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            for k in keys:
+                if k not in sub:
+                    b = b.append_column(k, pa.nulls(n, key_types[k]))
+            mask = pc.equal(b.column("__cnt"), 0)
+            s = pc.if_else(mask, pa.scalar(None, pa.float64()),
+                           b.column("__sum"))
+            return pa.table({**{k: b.column(k) for k in keys},
+                             "sum_v": s, "cnt_v": b.column("__cnt")})
+        return fix
+
+    levels = []
+    for sub in sets:
+        if not sub:
+            tot = base.sum(["__sum", "__cnt"])
+            total_tbl = pa.table({
+                **{k: pa.nulls(1, key_types[k]) for k in keys},
+                "sum_v": pa.array(
+                    [None if tot["sum(__cnt)"] == 0
+                     else tot["sum(__sum)"]], type=pa.float64()),
+                "cnt_v": pa.array([tot["sum(__cnt)"]], type=pa.int64()),
+            })
+            levels.append(ray.data.from_arrow(total_tbl))
+        elif set(sub) == set(keys):
+            levels.append(base.map_batches(_widen_sub(sub),
+                                           batch_format="pyarrow"))
+        else:
+            agg = grouped_sum(base, list(sub), ["__sum", "__cnt"])
+            levels.append(agg.map_batches(_widen_sub(sub),
+                                          batch_format="pyarrow"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

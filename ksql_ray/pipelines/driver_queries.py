@@ -6177,6 +6177,27 @@ FROM syl""",
 )
 
 
+def _op_grouping_sets(sf_dir: str) -> pa.Table:
+    from ..ops.cube import grouping_sets_agg
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_type", "user_id", "value"])
+    t = _collect(grouping_sets_agg(
+        ds, ["event_type", "user_id"],
+        [("event_type", "user_id"), ("event_type",), ()], "value"))
+    return _round_cols(t, {"sum_v": 4})
+
+
+REGISTRY["op_grouping_sets"] = RawQ(
+    _op_grouping_sets,
+    # arbitrary grouping-set family (ops/cube.py grouping_sets_agg):
+    # the non-CUBE subset list SQL GROUPING SETS expresses directly
+    "SELECT event_type, user_id, ROUND(SUM(value), 4) AS sum_v, "
+    "COUNT(value)::BIGINT AS cnt_v FROM events "
+    "GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3

@@ -237,3 +237,45 @@ def test_grouped_quantiles_brute_and_paths(ray_session, monkeypatch):
     assert norm(fast) == norm(slow)
     with pytest.raises(ValueError):
         grouped_quantiles(ray.data.from_arrow(t), ["k"], "v", qs=[2.0])
+
+
+# ---------------------------------------------------------- grouping sets
+def test_grouping_sets_vs_duckdb(ray_session, duck):
+    from conftest import SF_DIR, assert_tables_equal, collect
+    from ksql_ray.ops.cube import grouping_sets_agg
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+    got = collect(grouping_sets_agg(
+        ds, ["event_type", "user_id"],
+        [("event_type", "user_id"), ("user_id",), ()], "value"))
+    exp = duck.sql(
+        "SELECT event_type, user_id, SUM(value) AS sum_v, "
+        "COUNT(value)::BIGINT AS cnt_v FROM events "
+        "GROUP BY GROUPING SETS ((event_type, user_id), (user_id), ())"
+    ).arrow()
+    assert_tables_equal(got, exp)
+
+
+def test_grouping_sets_duplicate_set_emits_twice(ray_session):
+    from ksql_ray.ops.cube import grouping_sets_agg
+
+    t = pa.table({"k": pa.array(["a", "a", "b"]),
+                  "u": pa.array([1, 1, 2], pa.int64()),
+                  "v": pa.array([1.0, 2.0, 3.0])})
+    rows = grouping_sets_agg(ray.data.from_arrow(t), ["k", "u"],
+                             [("k",), ("k",)], "v").take_all()
+    ks = sorted(r["k"] for r in rows)
+    assert ks == ["a", "a", "b", "b"]   # each set listed twice
+
+
+def test_grouping_sets_validation(ray_session):
+    import pytest as _pytest
+
+    from ksql_ray.ops.cube import grouping_sets_agg
+
+    t = pa.table({"k": pa.array(["a"]), "v": pa.array([1.0])})
+    ds = ray.data.from_arrow(t)
+    with _pytest.raises(ValueError):
+        grouping_sets_agg(ds, ["k"], [], "v")
+    with _pytest.raises(ValueError):
+        grouping_sets_agg(ds, ["k"], [("nope",)], "v")
