@@ -360,16 +360,27 @@ def pivot_agg(ds: ray.data.Dataset, key_col: str, pivot_col: str,
 
 @ray.remote
 def _gsets_merge_task(keys: list[str], sets: list[tuple],
-                      *blocks: pa.Table) -> pa.Table:
+                      key_types: dict, *blocks: pa.Table) -> pa.Table:
     """User-listed grouping sets from small partials, one task — one
     output block PER LISTED SET (SQL emits duplicates if a set is
-    listed twice), each re-aggregating the merged base level."""
+    listed twice), each re-aggregating the merged base level.
+    ``key_types`` ships from the input schema: empty inputs produce
+    schema-less partial blocks (perf lesson #16), so types cannot be
+    recovered from the partials."""
     import pandas as pd
 
-    t = pa.concat_tables(blocks, promote_options="default")
-    key_types = {k: t.schema.field(k).type for k in keys}
-    base = t.to_pandas().groupby(keys, dropna=False, sort=False).agg(
-        __sum=("__sum", "sum"), __cnt=("__cnt", "sum")).reset_index()
+    blocks = [b for b in blocks
+              if all(c in b.column_names for c in keys)]
+    if blocks:
+        t = pa.concat_tables(blocks, promote_options="default")
+        base = t.to_pandas().groupby(
+            keys, dropna=False, sort=False).agg(
+            __sum=("__sum", "sum"), __cnt=("__cnt", "sum")).reset_index()
+    else:
+        base = pd.DataFrame({**{k: pd.Series(dtype=object)
+                                for k in keys},
+                             "__sum": pd.Series(dtype=float),
+                             "__cnt": pd.Series(dtype="int64")})
     outs = []
     for sub in sets:
         if sub:
@@ -418,15 +429,14 @@ def grouping_sets_agg(ds: ray.data.Dataset, keys: list[str],
         _pin(lambda b: _base_partial(b, keys, value_col)),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
 
+    key_types = {f.name: f.type for f in ds.schema().base_schema
+                 if f.name in keys}
     if parts.size_bytes() <= _SMALL_PARTIAL_BYTES:
-        ref = _gsets_merge_task.remote(keys, sets,
+        ref = _gsets_merge_task.remote(keys, sets, key_types,
                                        *parts.to_arrow_refs())
         return ray.data.from_arrow_refs([ref])
 
     from .smallagg import grouped_sum
-
-    key_types = {f.name: f.type for f in ds.schema().base_schema
-                 if f.name in keys}
     base = grouped_sum(parts, keys, ["__sum", "__cnt"]).materialize()
 
     def _widen_sub(sub: tuple):

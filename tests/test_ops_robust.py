@@ -209,3 +209,29 @@ def test_source_overlap_no_dups_is_empty(ray_session):
     t = pa.table({"text": pa.array(["a", "b", "c"]),
                   "source": pa.array(["A", "B", "C"])})
     assert source_overlap(ray.data.from_arrow(t)).count() == 0
+
+
+def test_conversation_stats_empty_input(ray_session):
+    from ksql_ray.ops.transcripts import conversation_stats
+
+    t = pa.table({
+        "conv_id": pa.array([], type=pa.string()),
+        "role": pa.array([], type=pa.string()),
+        "text": pa.array([], type=pa.string()),
+        "tool": pa.array([], type=pa.string()),
+        "ts": pa.array([], type=pa.timestamp("us")),
+    })
+    assert conversation_stats(
+        ray.data.from_arrow(t), ["conv_id"]).count() == 0
+
+
+def test_grouping_sets_empty_input(ray_session):
+    from ksql_ray.ops.cube import grouping_sets_agg
+
+    t = pa.table({"k": pa.array([], type=pa.string()),
+                  "v": pa.array([], type=pa.float64())})
+    rows = grouping_sets_agg(ray.data.from_arrow(t), ["k"],
+                             [("k",), ()], "v").take_all()
+    # the () total row exists even on empty input: cnt 0, sum NULL
+    assert len(rows) == 1
+    assert rows[0]["cnt_v"] == 0 and rows[0]["sum_v"] is None

@@ -174,3 +174,39 @@ def test_empty_epoch_and_validation(ray_session):
         assert m["rows_in"] == 0 and m["rows_out"] == 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_throttle_then_dedup_chain(ray_session):
+    """Job composability: the throttle sink directory feeds a
+    downstream dedup job unchanged (the ingest-chain deployment
+    shape: rate-limit -> dedup -> store)."""
+    from ksql_ray.streaming.dedup import StreamingDedupJob
+
+    turns = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "props": pa.array(["a", "a", "b", "a", "c"]),
+        "ts": pa.array([0, 1_000_000, 2 * T, 0, 5], pa.timestamp("us")),
+    })
+    d1 = tempfile.mkdtemp(prefix="ksql_chain_t_")
+    d2 = tempfile.mkdtemp(prefix="ksql_chain_d_")
+    fdir = tempfile.mkdtemp(prefix="ksql_chain_in_")
+    try:
+        job = StreamingThrottleJob(d1, key_cols=["user_id"],
+                                   ts_col="ts", interval_us=T,
+                                   num_partitions=2)
+        job.run(_files(turns, fdir, n_files=2), files_per_epoch=1)
+        # user 1 emits event 0 (t=0) and 2 (t=2T); user 2 emits 3
+        kept = sorted(job.result().column("event_id").to_pylist())
+        assert kept == [0, 2, 3]
+        import glob
+
+        thr_files = sorted(glob.glob(os.path.join(d1, "*.parquet")))
+        dd = StreamingDedupJob(d2, text_col="props", num_partitions=2)
+        dd.run(thr_files, files_per_epoch=1)
+        # texts of kept rows: a, b, a -> dedup keeps first a, b
+        out = dd.result()
+        assert sorted(out.column("props").to_pylist()) == ["a", "b"]
+    finally:
+        for d in (d1, d2, fdir):
+            shutil.rmtree(d, ignore_errors=True)
