@@ -850,6 +850,21 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["mad_outliers_200k"] = min2(lambda: mad_outliers(
         turns6(), "conv_id", "turn_idx", c=3.0).count())
 
+    # data-contract validation (counter partials + one value exchange)
+    from ksql_ray.ops.validate import validate_rules
+
+    def turns_all():
+        return ray.data.read_parquet(paths["transcripts"])
+
+    out["validate_200k"] = min2(lambda: validate_rules(turns_all(), [
+        ("not_null", "text"),
+        ("in_set", "role", ["user", "assistant", "tool"]),
+        ("regex", "conv_id", "conv-[0-9]+"),
+        ("range", "turn_idx", 0, 100_000),
+        ("unique", "text"),
+        ("increasing_by", "ts", "conv_id", "turn_idx"),
+    ]).count())
+
     # Flesch readability (three RE2 kernels + one reduceat)
     from ksql_ray.ops.quality import add_readability
 

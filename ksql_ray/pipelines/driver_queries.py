@@ -6198,6 +6198,99 @@ REGISTRY["op_grouping_sets"] = RawQ(
 )
 
 
+def _op_validate(sf_dir: str) -> pa.Table:
+    """Data-contract validation over events plus planted violations:
+    every 13th row re-emitted with NULL props / shifted-back ts /
+    out-of-range value / out-of-set+regex-breaking event_type (new
+    event_id so the lag order stays tie-free), every 17th row
+    re-emitted with its props duplicated (uniqueness)."""
+    from ..ops.validate import validate_rules
+
+    ds = _read_clean(f"{sf_dir}/events.parquet")
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id")
+
+        def mod(n):
+            return pc.equal(pc.subtract(
+                ids, pc.multiply(pc.divide(ids, n), n)), 0)
+
+        a = batch.filter(mod(13))
+        na = a.num_rows
+        a = pa.table({
+            "event_id": pc.add(a.column("event_id"), 1_000_000),
+            "ts": pc.subtract(
+                a.column("ts"),
+                pa.scalar(7_200_000_000, pa.duration("us"))),
+            "user_id": a.column("user_id"),
+            "event_type": pa.array(["MIXED!"] * na, type=pa.string()),
+            "value": pc.add(a.column("value"), 1000.0),
+            "props": pa.nulls(na, pa.string()),
+        })
+        b = batch.filter(mod(17))
+        b = pa.table({
+            "event_id": pc.add(b.column("event_id"), 2_000_000),
+            "ts": b.column("ts"),
+            "user_id": b.column("user_id"),
+            "event_type": pc.cast(b.column("event_type"), pa.string()),
+            "value": b.column("value"),
+            "props": pc.cast(b.column("props"), pa.string()),
+        })
+        base = pa.table({c: (pc.cast(batch.column(c), pa.string())
+                             if c in ("event_type", "props")
+                             else batch.column(c))
+                         for c in ["event_id", "ts", "user_id",
+                                   "event_type", "value", "props"]})
+        return pa.concat_tables([base, a, b])
+
+    corpus = ds.map_batches(plant, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return _collect(validate_rules(corpus, [
+        ("not_null", "props"),
+        ("unique", "props"),
+        ("in_set", "event_type",
+         ["click", "view", "purchase", "signup", "error"]),
+        ("range", "value", 0.0, 100.0),
+        ("regex", "event_type", "[a-z]+"),
+        ("increasing_by", "ts", "user_id", "event_id"),
+    ]))
+
+
+REGISTRY["op_validate"] = RawQ(
+    _op_validate,
+    # declarative contract checks (ops/validate.py): violation counts
+    # per rule over the planted corpus; one counter pass + one value
+    # exchange (unique) + one (key, order) exchange (monotone ts)
+    """
+WITH corpus AS (
+  SELECT event_id, ts, user_id, event_type, value, props FROM events
+  UNION ALL
+  SELECT event_id + 1000000, ts - INTERVAL 2 HOUR, user_id, 'MIXED!',
+         value + 1000.0, NULL
+  FROM events WHERE event_id % 13 = 0
+  UNION ALL
+  SELECT event_id + 2000000, ts, user_id, event_type, value, props
+  FROM events WHERE event_id % 17 = 0)
+SELECT 'not_null(props)' AS rule,
+       count(*) FILTER (props IS NULL)::BIGINT AS violations
+FROM corpus
+UNION ALL SELECT 'unique(props)',
+  (count(props) - count(DISTINCT props))::BIGINT FROM corpus
+UNION ALL SELECT 'in_set(event_type)',
+  count(*) FILTER (event_type IS NOT NULL AND event_type NOT IN
+    ('click', 'view', 'purchase', 'signup', 'error'))::BIGINT
+  FROM corpus
+UNION ALL SELECT 'range(value)',
+  count(*) FILTER (value < 0.0 OR value > 100.0)::BIGINT FROM corpus
+UNION ALL SELECT 'regex(event_type)',
+  count(*) FILTER (event_type IS NOT NULL AND NOT
+    regexp_matches(event_type, '^(?:[a-z]+)$'))::BIGINT FROM corpus
+UNION ALL SELECT 'increasing_by(ts)', count(*)::BIGINT FROM (
+  SELECT ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+         AS p FROM corpus) WHERE ts < p""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3

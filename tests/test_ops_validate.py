@@ -1,0 +1,72 @@
+"""Data-contract validation tests: per-rule violation counts on a
+hand-built corpus, cross-batch uniqueness, validation errors."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ksql_ray.ops.validate import validate_rules
+
+
+def _run(t, rules, nparts=3):
+    ds = ray.data.from_arrow(t).repartition(nparts)
+    return {r["rule"]: r["violations"]
+            for r in validate_rules(ds, rules).take_all()}
+
+
+def test_validate_counts_brute_force(ray_session):
+    t = pa.table({
+        "id": pa.array([1, 2, 2, 3, 4, 4, 4], pa.int64()),
+        "cat": pa.array(["a", "b", "zz", None, "a", "b", "9"]),
+        "x": pa.array([5.0, -1.0, 50.0, 200.0, None, 5.0, 5.0]),
+    })
+    out = _run(t, [
+        ("not_null", "cat"),
+        ("unique", "id"),
+        ("in_set", "cat", ["a", "b"]),
+        ("range", "x", 0.0, 100.0),
+        ("regex", "cat", "[a-z]+"),
+    ])
+    assert out["not_null(cat)"] == 1
+    # ids: 1,2,2,3,4,4,4 -> 7 valid rows, 4 distinct -> 3 extras
+    assert out["unique(id)"] == 3
+    assert out["in_set(cat)"] == 2          # 'zz', '9' (NULL ignored)
+    assert out["range(x)"] == 2             # -1.0, 200.0 (NULL ignored)
+    assert out["regex(cat)"] == 1           # '9' ('zz' matches)
+
+
+def test_validate_unique_across_batches(ray_session):
+    # the same value in different batches must count as duplicate
+    t = pa.table({"v": pa.array(["x"] * 6 + ["y"])})
+    out = _run(t, [("unique", "v")], nparts=6)
+    assert out["unique(v)"] == 5
+
+
+def test_validate_increasing_by(ray_session):
+    t = pa.table({
+        "k": pa.array(["u", "u", "u", "w", "w"]),
+        "ts": pa.array([10, 5, 20, 1, 1], pa.timestamp("us")),
+        "o": pa.array([1, 2, 3, 1, 2], pa.int64()),
+    })
+    out = _run(t, [("increasing_by", "ts", "k", "o")])
+    # u: 10 -> 5 decreases (1 violation); 5 -> 20 fine; w: 1 -> 1 fine
+    assert out["increasing_by(ts)"] == 1
+
+
+def test_validate_rejects_unknown_rule(ray_session):
+    t = pa.table({"v": pa.array([1])})
+    with pytest.raises(ValueError):
+        validate_rules(ray.data.from_arrow(t), [("bogus", "v")])
+    with pytest.raises(ValueError):
+        validate_rules(ray.data.from_arrow(t), [])
+
+
+def test_validate_clean_corpus_all_zero(ray_session):
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "cat": pa.array(["a", "b", "a"]),
+    })
+    out = _run(t, [("not_null", "cat"), ("unique", "id"),
+                   ("in_set", "cat", ["a", "b"]),
+                   ("regex", "cat", "[ab]")])
+    assert set(out.values()) == {0}
