@@ -6291,6 +6291,56 @@ UNION ALL SELECT 'increasing_by(ts)', count(*)::BIGINT FROM (
 )
 
 
+def _source_json_format(sf_dir: str) -> pa.Table:
+    """VALUE_FORMAT=JSON ingestion under the oracle: the events table
+    exported as JSONL, registered as a JSON-format relation
+    (exec/bounded.py WITH-analog dispatch -> ray.data.read_json), and
+    aggregated — results must equal the same SQL over the original
+    parquet."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..catalog import Catalog, Ref, Relation
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type", "value"])
+    d = tempfile.mkdtemp(prefix="ksql_ray_jsonl_")
+    try:
+        path = os.path.join(d, "events.jsonl")
+        with open(path, "w") as f:
+            for r in tbl.to_pylist():
+                f.write(json.dumps(r) + "\n")
+        cat = Catalog()
+        cat.create(Relation(
+            "events_j", Ref.TABLE,
+            pa.schema([("user_id", pa.int64()),
+                       ("event_type", pa.string()),
+                       ("value", pa.float64())]),
+            path=path, properties={"value_format": "JSON"}))
+        eng = Engine(cat)
+        t = eng.table(
+            Select(F("user_id"), F("event_type"),
+                   Count(F("value")).As("c"),
+                   Sum(F("value")).As("sv"))
+            .From(Schema("events_j"))
+            .GroupBy(F("user_id"), F("event_type")))
+        return _round_cols(t, {"sv": 4})
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+REGISTRY["source_json_format"] = RawQ(
+    _source_json_format,
+    "SELECT user_id, event_type, count(value) AS c,"
+    " ROUND(sum(value), 4) AS sv "
+    "FROM events GROUP BY user_id, event_type",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3
