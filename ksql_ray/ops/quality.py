@@ -380,3 +380,57 @@ def add_readability(batch: pa.Table, text_col: str = "text",
                                               -0.5)) / scale
     return batch.append_column(
         out, pa.array(np.where(null, 0.0, score), mask=null))
+
+
+def auto_quality_filter(
+    ds: ray.data.Dataset,
+    keep: dict[str, float],
+    lower_better: tuple[str, ...] = (),
+    capacity: int = 1 << 17,
+    require_exact: bool = True,
+) -> tuple[ray.data.Dataset, dict[str, float]]:
+    """Percentile-calibrated quality filtering: instead of hand-tuned
+    absolute thresholds (which rot as the corpus mix shifts), keep the
+    top ``keep[col]`` fraction of the corpus by each metric — the
+    threshold is the corpus's own ``quantile_disc(1 - frac)`` (or
+    ``quantile_disc(frac)`` with ``col in lower_better``, where small
+    values win, e.g. perplexity). Rows must clear EVERY metric; NULL
+    metric values never pass (SQL comparison semantics). Returns
+    ``(filtered_ds, {col: threshold})``.
+
+    Scale shape: one ``dataset_quantiles`` sketch pass per metric (the
+    only thing shuffled is sketch state, <= ~capacity rows per batch
+    partial; exact quantile_disc while max_rank_error is 0, which the
+    sketch guarantees until ~capacity^2 rows — ``require_exact``
+    enforces it), then ONE stateless filter map with the thresholds in
+    the task closure. The metric columns never shuffle."""
+    from .quantiles import dataset_quantiles
+
+    if not keep:
+        raise ValueError("keep must be non-empty")
+    for col, frac in keep.items():
+        if not 0.0 < frac <= 1.0:
+            raise ValueError(f"keep[{col!r}] must be in (0, 1]")
+    thresholds: dict[str, float] = {}
+    for col, frac in keep.items():
+        lb = col in lower_better
+        q = frac if lb else 1.0 - frac
+        t, err = dataset_quantiles(ds, col, [q], capacity)
+        if require_exact and err != 0:
+            raise ValueError(
+                f"rank error {err} != 0 for {col}: raise capacity "
+                "above the row count for exact thresholds")
+        thresholds[col] = float(t.column("value")[0].as_py())
+
+    def keep_mask(batch: pa.Table) -> pa.Table:
+        mask = np.ones(batch.num_rows, dtype=bool)
+        for col, thr in thresholds.items():
+            v = pc.cast(batch.column(col), pa.float64()).to_numpy(
+                zero_copy_only=False)
+            with np.errstate(invalid="ignore"):
+                ok = v <= thr if col in lower_better else v >= thr
+            mask &= np.where(np.isnan(v), False, ok)
+        return batch.filter(pa.array(mask))
+
+    return (ds.map_batches(keep_mask, batch_format="pyarrow",
+                           zero_copy_batch=True), thresholds)

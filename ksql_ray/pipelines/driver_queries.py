@@ -6341,6 +6341,30 @@ REGISTRY["source_json_format"] = RawQ(
 )
 
 
+def _op_auto_quality(sf_dir: str) -> pa.Table:
+    from ..ops.quality import auto_quality_filter
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_id", "user_id", "value"])
+    out, _ = auto_quality_filter(
+        ds, keep={"value": 0.3, "user_id": 0.4},
+        lower_better=("user_id",))
+    t = _collect(out)
+    return _round_cols(t, {"value": 4})
+
+
+REGISTRY["op_auto_quality"] = RawQ(
+    _op_auto_quality,
+    # percentile-calibrated filtering (ops/quality.py
+    # auto_quality_filter): thresholds are the corpus's own
+    # quantile_disc cuts — top 30% by value AND bottom 40% by user_id
+    "WITH thr AS (SELECT quantile_disc(value, 0.7) AS tv,"
+    "                    quantile_disc(user_id, 0.4) AS tu FROM events)"
+    " SELECT event_id, user_id, ROUND(value, 4) AS value"
+    " FROM events, thr WHERE value >= tv AND user_id <= tu",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3

@@ -528,3 +528,47 @@ SELECT doc_id, ROUND(206.835 - 1.015 * (words / sentences)
                      - 84.6 * (syllables / words), 4) AS flesch
 FROM syl""").arrow()
     assert_tables_equal(got, exp, float_tol=0)
+
+
+# ------------------------------------------------------- auto quality filter
+def test_auto_quality_filter_thresholds_and_rows(ray_session):
+    import numpy as np
+
+    from ksql_ray.ops.quality import auto_quality_filter
+
+    t = pa.table({
+        "id": pa.array(range(10), pa.int64()),
+        "score": pa.array([float(i) for i in range(10)]),
+        "ppl": pa.array([float(10 - i) for i in range(10)]),
+    })
+    out, thr = auto_quality_filter(
+        ray.data.from_arrow(t).repartition(3),
+        keep={"score": 0.3, "ppl": 0.5}, lower_better=("ppl",))
+    # quantile_disc(score, 0.7) over 0..9 = 6 -> keep score >= 6
+    # quantile_disc(ppl, 0.5) over 1..10 = 5 -> keep ppl <= 5
+    assert thr == {"score": 6.0, "ppl": 5.0}
+    ids = sorted(r["id"] for r in out.take_all())
+    assert ids == [6, 7, 8, 9]      # score>=6 AND ppl=10-i<=5 -> i>=6
+
+
+def test_auto_quality_filter_null_metric_drops(ray_session):
+    from ksql_ray.ops.quality import auto_quality_filter
+
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "m": pa.array([1.0, None, 3.0])})
+    out, _ = auto_quality_filter(ray.data.from_arrow(t),
+                                 keep={"m": 1.0})
+    assert sorted(r["id"] for r in out.take_all()) == [1, 3]
+
+
+def test_auto_quality_filter_validation(ray_session):
+    import pytest as _pytest
+
+    from ksql_ray.ops.quality import auto_quality_filter
+
+    t = pa.table({"m": pa.array([1.0])})
+    ds = ray.data.from_arrow(t)
+    with _pytest.raises(ValueError):
+        auto_quality_filter(ds, {})
+    with _pytest.raises(ValueError):
+        auto_quality_filter(ds, {"m": 0.0})
