@@ -865,6 +865,16 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         ("increasing_by", "ts", "conv_id", "turn_idx"),
     ]).count())
 
+    # percentile-auto-calibrated filtering (sketch pass per metric)
+    from ksql_ray.ops.quality import auto_quality_filter
+
+    def _autoq():
+        out, _ = auto_quality_filter(
+            turns3(), keep={"turn_idx": 0.5}, require_exact=False)
+        out.count()
+
+    out["auto_quality_200k"] = min2(_autoq)
+
     # Flesch readability (three RE2 kernels + one reduceat)
     from ksql_ray.ops.quality import add_readability
 
