@@ -394,6 +394,21 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("--cols", required=True,
                     help="comma-separated column names")
 
+    vl = sub.add_parser(
+        "validate",
+        help="data-contract validation (ray-job entrypoint): violation "
+             "counts per rule over a parquet dir, one JSON line out")
+    vl.add_argument("--input", required=True,
+                    help="parquet file or directory")
+    vl.add_argument("--rules", required=True,
+                    help="JSON list of rule arrays, e.g. "
+                         '\'[["not_null","text"],["unique","id"],'
+                         '["range","v",0,100],["in_set","k",["a"]],'
+                         '["regex","k","[a-z]+"],'
+                         '["increasing_by","ts","k","id"]]\'')
+    vl.add_argument("--fail-on-violations", action="store_true",
+                    help="exit 1 if any rule has violations > 0")
+
     pg = sub.add_parser(
         "pagerank",
         help="link-graph centrality (ray-job entrypoint): multi-edge "
@@ -412,6 +427,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "pagerank":
         return _run_pagerank(args)
+    if args.cmd == "validate":
+        return _run_validate(args)
     if args.cmd == "profile":
         return _run_profile(args)
     if args.cmd == "prep":
@@ -573,6 +590,29 @@ def _run_profile(args) -> int:
     print(json.dumps({"sec": round(_time.time() - t0, 3),
                       "columns": rows, "input": args.input}))
     return 0
+
+
+def _run_validate(args) -> int:
+    import json
+    import time as _time
+
+    import ray
+    import ray.data
+
+    from .ops.validate import validate_rules
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False)
+    rules = [tuple(r) for r in json.loads(args.rules)]
+    t0 = _time.time()
+    ds = ray.data.read_parquet(args.input)
+    rows = sorted(validate_rules(ds, rules).take_all(),
+                  key=lambda r: r["rule"])
+    total = sum(r["violations"] for r in rows)
+    print(json.dumps({"sec": round(_time.time() - t0, 3),
+                      "rules": rows, "total_violations": int(total),
+                      "input": args.input}))
+    return 1 if (args.fail_on_violations and total) else 0
 
 
 def _run_prep(args) -> int:

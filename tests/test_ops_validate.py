@@ -70,3 +70,28 @@ def test_validate_clean_corpus_all_zero(ray_session):
                    ("in_set", "cat", ["a", "b"]),
                    ("regex", "cat", "[ab]")])
     assert set(out.values()) == {0}
+
+
+def test_validate_cli(ray_session, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    t = pa.table({"id": pa.array([1, 1, 2], pa.int64()),
+                  "v": pa.array([5.0, 500.0, 7.0])})
+    p = str(tmp_path / "d.parquet")
+    pq.write_table(t, p)
+    rules = json.dumps([["unique", "id"], ["range", "v", 0, 100]])
+    r = subprocess.run(
+        [sys.executable, "-m", "ksql_ray.cli", "validate",
+         "--input", p, "--rules", rules, "--fail-on-violations"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "RAY_ADDRESS": "local"})
+    assert r.returncode == 1, r.stderr[-500:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    doc = json.loads(line)
+    got = {x["rule"]: x["violations"] for x in doc["rules"]}
+    assert got == {"unique(id)": 1, "range(v)": 1}
+    assert doc["total_violations"] == 2
