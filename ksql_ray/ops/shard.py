@@ -85,16 +85,22 @@ def shuffle_shard(ds: ray.data.Dataset, key_col: str, n_shards: int = 64,
 
 def write_shards(ds: ray.data.Dataset, out_dir: str, key_col: str,
                  n_shards: int = 64, method: str = "fast",
-                 seed: str = "") -> dict:
-    """Write one Parquet file per shard under ``out_dir`` in shuffled
-    order. Idempotent by filename: shards already present are skipped
-    (resume after a partial failure re-derives the SAME content, so
-    skipping is safe). Returns {written, skipped, rows}."""
+                 seed: str = "", fmt: str = "parquet") -> dict:
+    """Write one file per shard under ``out_dir`` in shuffled order.
+    Idempotent by filename: shards already present are skipped (resume
+    after a partial failure re-derives the SAME content, so skipping is
+    safe). ``fmt="parquet"`` (default) or ``"jsonl"`` — most trainers
+    stream JSONL; the line order and shard assignment are identical
+    across formats (same (shard, hash, key) contract). Returns
+    {written, skipped, rows}."""
     import os
 
     import pyarrow.parquet as pq
 
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError("fmt must be 'parquet' or 'jsonl'")
     os.makedirs(out_dir, exist_ok=True)
+    ext = "parquet" if fmt == "parquet" else "jsonl"
 
     def write_group(group: pa.Table) -> pa.Table:
         out = _order_group(group, key_col)
@@ -107,11 +113,18 @@ def write_shards(ds: ray.data.Dataset, out_dir: str, key_col: str,
         for shard in np.unique(shards):       # a few shards per partition
             sub = out.filter(pa.array(shards == shard))
             final = os.path.join(out_dir,
-                                 f"shard-{int(shard):05d}.parquet")
+                                 f"shard-{int(shard):05d}.{ext}")
             written = False
             if not os.path.exists(final):
                 tmp = final + f".tmp-{os.getpid()}"
-                pq.write_table(sub.drop_columns(["pos"]), tmp)
+                body = sub.drop_columns(["pos"])
+                if fmt == "parquet":
+                    pq.write_table(body, tmp)
+                else:
+                    # vectorized row-JSON via pandas' C serializer
+                    body.to_pandas().to_json(tmp, orient="records",
+                                             lines=True,
+                                             date_format="iso")
                 os.replace(tmp, final)
                 written = True
             rows.append((int(shard), sub.num_rows, written))

@@ -6365,6 +6365,52 @@ REGISTRY["op_auto_quality"] = RawQ(
 )
 
 
+def _source_csv_format(sf_dir: str) -> pa.Table:
+    """VALUE_FORMAT=CSV ingestion under the oracle (the WITH-analog
+    dispatch -> ray.data.read_csv), same aggregate/oracle as the JSON
+    source gate."""
+    import csv
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..catalog import Catalog, Ref, Relation
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type", "value"])
+    d = tempfile.mkdtemp(prefix="ksql_ray_csv_")
+    try:
+        path = os.path.join(d, "events.csv")
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["user_id", "event_type", "value"])
+            for r in tbl.to_pylist():
+                w.writerow([r["user_id"], r["event_type"], r["value"]])
+        cat = Catalog()
+        cat.create(Relation(
+            "events_c", Ref.TABLE,
+            pa.schema([("user_id", pa.int64()),
+                       ("event_type", pa.string()),
+                       ("value", pa.float64())]),
+            path=path, properties={"value_format": "CSV"}))
+        eng = Engine(cat)
+        t = eng.table(
+            Select(F("user_id"), F("event_type"),
+                   Count(F("value")).As("c"),
+                   Sum(F("value")).As("sv"))
+            .From(Schema("events_c"))
+            .GroupBy(F("user_id"), F("event_type")))
+        return _round_cols(t, {"sv": 4})
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+REGISTRY["source_csv_format"] = RawQ(
+    _source_csv_format, REGISTRY["source_json_format"].sql)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3

@@ -95,3 +95,38 @@ def test_validate_cli(ray_session, tmp_path):
     got = {x["rule"]: x["violations"] for x in doc["rules"]}
     assert got == {"unique(id)": 1, "range(v)": 1}
     assert doc["total_violations"] == 2
+
+
+# -------------------------------------------------- jsonl shard export
+def test_write_shards_jsonl_matches_parquet(ray_session, tmp_path):
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ksql_ray.ops.shard import write_shards
+
+    t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array([f"doc {i}" for i in range(40)])})
+    dp = str(tmp_path / "pq")
+    dj = str(tmp_path / "jl")
+    sp = write_shards(rd.from_arrow(t), dp, "doc_id", n_shards=4,
+                      method="md5")
+    sj = write_shards(rd.from_arrow(t), dj, "doc_id", n_shards=4,
+                      method="md5", fmt="jsonl")
+    assert sp["rows"] == sj["rows"] == 40
+    for i in range(4):
+        ptbl = pq.read_table(os.path.join(dp, f"shard-{i:05d}.parquet"))
+        with open(os.path.join(dj, f"shard-{i:05d}.jsonl")) as f:
+            jrows = [json.loads(l) for l in f]
+        # same rows, same within-shard order, across formats
+        assert ptbl.to_pylist() == jrows
+    # idempotent: second jsonl export writes nothing
+    again = write_shards(rd.from_arrow(t), dj, "doc_id", n_shards=4,
+                         method="md5", fmt="jsonl")
+    assert again["written"] == 0 and again["skipped"] == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_shards(rd.from_arrow(t), dj, "doc_id", fmt="xml")
