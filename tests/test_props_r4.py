@@ -206,3 +206,50 @@ def test_interp_median_matches_numpy(vals):
     v = np.sort(np.array(vals, dtype=np.float64))
     got = _interp_median(v, np.array([0]), np.array([len(v)]))
     assert got[0] == pytest.approx(np.median(v), rel=0, abs=1e-9)
+
+
+# ----------------------------------------------------- validator partials
+@st.composite
+def mixed_column(draw):
+    n = draw(st.integers(0, 80))
+    vals = draw(st.lists(
+        st.one_of(st.none(), st.floats(-100, 200, allow_nan=False)),
+        min_size=n, max_size=n))
+    return vals
+
+
+@given(mixed_column(), st.floats(-50, 50, allow_nan=False),
+       st.floats(60, 150, allow_nan=False))
+@settings(max_examples=40, deadline=None)
+def test_counter_partial_range_matches_brute(vals, lo, hi):
+    from ksql_ray.ops.validate import _counter_partial
+
+    t = pa.table({"x": pa.array(vals, type=pa.float64())})
+    out = _counter_partial(t, [("range", "x", lo, hi),
+                               ("not_null", "x")]).to_pydict()
+    got = dict(zip(out["rule"], out["violations"]))
+    brute_range = sum(1 for v in vals
+                      if v is not None and (v < lo or v > hi))
+    brute_null = sum(1 for v in vals if v is None)
+    assert got["range(x)"] == brute_range
+    assert got["not_null(x)"] == brute_null
+
+
+@given(st.lists(st.one_of(st.none(),
+                          st.sampled_from(["a", "b", "cc", "D9"])),
+                max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_counter_partial_set_and_regex_match_brute(vals):
+    import re
+
+    from ksql_ray.ops.validate import _counter_partial
+
+    t = pa.table({"k": pa.array(vals, type=pa.string())})
+    out = _counter_partial(t, [("in_set", "k", ["a", "b"]),
+                               ("regex", "k", "[a-z]+")]).to_pydict()
+    got = dict(zip(out["rule"], out["violations"]))
+    assert got["in_set(k)"] == sum(
+        1 for v in vals if v is not None and v not in ("a", "b"))
+    assert got["regex(k)"] == sum(
+        1 for v in vals
+        if v is not None and not re.fullmatch("[a-z]+", v))
