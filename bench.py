@@ -699,6 +699,18 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["ivfpq_100k_16q"] = min2(_ivfpq)
 
+    # SQ8 scalar quantization: per-dim affine uint8 grid (4x over
+    # float32), asymmetric search on reconstructed vectors
+    from ksql_ray.ops.pq import sq8_encode, sq8_topk, sq8_train
+
+    def _sq8():
+        vds = ray.data.read_parquet(vec_path)
+        lo, hi = sq8_train(vds)
+        codes = sq8_encode(vds, lo, hi).materialize()
+        sq8_topk(codes, list(range(16)), qm2, lo, hi, k=10).count()
+
+    out["sq8_100k_16q"] = min2(_sq8)
+
     # semantic dedup on ingest: the 100k vectors streamed as 32
     # micro-batches (8 pipelined epochs), greedy first occurrence of
     # every cosine>=0.9 cluster survives
@@ -864,6 +876,13 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
         ("unique", "text"),
         ("increasing_by", "ts", "conv_id", "turn_idx"),
     ]).count())
+
+    # corpus session analytics (four counters per partition, one merge)
+    from ksql_ray.ops.rows import session_stats
+
+    out["session_stats_200k"] = min2(lambda: session_stats(
+        turns3(), ["conv_id"], "ts", 300_000_000,
+        tiebreak="turn_idx").count())
 
     # percentile-auto-calibrated filtering (sketch pass per metric)
     from ksql_ray.ops.quality import auto_quality_filter

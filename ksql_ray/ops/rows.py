@@ -37,7 +37,7 @@ __all__ = ["top_n_per_key", "sessionize", "with_lag", "with_lead",
            "moving_agg", "time_range_agg", "time_range_distinct",
            "rank_per_key", "rank_dist_per_key", "first_last_per_key",
            "standardize_per_key", "transition_counts",
-           "top_values_per_key", "throttle"]
+           "top_values_per_key", "throttle", "session_stats"]
 
 
 def _segment_starts(sort_keys: list[np.ndarray], n: int) -> np.ndarray:
@@ -924,3 +924,98 @@ def throttle(ds: ray.data.Dataset, key_cols: list[str], ts_col: str,
 
     return _partition_by(ds, key_cols, num_partitions).map_groups(
         _pin(pick), batch_format="pyarrow")
+
+
+def session_stats(ds: ray.data.Dataset, key_cols: list[str],
+                  ts_col: str, gap_us: int,
+                  tiebreak: str | None = None,
+                  num_partitions: int = 32) -> ray.data.Dataset:
+    """Corpus-level session analytics in ONE pass — the engagement
+    summary (`sessionize` labels rows; this aggregates them without
+    materializing the labels): one row with ``n_sessions``,
+    ``n_events``, ``avg_events`` (mean session length in events),
+    ``bounce_rate`` (fraction of single-event sessions) and
+    ``avg_duration_s`` (mean event-time span per session). Session
+    rule identical to :func:`sessionize` (gap > ``gap_us`` opens a new
+    session).
+
+    Scale shape: ONE key exchange; each partition reduces its
+    key-complete groups to FOUR counters (sessions, events, bounces,
+    duration-sum), merged in one `grouped_sum` task; the finalize
+    ratios are computed on the merged totals."""
+    from .smallagg import grouped_sum
+
+    if gap_us <= 0:
+        raise ValueError("gap_us must be > 0")
+    sort_spec = ([(k, "ascending") for k in key_cols]
+                 + [(ts_col, "ascending")]
+                 + ([(tiebreak, "ascending")] if tiebreak else []))
+
+    def partial(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        empty = pa.table({"one": pa.array([], type=pa.int64()),
+                          "n_sessions": pa.array([], type=pa.int64()),
+                          "n_events": pa.array([], type=pa.int64()),
+                          "n_bounce": pa.array([], type=pa.int64()),
+                          "dur_us": pa.array([], type=pa.int64())})
+        if group.num_rows == 0 or ts_col not in group.column_names:
+            return empty
+        tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
+        nrows = tbl.num_rows
+        ts = tbl.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.int64())
+        tsv = ts.to_numpy(zero_copy_only=False)
+        new = np.ones(nrows, dtype=bool)
+        if nrows > 1:
+            same_key = np.ones(nrows - 1, dtype=bool)
+            for k in _key_arrays(tbl, key_cols):
+                same_key &= k[1:] == k[:-1]
+            new[1:] = ~same_key | (tsv[1:] - tsv[:-1] > gap_us)
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], nrows]
+        lens = ends - starts
+        dur = tsv[ends - 1] - tsv[starts]
+        return pa.table({
+            "one": pa.array([1], type=pa.int64()),
+            "n_sessions": pa.array([len(starts)], type=pa.int64()),
+            "n_events": pa.array([nrows], type=pa.int64()),
+            "n_bounce": pa.array([int((lens == 1).sum())],
+                                 type=pa.int64()),
+            "dur_us": pa.array([int(dur.sum())], type=pa.int64())})
+
+    parts = _partition_by(ds, key_cols, num_partitions).map_groups(
+        _pin(partial), batch_format="pyarrow")
+    merged = grouped_sum(parts, ["one"],
+                         ["n_sessions", "n_events", "n_bounce",
+                          "dur_us"])
+
+    import ray as _ray
+
+    @_ray.remote
+    def finish(*blocks: pa.Table) -> pa.Table:
+        bs = [b for b in blocks
+              if b.num_rows and "n_sessions" in b.column_names]
+        if not bs:
+            return pa.table({
+                "n_sessions": pa.array([0], type=pa.int64()),
+                "n_events": pa.array([0], type=pa.int64()),
+                "avg_events": pa.array([None], type=pa.float64()),
+                "bounce_rate": pa.array([None], type=pa.float64()),
+                "avg_duration_s": pa.array([None], type=pa.float64())})
+        b = pa.concat_tables(bs, promote_options="default")
+        ns = float(b.column("n_sessions").to_numpy().sum())
+        ne = float(b.column("n_events").to_numpy().sum())
+        nb = float(b.column("n_bounce").to_numpy().sum())
+        du = float(b.column("dur_us").to_numpy().sum())
+        return pa.table({
+            "n_sessions": pa.array([int(ns)], type=pa.int64()),
+            "n_events": pa.array([int(ne)], type=pa.int64()),
+            "avg_events": pa.array([ne / ns], type=pa.float64()),
+            "bounce_rate": pa.array([nb / ns], type=pa.float64()),
+            "avg_duration_s": pa.array([du / ns / 1e6],
+                                       type=pa.float64())})
+
+    refs = merged.materialize().to_arrow_refs()
+    return ray.data.from_arrow_refs([finish.remote(*refs)])

@@ -6411,6 +6411,88 @@ REGISTRY["source_csv_format"] = RawQ(
     _source_csv_format, REGISTRY["source_json_format"].sql)
 
 
+def _op_session_stats(sf_dir: str) -> pa.Table:
+    from ..ops.rows import session_stats
+
+    ds = _read_clean(f"{sf_dir}/events.parquet")
+    t = _collect(session_stats(ds, ["user_id"], "ts", GAP_US,
+                               tiebreak="event_id"))
+    return _round_cols(t, {"avg_events": 6, "bounce_rate": 6,
+                           "avg_duration_s": 6})
+
+
+REGISTRY["op_session_stats"] = RawQ(
+    _op_session_stats,
+    # corpus session analytics (ops/rows.py session_stats): session
+    # rule == sessionize (gap > 30min); four counters per partition,
+    # one merge
+    f"""WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+), per AS (
+  SELECT user_id, sess_id, count(*) AS n,
+         epoch_us(max(ts) - min(ts)) AS dur
+  FROM sessions GROUP BY 1, 2)
+SELECT count(*)::BIGINT AS n_sessions, sum(n)::BIGINT AS n_events,
+  ROUND(sum(n) / count(*)::DOUBLE, 6) AS avg_events,
+  ROUND(count(*) FILTER (n = 1) / count(*)::DOUBLE, 6) AS bounce_rate,
+  ROUND(sum(dur) / count(*)::DOUBLE / 1000000.0, 6) AS avg_duration_s
+FROM per""",
+)
+
+
+def _op_sq8_encode(sf_dir: str) -> pa.Table:
+    """SQ8 scalar quantization (ops/pq.py sq8_*): per-dim affine uint8
+    grid; the packed d-byte codes are unpacked to (vec_id, dim, code)
+    rows for the oracle compare."""
+    import numpy as np
+
+    from ..ops.pq import sq8_encode, sq8_train
+
+    ds = _read_clean(f"{sf_dir}/embeddings.parquet")
+    lo, hi = sq8_train(ds)
+    codes = _collect(sq8_encode(ds, lo, hi))
+    d = len(lo)
+    col = codes.column("code").combine_chunks()
+    raw = np.frombuffer(col.buffers()[1], dtype=np.uint8,
+                        count=codes.num_rows * d,
+                        offset=col.offset * d).reshape(codes.num_rows, d)
+    ids = codes.column("vec_id").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "vec_id": pa.array(np.repeat(ids, d), type=pa.int64()),
+        "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                codes.num_rows)),
+        "code": pa.array(raw.reshape(-1).astype(np.int64)),
+    })
+
+
+REGISTRY["op_sq8_encode"] = RawQ(
+    _op_sq8_encode,
+    # per-dim bounds + floor(x*255/span + 0.5) affine grid, ::DOUBLE
+    # casts match the engine's float64 arithmetic bit-for-bit
+    """
+WITH s AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding) AS x
+  FROM embeddings),
+b AS (SELECT i, min(x) AS lo, max(x) AS hi FROM s GROUP BY i)
+SELECT s.vec_id, s.i::BIGINT AS dim,
+  CASE WHEN b.hi = b.lo THEN 0
+       ELSE least(255.0, greatest(0.0,
+            floor((s.x::DOUBLE - b.lo::DOUBLE) * 255.0
+                  / (b.hi::DOUBLE - b.lo::DOUBLE) + 0.5)))
+  END::BIGINT AS code
+FROM s JOIN b USING (i)""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3

@@ -130,3 +130,95 @@ def test_write_shards_jsonl_matches_parquet(ray_session, tmp_path):
 
     with _pytest.raises(ValueError):
         write_shards(rd.from_arrow(t), dj, "doc_id", fmt="xml")
+
+
+# ------------------------------------------------------- session stats
+def test_session_stats_brute_force(ray_session):
+    from ksql_ray.ops.rows import session_stats
+
+    # u: sessions [0,5], [100] ; w: [0], [50] ; gap 10
+    t = pa.table({
+        "k": pa.array(["u", "u", "u", "w", "w"]),
+        "ts": pa.array([0, 5, 100, 0, 50], pa.timestamp("us")),
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = session_stats(ray.data.from_arrow(t).repartition(2), ["k"],
+                        "ts", 10, tiebreak="id").take_all()[0]
+    assert out["n_sessions"] == 4 and out["n_events"] == 5
+    assert out["avg_events"] == 5 / 4
+    assert out["bounce_rate"] == 3 / 4     # [100], [0], [50] are solo
+    assert out["avg_duration_s"] == (5 / 4) / 1e6
+
+
+def test_session_stats_empty(ray_session):
+    from ksql_ray.ops.rows import session_stats
+
+    t = pa.table({"k": pa.array([], type=pa.string()),
+                  "ts": pa.array([], type=pa.timestamp("us"))})
+    out = session_stats(ray.data.from_arrow(t), ["k"], "ts",
+                        10).take_all()[0]
+    assert out["n_sessions"] == 0 and out["avg_events"] is None
+
+
+# ------------------------------------------------------------ SQ8
+def test_sq8_roundtrip_error_bound(ray_session):
+    import numpy as np
+
+    from ksql_ray.ops.pq import _sq8_codes, sq8_encode, sq8_train
+
+    rng = np.random.default_rng(1)
+    m = rng.standard_normal((200, 16)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array(m.tolist(), type=pa.list_(pa.float32())),
+    })
+    lo, hi = sq8_train(ray.data.from_arrow(t).repartition(3))
+    assert np.allclose(lo, m.min(axis=0)) and np.allclose(
+        hi, m.max(axis=0))
+    codes = _sq8_codes(m, lo, hi)
+    recon = lo + codes.astype(np.float64) * (hi - lo) / 255.0
+    # affine-grid guarantee: |x - recon| <= span / 255 / 2 per dim
+    assert (np.abs(m - recon) <= (hi - lo) / 255.0 / 2 + 1e-12).all()
+    n = sq8_encode(ray.data.from_arrow(t), lo, hi).count()
+    assert n == 200
+
+
+def test_sq8_constant_dim_codes_zero(ray_session):
+    import numpy as np
+
+    from ksql_ray.ops.pq import _sq8_codes
+
+    m = np.array([[1.0, 5.0], [1.0, 7.0]], dtype=np.float32)
+    lo = m.min(axis=0).astype(np.float64)
+    hi = m.max(axis=0).astype(np.float64)
+    c = _sq8_codes(m, lo, hi)
+    assert (c[:, 0] == 0).all()            # constant dim
+    assert c[0, 1] == 0 and c[1, 1] == 255
+
+
+def test_sq8_search_perfect_recall_on_separated_clusters(ray_session):
+    import numpy as np
+
+    from ksql_ray.ops.ann import brute_force_topk
+    from ksql_ray.ops.pq import sq8_encode, sq8_topk, sq8_train
+
+    rng = np.random.default_rng(7)
+    m = np.concatenate([rng.standard_normal((50, 8)) + 10,
+                        rng.standard_normal((50, 8)) - 10]).astype(
+        np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(100), pa.int64()),
+        "embedding": pa.array(m.tolist(), type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    lo, hi = sq8_train(ds)
+    codes = sq8_encode(ds, lo, hi)
+    qm = m[:4].astype(np.float64)
+    approx = {(r["query_id"], r["vec_id"])
+              for r in sq8_topk(codes, [0, 1, 2, 3], qm, lo, hi,
+                                k=5).take_all()}
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(ds, [0, 1, 2, 3], qm,
+                                       k=5).take_all()}
+    # recall@5 across well-separated clusters
+    assert len(approx & exact) / len(exact) >= 0.9
