@@ -295,6 +295,19 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["sample_10pct_200k"] = min2(
         lambda: stratified_sample(
             docs_ds(), "doc_id", fractions=0.1, method="fast").count())
+
+    from ksql_ray.ops.sample import weighted_bottom_k
+
+    def turns_w():
+        return ray.data.read_parquet(
+            paths["transcripts"], columns=["conv_id", "turn_idx"]
+        ).map_batches(
+            lambda b: b.append_column("w", pc.cast(pc.add(
+                b.column("turn_idx"), 1), pa.float64())),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    out["weighted_bottomk_200k"] = min2(lambda: weighted_bottom_k(
+        turns_w(), "conv_id", "w", k=10_000, method="fast").count())
     out["top_terms_200k"] = min2(lambda: top_terms(docs_ds(), k=50).count())
 
     # transitive cluster resolution over the near-dup pair graph (pairs

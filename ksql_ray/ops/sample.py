@@ -33,7 +33,7 @@ import ray.data
 
 __all__ = ["add_sample_hash", "stratified_sample", "weighted_sample",
            "split_assign", "sample_per_key", "bottom_k_sample",
-           "mixture_sample"]
+           "weighted_bottom_k", "mixture_sample"]
 
 _2_32 = float(1 << 32)
 
@@ -314,3 +314,73 @@ def mixture_sample(
     return stratified_sample(ds, key_col, fractions=fractions,
                              strata_col=domain_col, default_fraction=0.0,
                              method=method, seed=seed)
+
+
+@ray.remote
+def _topk_priority_merge(k: int, key_col: str,
+                         *blocks: pa.Table) -> pa.Table:
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        return pa.table({})
+    t = pa.concat_tables(blocks, promote_options="default")
+    idx = pc.sort_indices(t, sort_keys=[("__pr", "descending"),
+                                        (key_col, "ascending")])[:k]
+    return t.take(idx)
+
+
+def weighted_bottom_k(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    method: str = "md5",
+    seed: str = "",
+    keep_priority: bool = False,
+) -> ray.data.Dataset:
+    """Exact-size-k sample WITHOUT replacement with inclusion
+    probability proportional to weight — Efraimidis & Spirakis 2006
+    priority sampling ("weighted random sampling with a reservoir"):
+    priority = u^(1/w) with u uniform in (0,1), keep the k LARGEST.
+    As with :func:`bottom_k_sample`, u derives deterministically from
+    the repo-wide key hash (u = (hash + 0.5) / 2^32), so the sample is
+    replay/reshard/merge-stable and the DuckDB oracle reproduces it
+    verbatim (``pow(u, 1.0/w) DESC``). Rows with NULL or non-positive
+    weight are excluded (SQL ``WHERE w > 0``).
+
+    Shape: per-batch top-k partials (<= k rows per batch on the wire),
+    ONE merge task — the same top-k-of-union = top-k-of-top-k's
+    mergeability the uniform bottom-k relies on."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_sample_hash(batch, key_col, "__sh", method=method,
+                            seed=seed)
+        h = b.column("__sh").to_numpy(zero_copy_only=False)
+        w = pc.cast(b.column(weight_col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        u = (h + 0.5) / _2_32
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr = np.power(u, 1.0 / w)
+        ok = ~np.isnan(w) & (w > 0)
+        b = b.append_column("__pr", pa.array(
+            np.where(ok, pr, np.nan), from_pandas=True)).filter(
+            pa.array(ok))
+        if b.num_rows > k:
+            idx = pc.sort_indices(
+                b, sort_keys=[("__pr", "descending"),
+                              (key_col, "ascending")])[:k]
+            b = b.take(idx)
+        return b.drop_columns(["__sh"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    ref = _topk_priority_merge.remote(k, key_col,
+                                      *parts.to_arrow_refs())
+    out = ray.data.from_arrow_refs([ref])
+    if keep_priority:
+        return out
+    return out.map_batches(
+        lambda b: b.drop_columns(["__pr"]) if "__pr" in b.column_names
+        else b,
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -6493,6 +6493,29 @@ FROM s JOIN b USING (i)""",
 )
 
 
+def _op_weighted_bottomk(sf_dir: str) -> pa.Table:
+    from ..ops.sample import weighted_bottom_k
+
+    ds = _read_clean(f"{sf_dir}/events.parquet").select_columns(
+        ["event_id", "user_id", "value"])
+    t = _collect(weighted_bottom_k(ds, "event_id", "value", k=200))
+    return _round_cols(t, {"value": 4})
+
+
+REGISTRY["op_weighted_bottomk"] = RawQ(
+    _op_weighted_bottomk,
+    # Efraimidis-Spirakis priority sample (ops/sample.py
+    # weighted_bottom_k): u from the md5 key hash, keep top-200 by
+    # u^(1/w); value-weighted, non-positive weights excluded
+    "SELECT event_id, user_id, ROUND(value, 4) AS value FROM ("
+    "  SELECT event_id, user_id, value,"
+    "    pow((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))"
+    "         ::UBIGINT + 0.5) / 4294967296.0, 1.0 / value) AS pr"
+    "  FROM events WHERE value > 0)"
+    " ORDER BY pr DESC, event_id LIMIT 200",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3

@@ -222,3 +222,58 @@ def test_sq8_search_perfect_recall_on_separated_clusters(ray_session):
                                        k=5).take_all()}
     # recall@5 across well-separated clusters
     assert len(approx & exact) / len(exact) >= 0.9
+
+
+# ----------------------------------------------- weighted priority sample
+def test_weighted_bottom_k_brute_force(ray_session):
+    import hashlib
+
+    import numpy as np
+
+    from ksql_ray.ops.sample import weighted_bottom_k
+
+    t = pa.table({
+        "id": pa.array(range(50), pa.int64()),
+        "w": pa.array([float(i % 7) - 1 for i in range(50)]),
+    })
+    got = sorted(r["id"] for r in weighted_bottom_k(
+        ray.data.from_arrow(t).repartition(4), "id", "w",
+        k=10).take_all())
+
+    def pr(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / float(1 << 32)
+        return u ** (1.0 / w)
+
+    eligible = [(pr(i, float(i % 7) - 1), -i)
+                for i in range(50) if (i % 7) - 1 > 0]
+    exp = sorted(-b for _, b in sorted(eligible, reverse=True)[:10])
+    assert got == exp
+
+
+def test_weighted_bottom_k_heavy_weights_dominate(ray_session):
+    from ksql_ray.ops.sample import weighted_bottom_k
+
+    # ids 0-9 weight 1000, ids 10-99 weight 0.01: the heavy ten should
+    # essentially always fill a k=10 sample
+    t = pa.table({
+        "id": pa.array(range(100), pa.int64()),
+        "w": pa.array([1000.0] * 10 + [0.01] * 90),
+    })
+    got = sorted(r["id"] for r in weighted_bottom_k(
+        ray.data.from_arrow(t), "id", "w", k=10).take_all())
+    assert got == list(range(10))
+
+
+def test_weighted_bottom_k_merge_stability(ray_session):
+    from ksql_ray.ops.sample import weighted_bottom_k
+
+    t = pa.table({"id": pa.array(range(200), pa.int64()),
+                  "w": pa.array([1.0 + (i % 5) for i in range(200)])})
+    a = sorted(r["id"] for r in weighted_bottom_k(
+        ray.data.from_arrow(t).repartition(2), "id", "w",
+        k=25).take_all())
+    b = sorted(r["id"] for r in weighted_bottom_k(
+        ray.data.from_arrow(t).repartition(13), "id", "w",
+        k=25).take_all())
+    assert a == b                      # reshard-stable
