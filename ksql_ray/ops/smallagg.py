@@ -125,9 +125,11 @@ def _agg_merge(t: pa.Table, key_cols: list[str],
                aggs: dict[str, str]) -> pa.Table:
     df = t.to_pandas()
     g = df.groupby(key_cols, dropna=False, sort=False).agg(aggs).reset_index()
-    return pa.table({c: pa.Array.from_pandas(g[c],
-                                             type=t.schema.field(c).type)
-                     for c in key_cols + list(aggs)})
+    # from_pandas THEN cast: NULL-bearing int columns round-trip
+    # through pandas as NaN floats, and from_pandas with an explicit
+    # int type raises on the NaN instead of making it NULL
+    return pa.table({c: pa.Array.from_pandas(g[c]).cast(
+        t.schema.field(c).type) for c in key_cols + list(aggs)})
 
 
 @ray.remote

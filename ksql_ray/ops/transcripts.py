@@ -161,7 +161,9 @@ def conversation_stats(
         out["n_turns"] = pa.array(g["n_turns"].to_numpy(),
                                   type=pa.int64())
         for c in aggs:
-            out[c] = pa.array(g[c].to_numpy(), type=pa.int64())
+            # from_pandas keeps NaN (an all-NULL-ts key's min/max) as
+            # NULL — a bare int64 cast of the numpy floats would raise
+            out[c] = pa.Array.from_pandas(g[c]).cast(pa.int64())
         return pa.table(out)
 
     parts = ds.map_batches(partial, batch_format="pyarrow",

@@ -235,3 +235,30 @@ def test_grouping_sets_empty_input(ray_session):
     # the () total row exists even on empty input: cnt 0, sum NULL
     assert len(rows) == 1
     assert rows[0]["cnt_v"] == 0 and rows[0]["sum_v"] is None
+
+
+def test_conversation_stats_all_null_ts_key(ray_session):
+    from ksql_ray.ops.transcripts import conversation_stats
+
+    t = pa.table({
+        "conv_id": pa.array(["a", "a", "b"]),
+        "role": pa.array(["user", "assistant", "user"]),
+        "text": pa.array(["x", "y", "z"]),
+        "tool": pa.array([None, None, None], type=pa.string()),
+        "ts": pa.array([None, None, 5], type=pa.timestamp("us")),
+    })
+    out = collect(conversation_stats(
+        ray.data.from_arrow(t), ["conv_id"])).to_pandas().set_index(
+        "conv_id").sort_index()
+    # all-NULL-ts key: span columns NULL, counts still exact
+    a = out.loc["a"]
+    assert a["n_turns"] == 2 and pd_isna(a["first_ts"])
+    assert pd_isna(a["duration_s"])
+    b = out.loc["b"]
+    assert b["n_turns"] == 1 and not pd_isna(b["first_ts"])
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
