@@ -309,6 +309,16 @@ class _HardNegTopK:
         sims = self.qm @ emb.T
         mask = (self.qids[:, None] == ids[None, :]) | \
                (self.qlabels[:, None] == labels[None, :])
+        # SQL three-valued `label <> label`: a NULL label matches
+        # nothing, so NULL-label rows are neither anchors-with-results
+        # nor negatives (NaN != NaN would silently pair them with
+        # everyone instead)
+        import pandas as pd
+
+        q_na = pd.isna(self.qlabels)
+        b_na = pd.isna(labels)
+        if q_na.any() or b_na.any():
+            mask |= q_na[:, None] | b_na[None, :]
         sims[mask] = -np.inf
         return _topk_partial_table(self.qids, ids, sims, self.k)
 

@@ -411,3 +411,21 @@ def test_hard_negatives_anchor_subset(ray_session):
     # negatives never share the anchor's label
     lbl = {i: i % 3 for i in range(20)}
     assert all(lbl[r["anchor_id"]] != lbl[r["neg_id"]] for r in rows)
+
+
+def test_hard_negatives_null_labels_match_sql_semantics(ray_session):
+    import numpy as np
+
+    from ksql_ray.ops.ann import mine_hard_negatives
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0, None, 1], pa.int32()),
+    })
+    rows = mine_hard_negatives(ray.data.from_arrow(t), k=3).take_all()
+    # SQL label <> label: the NULL-label row 1 is never an anchor nor
+    # a negative — only (0 <-> 2) pair up
+    assert {(r["anchor_id"], r["neg_id"]) for r in rows} == \
+        {(0, 2), (2, 0)}
