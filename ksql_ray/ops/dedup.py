@@ -1129,7 +1129,8 @@ def source_overlap(ds: ray.data.Dataset, text_col: str = "text",
         b = add_fast_fingerprint(sel, text_col, "h") if fast \
             else add_fingerprint(sel, text_col, "h")
         df = b.drop_columns([text_col]).to_pandas()
-        g = df.groupby(hcols + [source_col], sort=False).size()
+        g = df.groupby(hcols + [source_col], sort=False,
+                       dropna=False).size()
         g = g.rename("cnt").reset_index()
         out = {c: pa.Array.from_pandas(g[c], type=b.schema.field(c).type)
                for c in hcols + [source_col]}
@@ -1150,15 +1151,23 @@ def source_overlap(ds: ray.data.Dataset, text_col: str = "text",
         if group.num_rows == 0 or "cnt" not in group.column_names:
             return empty
         df = group.to_pandas().groupby(
-            hcols + [source_col], sort=False)["cnt"].sum().reset_index()
+            hcols + [source_col], sort=False, dropna=False)[
+            "cnt"].sum().reset_index()
         df = df.sort_values(hcols + [source_col], kind="stable")
+        src_all = df[source_col].to_numpy()
+        cnt_all = df["cnt"].to_numpy()
+        # SQL three-valued `a.source < b.source`: NULL sources join no
+        # off-diagonal pair; the diagonal (GROUP BY keeps NULL) stays
+        valid = ~pd.isna(src_all)
+        df = df[valid]
         src = df[source_col].to_numpy()
         cnt = df["cnt"].to_numpy()
         hkey = df[hcols[0]].to_numpy() if len(hcols) == 1 else \
             list(zip(df["h"].to_numpy(), df["h_hi"].to_numpy()))
         hkey = pd.factorize(pd.Series(hkey))[0]
         n = len(df)
-        pairs_a, pairs_b = [src[cnt >= 2]], [src[cnt >= 2]]  # diagonal
+        pairs_a = [src_all[cnt_all >= 2]]            # diagonal
+        pairs_b = [src_all[cnt_all >= 2]]
         d = 1
         while True:  # <= per-group source-alphabet iterations, not rows
             same = hkey[d:] == hkey[:-d] if d < n else np.zeros(0, bool)
@@ -1172,7 +1181,8 @@ def source_overlap(ds: ray.data.Dataset, text_col: str = "text",
         if not len(a):
             return empty
         pdf = pd.DataFrame({"source_a": a, "source_b": b})
-        g = pdf.groupby(["source_a", "source_b"], sort=False).size()
+        g = pdf.groupby(["source_a", "source_b"], sort=False,
+                        dropna=False).size()
         g = g.rename("n").reset_index()
         return pa.table({
             "source_a": pa.Array.from_pandas(g["source_a"], type=st),

@@ -262,3 +262,17 @@ def pd_isna(x):
     import pandas as pd
 
     return pd.isna(x)
+
+
+def test_source_overlap_null_source_sql_semantics(ray_session):
+    from ksql_ray.ops.dedup import source_overlap
+
+    t = pa.table({
+        "text": pa.array(["x", "x", "x", "y", "y"]),
+        "source": pa.array(["A", None, None, "B", None]),
+    })
+    out = {(r["source_a"], r["source_b"]): r["n_groups"]
+           for r in source_overlap(ray.data.from_arrow(t)).take_all()}
+    # NULL source joins no off-diagonal pair (SQL a.source < b.source);
+    # the NULL group's own diagonal (x appears twice under NULL) stays
+    assert out == {(None, None): 1}
