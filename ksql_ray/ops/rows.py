@@ -938,6 +938,9 @@ def session_stats(ds: ray.data.Dataset, key_cols: list[str],
     ``avg_duration_s`` (mean event-time span per session). Session
     rule identical to :func:`sessionize` (gap > ``gap_us`` opens a new
     session).
+    Rows with NULL event time are ignored (SQL aggregates over ts
+    would propagate NULLs into span arithmetic; dropping them keeps
+    counts and durations well-defined).
 
     Scale shape: ONE key exchange; each partition reduces its
     key-complete groups to FOUR counters (sessions, events, bounces,
@@ -960,6 +963,9 @@ def session_stats(ds: ray.data.Dataset, key_cols: list[str],
                           "n_bounce": pa.array([], type=pa.int64()),
                           "dur_us": pa.array([], type=pa.int64())})
         if group.num_rows == 0 or ts_col not in group.column_names:
+            return empty
+        group = group.filter(pc.is_valid(group.column(ts_col)))
+        if group.num_rows == 0:
             return empty
         tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))
         nrows = tbl.num_rows
