@@ -1156,9 +1156,13 @@ def source_overlap(ds: ray.data.Dataset, text_col: str = "text",
         df = df.sort_values(hcols + [source_col], kind="stable")
         src_all = df[source_col].to_numpy()
         cnt_all = df["cnt"].to_numpy()
-        # SQL three-valued `a.source < b.source`: NULL sources join no
-        # off-diagonal pair; the diagonal (GROUP BY keeps NULL) stays
+        # SQL three-valued semantics: NULL sources (`a.source <
+        # b.source`) and NULL fingerprints (`a.h = b.h`, null text)
+        # join no off-diagonal pair; diagonals (GROUP BY keeps NULL)
+        # stay
         valid = ~pd.isna(src_all)
+        for hc in hcols:
+            valid &= ~pd.isna(df[hc].to_numpy())
         df = df[valid]
         src = df[source_col].to_numpy()
         cnt = df["cnt"].to_numpy()

@@ -276,3 +276,18 @@ def test_source_overlap_null_source_sql_semantics(ray_session):
     # NULL source joins no off-diagonal pair (SQL a.source < b.source);
     # the NULL group's own diagonal (x appears twice under NULL) stays
     assert out == {(None, None): 1}
+
+
+def test_source_overlap_null_text_no_cross_pairs(ray_session):
+    from ksql_ray.ops.dedup import source_overlap
+
+    # two NULL texts in different sources: SQL a.h = b.h with NULL h
+    # joins nothing, but each source's own NULL group can still be an
+    # intra-source duplicate
+    t = pa.table({
+        "text": pa.array([None, None, None, "x"], type=pa.string()),
+        "source": pa.array(["A", "B", "B", "A"]),
+    })
+    out = {(r["source_a"], r["source_b"]): r["n_groups"]
+           for r in source_overlap(ray.data.from_arrow(t)).take_all()}
+    assert out == {("B", "B"): 1}     # two NULL texts within B
