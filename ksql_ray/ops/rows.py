@@ -888,7 +888,11 @@ def throttle(ds: ray.data.Dataset, key_cols: list[str], ts_col: str,
       floor(ts / interval)) grid cell — stateless, coarser (two kept
       rows may be < interval apart across a cell boundary).
 
-    Returns the kept rows with all input columns.
+    Returns the kept rows with all input columns. Rows with NULL
+    event time are dropped (never emitted — the SQL chain's
+    ``e.ts >= prev + T`` three-valued comparison never selects them;
+    an unfiltered NaN would instead break the bisection's lower-bound
+    invariant and emit them).
 
     Scale shape: ONE hash shuffle on the key, then a per-partition
     sort + segment pass. Chain selection is a per-round batched binary
@@ -907,6 +911,9 @@ def throttle(ds: ray.data.Dataset, key_cols: list[str], ts_col: str,
     def pick(group: pa.Table) -> pa.Table:
         if "__part" in group.column_names:
             group = group.drop_columns(["__part"])
+        if group.num_rows == 0:
+            return group
+        group = group.filter(pc.is_valid(group.column(ts_col)))
         if group.num_rows == 0:
             return group
         tbl = group.take(pc.sort_indices(group, sort_keys=sort_spec))

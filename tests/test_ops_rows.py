@@ -534,3 +534,15 @@ def test_throttle_validation_and_empty(ray_session):
         throttle(ray.data.from_arrow(t), ["k"], "ts", 0)
     with _pytest.raises(ValueError):
         throttle(ray.data.from_arrow(t), ["k"], "ts", 10, mode="nope")
+
+
+def test_throttle_null_ts_rows_dropped(ray_session):
+    from ksql_ray.ops.rows import throttle
+
+    t = pa.table({"k": pa.array(["a", "a", "a"]),
+                  "ts": pa.array([0, None, 20], pa.timestamp("us")),
+                  "id": pa.array([1, 2, 3], pa.int64())})
+    out = throttle(ray.data.from_arrow(t), ["k"], "ts", 10,
+                   tiebreak="id").take_all()
+    # NULL ts: never emitted (SQL e.ts >= prev + T matches nothing)
+    assert sorted(r["id"] for r in out) == [1, 3]
