@@ -272,6 +272,10 @@ def mad_outliers(ds: ray.data.Dataset, key_col: str, val_col: str,
     the robust z-score — unlike mean/stddev, one corrupt feed can't
     drag the threshold). Appends ``med``, ``mad``, ``is_outlier`` to the
     input rows; NULL values (or keys whose MAD is undefined) flag NULL.
+    NULL keys form one group for the stats pass but their rows flag
+    NULL (the broadcast lookup maps them to no threshold) — unlike a
+    SQL inner join on the key, which would drop the rows entirely; the
+    row set here is always the input row set.
 
     Scale shape: ONE hash exchange of the (key, value) projection
     computes exact per-key median + MAD (keys are partition-disjoint;
