@@ -183,7 +183,17 @@ def validate_rules(ds: ray.data.Dataset,
                 .map_groups(_pin(check), batch_format="pyarrow")
             outs.append(grouped_sum(merged, ["rule"], ["violations"]))
 
-    out = outs[0]
-    for o in outs[1:]:
+    # zero seed per rule: an all-NULL unique column (or an empty
+    # input) contributes no partial rows, but SQL still reports the
+    # rule with 0 violations; the final grouped_sum folds seeds and
+    # partials into exactly one row per rule
+    zeros = ray.data.from_arrow(pa.table({
+        "rule": pa.array([_rule_name(r) for r in rules],
+                         type=pa.string()),
+        "violations": pa.array([0] * len(rules), type=pa.int64())}))
+    out = zeros
+    for o in outs:
         out = out.union(o)
-    return out
+    from .smallagg import grouped_sum as _gs
+
+    return _gs(out, ["rule"], ["violations"])

@@ -277,3 +277,14 @@ def test_weighted_bottom_k_merge_stability(ray_session):
         ray.data.from_arrow(t).repartition(13), "id", "w",
         k=25).take_all())
     assert a == b                      # reshard-stable
+
+
+def test_validate_all_null_and_empty_still_report_rules(ray_session):
+    t = pa.table({"v": pa.array([None, None], type=pa.string()),
+                  "x": pa.array([None, None], type=pa.float64())})
+    out = _run(t, [("unique", "v"), ("not_null", "v"),
+                   ("range", "x", 0, 1)], nparts=2)
+    assert out == {"unique(v)": 0, "not_null(v)": 2, "range(x)": 0}
+    empty = pa.table({"v": pa.array([], type=pa.string())})
+    out2 = _run(empty, [("unique", "v"), ("not_null", "v")], nparts=1)
+    assert out2 == {"unique(v)": 0, "not_null(v)": 0}
