@@ -236,3 +236,93 @@ def match_pattern(
         ds = ds.select_columns(keep_cols)
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+def funnel_rates(
+    ds: ray.data.Dataset,
+    *,
+    partition_by: Sequence[str],
+    order_by: str,
+    steps: Sequence[tuple[str, "Expr | Callable[[pa.Table], np.ndarray]"]],
+    contiguity: str = "skip",
+    within: int | None = None,
+    tiebreak: str | None = None,
+    num_partitions: int = 32,
+) -> pa.Table:
+    """Step-conversion funnel analytics: for each prefix of ``steps``,
+    the number of DISTINCT keys that reach it (step 1 = keys with any
+    matching row; step k = keys with at least one completed k-step
+    pattern, ``within`` measured to the prefix's own end), plus
+    ``rate_from_first`` and ``rate_from_prev`` — the classic
+    conversion table the raw match stream doesn't directly give.
+
+    A key reaches step k iff ANY qualifying chain exists: per start
+    row the matcher's greedy-earliest continuation minimizes the end
+    time (optimal for the ``within`` check), and matches are emitted
+    from every qualifying start — so distinct-keys-over-matches equals
+    the SQL EXISTS chain the oracle spells.
+
+    Cost: one :func:`match_pattern` run per prefix of length >= 2
+    (n-1 key exchanges for an n-step funnel) plus one distinct pass
+    for step 1 — an analytics pass, not an ingest path; counts are
+    scalars so nothing large ever reaches the driver."""
+    from ..ops.smallagg import distinct_small
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    partition_by = list(partition_by)
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        mask = _mask_of(steps[0][1], batch)
+        t = batch.select(partition_by).filter(pa.array(mask))
+        if t.num_rows == 0:
+            return t
+        import pandas as pd
+
+        df = t.to_pandas().drop_duplicates()
+        return pa.table({c: pa.Array.from_pandas(
+            df[c], type=t.schema.field(c).type) for c in partition_by})
+
+    counts = [distinct_small(
+        ds.map_batches(first_partial, batch_format="pyarrow",
+                       zero_copy_batch=True), partition_by).count()]
+    for k in range(2, len(steps) + 1):
+        m = match_pattern(
+            ds, partition_by=partition_by, order_by=order_by,
+            steps=steps[:k], contiguity=contiguity, within=within,
+            tiebreak=tiebreak, num_partitions=num_partitions)
+
+        def keys_partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.select(
+                    [c for c in partition_by
+                     if c in batch.column_names])
+            import pandas as pd
+
+            t = batch.select(partition_by)
+            df = t.to_pandas().drop_duplicates()
+            return pa.table({c: pa.Array.from_pandas(
+                df[c], type=t.schema.field(c).type)
+                for c in partition_by})
+
+        counts.append(distinct_small(
+            m.map_batches(keys_partial, batch_format="pyarrow",
+                          zero_copy_batch=True), partition_by).count())
+
+    names = [n for n, _ in steps]
+    first = float(counts[0]) if counts[0] else None
+    out = {
+        "step": pa.array(names, type=pa.string()),
+        "step_idx": pa.array(range(1, len(names) + 1), type=pa.int64()),
+        "n_keys": pa.array(counts, type=pa.int64()),
+        "rate_from_first": pa.array(
+            [None if first is None else c / first for c in counts],
+            type=pa.float64()),
+        "rate_from_prev": pa.array(
+            [None] + [None if counts[i - 1] == 0
+                      else counts[i] / counts[i - 1]
+                      for i in range(1, len(counts))],
+            type=pa.float64()),
+    }
+    return pa.table(out)

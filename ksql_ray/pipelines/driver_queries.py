@@ -6516,6 +6516,64 @@ REGISTRY["op_weighted_bottomk"] = RawQ(
 )
 
 
+def _op_funnel_rates(sf_dir: str) -> pa.Table:
+    from ..expr import F
+    from ..ops.cep import funnel_rates
+
+    ds = _read_clean(f"{sf_dir}/events.parquet")
+    t = funnel_rates(
+        ds, partition_by=["user_id"], order_by="ts",
+        steps=[("v", F("event_type").Equal("view")),
+               ("c", F("event_type").Equal("click")),
+               ("p", F("event_type").Equal("purchase"))],
+        within=24 * HOUR_US, tiebreak="event_id")
+    return _round_cols(t, {"rate_from_first": 6, "rate_from_prev": 6})
+
+
+REGISTRY["op_funnel_rates"] = RawQ(
+    _op_funnel_rates,
+    # funnel conversion table (ops/cep.py funnel_rates): distinct keys
+    # reaching each prefix (EXISTS chains; within measured to the
+    # prefix end), rates vs first and previous step
+    f"""
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+s1 AS (SELECT count(DISTINCT user_id) AS n FROM e
+       WHERE event_type = 'view'),
+s2 AS (SELECT count(DISTINCT v.user_id) AS n
+       FROM (SELECT * FROM e WHERE event_type = 'view') v
+       WHERE EXISTS (SELECT 1 FROM e c
+         WHERE c.user_id = v.user_id AND c.event_type = 'click'
+           AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+           AND epoch_us(c.ts) - epoch_us(v.ts) <= {24 * HOUR_US})),
+s3 AS (SELECT count(DISTINCT m.user_id) AS n FROM (
+       SELECT v.user_id
+       FROM (SELECT * FROM e WHERE event_type = 'view') v
+       CROSS JOIN LATERAL (
+         SELECT x.ts AS c_ts, x.event_id AS c_event_id FROM e x
+         WHERE x.user_id = v.user_id AND x.event_type = 'click'
+           AND (x.ts > v.ts OR (x.ts = v.ts AND x.event_id > v.event_id))
+         ORDER BY x.ts, x.event_id LIMIT 1) c
+       CROSS JOIN LATERAL (
+         SELECT y.ts AS p_ts FROM e y
+         WHERE y.user_id = v.user_id AND y.event_type = 'purchase'
+           AND (y.ts > c.c_ts OR (y.ts = c.c_ts
+                                  AND y.event_id > c.c_event_id))
+         ORDER BY y.ts, y.event_id LIMIT 1) p
+       WHERE epoch_us(p.p_ts) - epoch_us(v.ts) <= {24 * HOUR_US}) m)
+SELECT * FROM (
+  SELECT 'v' AS step, 1::BIGINT AS step_idx, s1.n::BIGINT AS n_keys,
+    1.0 AS rate_from_first, NULL::DOUBLE AS rate_from_prev FROM s1
+  UNION ALL
+  SELECT 'c', 2, s2.n::BIGINT,
+    ROUND(s2.n / s1.n::DOUBLE, 6), ROUND(s2.n / s1.n::DOUBLE, 6)
+  FROM s1, s2
+  UNION ALL
+  SELECT 'p', 3, s3.n::BIGINT,
+    ROUND(s3.n / s1.n::DOUBLE, 6), ROUND(s3.n / s2.n::DOUBLE, 6)
+  FROM s1, s2, s3)""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 4): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3

@@ -134,3 +134,44 @@ def test_two_step_strict_pairs(ray_session):
     mask = (df["event_type"] == "error") & (nxt_type == "signup")
     assert sorted(out["e_event_id"]) == sorted(df.loc[mask, "event_id"])
     assert sorted(out["s_event_id"]) == sorted(nxt_id[mask].astype(int))
+
+
+# ------------------------------------------------------------ funnel rates
+def test_funnel_rates_brute_force(ray_session):
+    from ksql_ray.expr import F
+    from ksql_ray.ops.cep import funnel_rates
+
+    # users: 1 completes v->c->p, 2 reaches v->c, 3 only v, 4 has c
+    # without v (never enters the funnel)
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2, 3, 4], pa.int64()),
+        "et": pa.array(["v", "c", "p", "v", "c", "v", "c"]),
+        "ts": pa.array([0, 1, 2, 0, 5, 9, 0], pa.timestamp("us")),
+        "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+    })
+    out = funnel_rates(
+        ray.data.from_arrow(t), partition_by=["u"], order_by="ts",
+        steps=[("a", F("et").Equal("v")), ("b", F("et").Equal("c")),
+               ("c", F("et").Equal("p"))], tiebreak="id")
+    d = out.to_pydict()
+    assert d["n_keys"] == [3, 2, 1]
+    assert d["rate_from_first"] == [1.0, 2 / 3, 1 / 3]
+    assert d["rate_from_prev"][1:] == [2 / 3, 1 / 2]
+
+
+def test_funnel_rates_within_window(ray_session):
+    from ksql_ray.expr import F
+    from ksql_ray.ops.cep import funnel_rates
+
+    # user 2's click is outside the 3us window
+    t = pa.table({
+        "u": pa.array([1, 1, 2, 2], pa.int64()),
+        "et": pa.array(["v", "c", "v", "c"]),
+        "ts": pa.array([0, 2, 0, 10], pa.timestamp("us")),
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = funnel_rates(
+        ray.data.from_arrow(t), partition_by=["u"], order_by="ts",
+        steps=[("a", F("et").Equal("v")), ("b", F("et").Equal("c"))],
+        within=3, tiebreak="id").to_pydict()
+    assert out["n_keys"] == [2, 1]
