@@ -521,6 +521,23 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["streaming_cep_200k"] = min2(_scep)
 
+    # funnel conversion table (one matcher run per prefix)
+    from ksql_ray.expr import F as _F
+    from ksql_ray.ops.cep import funnel_rates
+
+    def _frates():
+        funnel_rates(
+            ray.data.read_parquet(
+                paths["transcripts"],
+                columns=["conv_id", "turn_idx", "ts", "role"]),
+            partition_by=["conv_id"], order_by="ts",
+            steps=[("u", _F("role").Equal("user")),
+                   ("t", _F("role").Equal("tool")),
+                   ("a", _F("role").Equal("assistant"))],
+            tiebreak="turn_idx")
+
+    out["funnel_rates_200k"] = min2(_frates)
+
     # streaming per-key row jobs: role-transition matrix and running
     # z-score anomalies on ingest (per-key carry state, 64 epochs)
     from ksql_ray.streaming.rows import (StreamingAnomalyJob,
