@@ -6575,7 +6575,7 @@ SELECT * FROM (
 
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation (round 4): the graft driver records oracle
+# Driver-window rotation (round 5): the graft driver records oracle
 # results for only the FIRST ~50 registry entries per round. Rounds 1-3
 # recorded 61 distinct gates; reorder so round 4's window covers gates
 # that have never had a driver-recorded row — the two harness-fixed
@@ -6583,62 +6583,90 @@ SELECT * FROM (
 # then the rest of the round-3 op surface. Definitions above are
 # untouched; this only rebuilds dict order (python dicts iterate in
 # insertion order, and queries()/oracle_sql() preserve it).
-_R4_WINDOW = [
-    # harness-fixed this round (round-3 "weak" marks; record them green)
-    "op_prep_pipeline", "op_window_dedup",
-    # streaming jobs — none ever driver-recorded
-    "streaming_dedup", "streaming_neardup", "streaming_embdedup",
-    "streaming_asof", "streaming_topk", "streaming_quantiles",
-    "streaming_hll", "streaming_grouped_hll",
-    "streaming_cep_funnel", "streaming_cep_strict", "streaming_cep_absent",
-    "streaming_recovery", "streaming_emit_changes",
-    "streaming_emit_changes_windowed", "streaming_project_text",
-    "streaming_join_outer", "streaming_percentile", "streaming_stddev",
-    "ddl_insert_ctas", "ddl_migrations", "join_cross_large",
-    # ADVICE-touched modules (hll/cube/rows/hist) — fresh driver rows
-    "op_hll_distinct", "op_grouped_hll", "op_top_values_per_key",
-    "op_rank_per_key", "op_transition_counts", "op_moving_agg",
-    "op_histogram_bins", "op_rollup", "op_pivot", "op_cube", "op_corr",
-    "op_grouped_quantiles",
-    # remaining never-recorded op gates
-    "op_pack_shards", "op_asof_join", "op_range_join",
-    "op_cep_funnel", "op_cep_strict", "op_cep_absent",
-    "op_winnow_fingerprint", "op_quality_filter", "op_pii_scrub",
-    "op_stratified_sample", "op_top_terms", "op_top_ngrams",
-    "op_lm_score", "op_bm25_topk", "op_bm25_multi",
+_R5_WINDOW = [
+    # --- round 5: the 83 gates with no driver-recorded CORRECTNESS row
+    # across r01-r04 go first (VERDICT r4 "What's missing" #1).
+    # Streaming jobs lead, then wire formats, then the r4 op surface.
+    "streaming_throttle", "streaming_sample", "streaming_session_export",
+    "streaming_rescale", "streaming_simjoin", "streaming_cms",
+    "streaming_decontam_filter", "streaming_transitions",
+    "streaming_anomaly", "streaming_grouped_quantiles", "streaming_prep",
+    "source_csv_format", "source_json_format",
+    # ops flagged weak / upgraded this round — want fresh driver rows
+    "op_funnel_rates", "op_bpe_vocab", "op_bpe_token_count",
+    # r4 heavy op surface
+    "op_similarity_join", "op_bloom_semi", "op_bloom_anti",
+    "op_cms_counters", "op_nb_scores", "op_nb_classify", "op_validate",
+    "op_throttle", "op_throttle_bucket", "op_session_stats",
+    "op_sq8_encode", "op_weighted_bottomk", "op_auto_quality",
+    "op_readability", "op_grouping_sets", "op_mad_outliers",
+    "op_source_overlap", "op_hard_negatives", "op_conv_stats",
+    "op_zipf_stats", "op_distinct_ngrams", "op_dedup_lines",
+    "op_strip_boilerplate", "op_strip_markup", "op_c4_clean",
+    "op_ngram_repetition", "op_snapshot_diff", "op_leakage_split",
+    "op_dedup_keep_best", "op_dsir_select", "op_normalize_text",
+    "op_pca_covariance", "op_pagerank", "op_tfidf",
+    # r3s6 relational/window surface (past the ~50-row driver window if
+    # unchanged, but keep them ahead of already-recorded gates)
+    "op_char_entropy", "op_standardize", "op_cumulative_agg",
+    "op_intersect", "op_union", "op_except", "op_semi_join",
+    "op_anti_join", "op_bucketize", "op_top_per_key", "op_sessionize",
+    "op_with_lead", "op_with_lag", "op_rank_dist", "op_first_last",
+    "op_time_range_agg", "op_time_range_distinct", "op_interval_merge",
+    "op_gap_fill", "op_fuzzy_pairs", "op_assemble_convs",
+    "op_chunk_split", "op_shuffle_shard", "op_quantiles", "op_unnest",
+    "op_melt", "op_regex_extract", "op_profile", "op_weighted_sample",
+    "op_split_assign", "op_sample_per_key", "op_bottom_k_sample",
+    "op_mixture_sample",
 ]
 
 
-# gates with a driver-recorded row in CORRECTNESS_r01-r03 — sorted
+# gates with a driver-recorded row in CORRECTNESS_r01-r04 — sorted
 # AFTER the still-unrecorded ones so a wider driver window always
 # lands on fresh gates first
 _DRIVER_RECORDED = {
     "agg_basic", "agg_count_distinct", "agg_having_orderby",
     "agg_over_arithmetic", "agg_percentile", "agg_stddev", "arithmetic",
     "case_over_aggregate", "case_when", "collect_list", "collect_set",
-    "cte", "filter_project", "histogram", "join_compound_on",
-    "join_cross", "join_inner", "join_left", "join_multi", "join_outer",
-    "join_right", "join_then_aggregate", "latest_earliest_by_offset",
-    "min_max_strings", "null_checks", "op_ann_topk", "op_chunk_dedup",
-    "op_cluster_sample", "op_contamination", "op_dup_clusters",
+    "cte", "ddl_insert_ctas", "ddl_migrations", "filter_project",
+    "histogram", "join_compound_on", "join_cross", "join_cross_large",
+    "join_inner", "join_left", "join_multi", "join_outer", "join_right",
+    "join_then_aggregate", "latest_earliest_by_offset",
+    "min_max_strings", "null_checks", "op_ann_topk", "op_asof_join",
+    "op_bm25_multi", "op_bm25_topk", "op_cep_absent", "op_cep_funnel",
+    "op_cep_strict", "op_chunk_dedup", "op_cluster_sample",
+    "op_contamination", "op_corr", "op_cube", "op_dup_clusters",
     "op_embedding_neardup", "op_exact_dedup", "op_frame_sample",
-    "op_ivf_ann", "op_ivfpq_encode", "op_kmeans", "op_lang_quality",
-    "op_media_features", "op_minhash_dedup", "op_ngram_jaccard",
-    "op_pq_encode", "op_semdedup", "op_simhash_dedup", "op_text_analysis",
-    "orderby_multi_desc", "streaming_join_right", "streaming_stream_join",
-    "streaming_window_hopping", "streaming_window_session",
-    "streaming_window_tumbling", "sum_over_expression", "topk",
-    "topk_distinct", "where_and_chain", "where_not_in", "where_or_in",
-    "window_hopping", "window_session", "window_tumbling",
-    "window_tumbling_latest", "windowed_having",
+    "op_grouped_hll", "op_grouped_quantiles", "op_histogram_bins",
+    "op_hll_distinct", "op_ivf_ann", "op_ivfpq_encode", "op_kmeans",
+    "op_lang_quality", "op_lm_score", "op_media_features",
+    "op_minhash_dedup", "op_moving_agg", "op_ngram_jaccard",
+    "op_pack_shards", "op_pii_scrub", "op_pivot", "op_pq_encode",
+    "op_prep_pipeline", "op_quality_filter", "op_range_join",
+    "op_rank_per_key", "op_rollup", "op_semdedup", "op_simhash_dedup",
+    "op_stratified_sample", "op_text_analysis", "op_top_ngrams",
+    "op_top_terms", "op_top_values_per_key", "op_transition_counts",
+    "op_window_dedup", "op_winnow_fingerprint", "orderby_multi_desc",
+    "streaming_asof", "streaming_cep_absent", "streaming_cep_funnel",
+    "streaming_cep_strict", "streaming_dedup", "streaming_embdedup",
+    "streaming_emit_changes", "streaming_emit_changes_windowed",
+    "streaming_grouped_hll", "streaming_hll", "streaming_join_outer",
+    "streaming_join_right", "streaming_neardup", "streaming_percentile",
+    "streaming_project_text", "streaming_quantiles",
+    "streaming_recovery", "streaming_stddev", "streaming_stream_join",
+    "streaming_topk", "streaming_window_hopping",
+    "streaming_window_session", "streaming_window_tumbling",
+    "sum_over_expression", "topk", "topk_distinct", "where_and_chain",
+    "where_not_in", "where_or_in", "window_hopping", "window_session",
+    "window_tumbling", "window_tumbling_latest", "windowed_having",
 }
 
 
 def _rotated(reg: dict) -> dict:
-    head = [n for n in _R4_WINDOW if n in reg]
-    assert len(head) == len(_R4_WINDOW), (
-        sorted(set(_R4_WINDOW) - set(reg)))
-    rest = sorted((n for n in reg if n not in set(_R4_WINDOW)),
+    head = [n for n in _R5_WINDOW if n in reg]
+    assert len(head) == len(_R5_WINDOW), (
+        sorted(set(_R5_WINDOW) - set(reg)))
+    rest = sorted((n for n in reg if n not in set(_R5_WINDOW)),
                   key=lambda n: (n in _DRIVER_RECORDED,
                                  list(reg).index(n)))
     return {n: reg[n] for n in head + rest}
