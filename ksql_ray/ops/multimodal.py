@@ -1,14 +1,18 @@
 """Multimodal (image/audio/video) pipeline plumbing.
 
 Treats media as opaque ``binary`` columns with typed metadata (SURVEY
-mandate). The actual codecs are NOT available in this container, so the
-decode kernels are stubbed two ways:
+mandate). Decode comes in two real flavors plus the plumbing stub:
 
-* ``decode="strict"`` raises NotImplementedError (the production slot
-  where pillow / torchaudio / pyav plug in), and
+* ``decode="strict"`` REALLY decodes the dependency-free uncompressed
+  formats — BMP (24-bit BI_RGB, bottom-up or top-down) and binary
+  Netpbm P5/P6 (PGM/PPM, maxval <= 255) — with pure-numpy header+pixel
+  parsers (both formats are public specs: BITMAPFILEHEADER/
+  BITMAPINFOHEADER layout, Netpbm token grammar), and raises
+  NotImplementedError for anything else (JPEG/PNG/audio/video — the
+  production slot where pillow / torchaudio / pyav plug in).
 * ``decode="fake"`` derives deterministic pseudo-features from the bytes
   (seeded by content hash), so the Ray-side plumbing — schema, actor
-  pool, batch sizing, output layout — is fully real and tested.
+  pool, batch sizing, output layout — is testable without any codec.
 
 The stages follow the required shape for heavy media work: a callable
 CLASS passed to ``map_batches(..., concurrency=N, batch_size=B)`` —
@@ -19,6 +23,7 @@ expensive setup once per actor in ``__init__``, per-batch work in
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa

@@ -5575,8 +5575,12 @@ def _op_bpe_vocab(sf_dir: str) -> pa.Table:
     """Learned BPE merge table (rank, left, right, token) on the
     documents corpus — deterministic (exact integer counts, lexicographic
     tie-break) but not SQL-expressible (sequential merge loop), so this
-    gate is rows-only at the driver; determinism across partitionings
-    is pinned by tests/test_ops_bpe.py."""
+    gate is rows-only at the driver. VALUE correctness is pinned by an
+    in-repo INDEPENDENT oracle: tests/test_bpe_value_oracle.py re-derives
+    the full 64-merge table with a from-scratch naive Sennrich loop
+    (brute-force pair recount per merge, zero shared code) on this exact
+    corpus and parameters; determinism across partitionings is pinned by
+    tests/test_ops_bpe.py."""
     from ..ops.bpe import learn_bpe, merges_table
 
     ds = _read_clean(f"{sf_dir}/documents.parquet")
