@@ -21,7 +21,9 @@ Rules (each a tuple, mirrored verbatim by the gate oracle):
 * ``("unique", col)`` — violations = rows beyond the first per value
   (SQL ``count(*) - count(DISTINCT col)``; NULLs ignored)
 * ``("in_set", col, values)`` — non-NULL rows outside the set
-* ``("range", col, lo, hi)`` — non-NULL rows outside [lo, hi]
+* ``("range", col, lo, hi)`` — non-NULL rows outside [lo, hi]; float
+  NaN counts as OUT of range (DuckDB's total order puts NaN above all
+  numbers, so the oracle's ``value > hi`` flags NaN rows — ADVICE r4)
 * ``("regex", col, pattern)`` — non-NULL rows NOT fully matching
 * ``("increasing_by", ts_col, key_col, order_col)`` — per key, order
   rows by ``order_col`` (a total order, e.g. the event id / offset)
@@ -65,6 +67,10 @@ def _counter_partial(batch: pa.Table, rules: list[tuple]) -> pa.Table:
         elif kind == "range":
             lo, hi = rule[2], rule[3]
             out = pc.or_kleene(pc.less(c, lo), pc.greater(c, hi))
+            if pa.types.is_floating(c.type):
+                # NaN: pc.less/greater say False, but DuckDB's total
+                # order ranks NaN above every number — match it
+                out = pc.or_kleene(out, pc.is_nan(c))
             v = pc.sum(pc.cast(pc.fill_null(out, False),
                                pa.int64())).as_py() or 0
         else:  # regex — full match
@@ -92,6 +98,14 @@ def validate_rules(ds: ray.data.Dataset,
     bad = kinds - _COUNTER_KINDS - {"unique", "increasing_by"}
     if bad:
         raise ValueError(f"unknown rule kinds: {sorted(bad)}")
+    labels = [_rule_name(r) for r in rules]
+    dups = sorted({x for x in labels if labels.count(x) > 1})
+    if dups:
+        # two same-kind rules on one column would silently SUM their
+        # violation counts into one row (ADVICE r4) — refuse instead
+        raise ValueError(
+            f"duplicate rule labels {dups}: at most one rule of each "
+            "kind per column")
 
     outs: list[ray.data.Dataset] = []
     counter_rules = [r for r in rules if r[0] in _COUNTER_KINDS]

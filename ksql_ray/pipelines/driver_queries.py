@@ -6115,7 +6115,7 @@ REGISTRY["op_throttle"] = RawQ(
     f"""
 WITH RECURSIVE ev AS (
   SELECT user_id, epoch_us(ts) AS tus, event_id, ts, event_type
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 chain AS (
   SELECT user_id, tus, event_id, ts, event_type FROM (
     SELECT *, row_number() OVER (PARTITION BY user_id
@@ -6152,7 +6152,7 @@ SELECT user_id, event_id, ts, event_type FROM (
   SELECT *, row_number() OVER (
     PARTITION BY user_id, epoch_us(ts) // {_THROTTLE_US}
     ORDER BY epoch_us(ts), event_id) AS rn
-  FROM events) WHERE rn = 1""",
+  FROM events WHERE ts IS NOT NULL) WHERE rn = 1""",
 )
 
 
@@ -6482,7 +6482,8 @@ REGISTRY["op_session_stats"] = RawQ(
          CASE WHEN lag(ts) OVER w IS NULL
               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_US}
               THEN 1 ELSE 0 END AS new_sess
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT *, sum(new_sess) OVER (PARTITION BY user_id
               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id

@@ -406,7 +406,7 @@ class StreamingThrottleJob:
         self.epoch += 1
         if self.epoch <= self._resume_cursor:
             self._file_seq += len(files_or_tables)
-            return (self.epoch, None, None)
+            return (self.epoch, None, None, self._file_seq)
         preps = []
         for f in files_or_tables:
             preps.append(_throttle_prep.options(
@@ -424,13 +424,17 @@ class StreamingThrottleJob:
                 and (self.epoch + 1) % self.checkpoint_every == 0):
             ckpt = [a.checkpoint.remote(self.epoch, self.checkpoint_dir)
                     for a in self.actors]
-        return (self.epoch, acks, ckpt)
+        # snapshot file_seq NOW: with pipelined submission
+        # (max_inflight > 0) later epochs bump self._file_seq before
+        # this epoch drains, so the cursor must record the submit-time
+        # value, not drain-time state (ADVICE r4)
+        return (self.epoch, acks, ckpt, self._file_seq)
 
     def _drain_epoch(self, pending) -> dict:
         import json
         import os
 
-        epoch, acks, ckpt = pending
+        epoch, acks, ckpt, file_seq = pending
         if acks is None:
             m = {"epoch": epoch, "rows_in": 0, "rows_out": 0,
                  "state_records": None, "skipped": True}
@@ -449,7 +453,7 @@ class StreamingThrottleJob:
             tmp = cursor + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"epoch": epoch,
-                           "file_seq": self._file_seq}, f)
+                           "file_seq": file_seq}, f)
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, cursor)

@@ -546,3 +546,68 @@ def test_throttle_null_ts_rows_dropped(ray_session):
                    tiebreak="id").take_all()
     # NULL ts: never emitted (SQL e.ts >= prev + T matches nothing)
     assert sorted(r["id"] for r in out) == [1, 3]
+
+
+def test_throttle_session_all_null_ts_key_vs_oracle(ray_session):
+    """ADVICE r4 #1: a key whose rows are ALL NULL-ts must emit
+    nothing — including the anchor — in both throttle modes, and must
+    not contribute to session_stats counters. The gate oracles now
+    filter ``WHERE ts IS NOT NULL``, making the stated SQL equivalence
+    exact; this pins engine == fixed oracle on exactly that corpus."""
+    import duckdb
+
+    from ksql_ray.ops.rows import session_stats, throttle
+
+    t = pa.table({
+        "k": pa.array(["nul", "nul", "mix", "mix", "mix", "ok", "ok"]),
+        "ts": pa.array([None, None, None, 0, 25, 5, 40],
+                       pa.timestamp("us")),
+        "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    chain = throttle(ds, ["k"], "ts", 10, tiebreak="id").take_all()
+    bucket = throttle(ds, ["k"], "ts", 10, tiebreak="id",
+                      mode="bucket").take_all()
+    # key 'nul' contributes NO rows, not even an anchor
+    assert sorted(r["id"] for r in chain) == [4, 5, 6, 7]
+    assert sorted(r["id"] for r in bucket) == [4, 5, 6, 7]
+
+    con = duckdb.connect()
+    con.register("ev_t", t)
+    chain_sql = """
+    WITH RECURSIVE ev AS (
+      SELECT k, epoch_us(ts) AS tus, id FROM ev_t
+      WHERE ts IS NOT NULL),
+    chain AS (
+      SELECT k, tus, id FROM (
+        SELECT *, row_number() OVER (PARTITION BY k
+                                     ORDER BY tus, id) AS rn
+        FROM ev) WHERE rn = 1
+      UNION ALL
+      SELECT e.k, e.tus, e.id FROM chain c JOIN ev e
+        ON e.k = c.k AND e.tus >= c.tus + 10
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ev e2 WHERE e2.k = c.k AND e2.tus >= c.tus + 10
+          AND (e2.tus < e.tus OR (e2.tus = e.tus AND e2.id < e.id))))
+    SELECT id FROM chain ORDER BY id"""
+    assert [r[0] for r in con.execute(chain_sql).fetchall()] == \
+        sorted(r["id"] for r in chain)
+
+    stats = session_stats(ds, ["k"], "ts", 10, tiebreak="id").take_all()
+    ref = con.execute("""
+    WITH flagged AS (
+      SELECT k, id, ts, CASE WHEN lag(ts) OVER w IS NULL
+          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 10
+          THEN 1 ELSE 0 END AS new_sess
+      FROM ev_t WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY k ORDER BY ts, id)
+    ), sessions AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY k
+          ORDER BY ts, id ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ), per AS (
+      SELECT k, sess_id, count(*) AS n,
+             epoch_us(max(ts) - min(ts)) AS dur
+      FROM sessions GROUP BY 1, 2)
+    SELECT count(*)::BIGINT, sum(n)::BIGINT FROM per""").fetchone()
+    assert (stats[0]["n_sessions"], stats[0]["n_events"]) == ref

@@ -288,3 +288,28 @@ def test_validate_all_null_and_empty_still_report_rules(ray_session):
     empty = pa.table({"v": pa.array([], type=pa.string())})
     out2 = _run(empty, [("unique", "v"), ("not_null", "v")], nparts=1)
     assert out2 == {"unique(v)": 0, "not_null(v)": 0}
+
+
+def test_validate_duplicate_rule_labels_rejected(ray_session):
+    # ADVICE r4 #2: two same-kind rules on one column would silently
+    # sum their counts into a single row — must refuse instead
+    t = pa.table({"v": pa.array([1.0, 2.0])})
+    with pytest.raises(ValueError, match="duplicate rule labels"):
+        validate_rules(ray.data.from_arrow(t),
+                       [("range", "v", 0, 1), ("range", "v", 5, 9)])
+
+
+def test_validate_range_nan_matches_duckdb(ray_session):
+    # ADVICE r4 #3: DuckDB's total order ranks NaN above all numbers,
+    # so `value > hi` flags NaN rows; the engine must agree
+    import math
+
+    import duckdb
+
+    t = pa.table({"v": pa.array([0.5, math.nan, -1.0, 200.0, None,
+                                 math.nan, 50.0], pa.float64())})
+    out = _run(t, [("range", "v", 0.0, 100.0)], nparts=2)
+    ref = duckdb.connect().execute(
+        "SELECT count(*) FILTER (v < 0.0 OR v > 100.0) FROM t"
+    ).fetchone()[0]
+    assert out == {"range(v)": ref} == {"range(v)": 4}
