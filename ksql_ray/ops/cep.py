@@ -23,6 +23,18 @@ Semantics (deterministic, SQL-oracle-able)
 * Output: one row per completed match — the partition keys + each
   step's ``order_by`` value (``<step>_<order_by>``) + each step's
   requested ``measures`` columns (``<step>_<col>``).
+* **Bounded repetition** (round 5): a step may be ``(name, pred,
+  (m, n))`` — it binds m..n CONSECUTIVE rows (``n=None`` = unbounded,
+  so ``(1, None)`` is Kleene-plus). Quantifiers require
+  ``contiguity="strict"`` (the SQL MATCH_RECOGNIZE model: a match is
+  a contiguous run of rows, and quantified variables bind consecutive
+  rows); semantics are GREEDY-POSSESSIVE — the run extends while the
+  predicate holds on the next same-key row, capped at n, and is never
+  backtracked (regex ``{m,n}+``), which keeps the binding decidable
+  row-by-row (streaming-friendly) and LATERAL-oracle-able. A
+  quantified step emits ``<step>_<order_by>`` / measures from its
+  FIRST bound row plus ``<step>_n`` (the repetition count); ``within``
+  is measured to the LAST bound row of the final step.
 
 Scale shape
 -----------
@@ -69,6 +81,38 @@ def _mask_of(pred, tbl: pa.Table) -> np.ndarray:
     return np.asarray(m, dtype=bool)
 
 
+def _parse_steps(steps, contiguity: str):
+    """Normalize ``steps`` entries — ``(name, pred)`` or ``(name, pred,
+    (m, n))`` — into a 2-tuple list plus a parallel quantifier list
+    (None for unquantified). Quantifiers need strict contiguity."""
+    parsed, quants = [], []
+    for s in steps:
+        s = tuple(s)
+        if len(s) == 2:
+            parsed.append(s)
+            quants.append(None)
+            continue
+        if len(s) != 3:
+            raise ValueError(f"step must be (name, pred[, (m, n)]): {s!r}")
+        name, pred, q = s
+        m, n_ = q
+        m = int(m)
+        n_ = None if n_ is None else int(n_)
+        if m < 1 or (n_ is not None and n_ < m):
+            raise ValueError(
+                f"step {name!r}: quantifier needs 1 <= m <= n, got {q!r}")
+        parsed.append((name, pred))
+        quants.append((m, n_))
+    if len(parsed) < 2:
+        raise ValueError("a pattern needs at least 2 steps")
+    if any(q is not None for q in quants) and contiguity != "strict":
+        raise ValueError(
+            "quantified steps require contiguity='strict' (the "
+            "MATCH_RECOGNIZE contiguous-rows model; a skip-mode greedy "
+            "run is not decidable row-by-row)")
+    return parsed, quants
+
+
 def match_pattern(
     ds: ray.data.Dataset,
     *,
@@ -100,9 +144,7 @@ def match_pattern(
     """
     if contiguity not in ("strict", "skip"):
         raise ValueError("contiguity must be 'strict' or 'skip'")
-    steps = list(steps)
-    if len(steps) < 2:
-        raise ValueError("a pattern needs at least 2 steps")
+    steps, quants = _parse_steps(steps, contiguity)
     names = [n for n, _ in steps]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
@@ -162,18 +204,60 @@ def match_pattern(
         gid, t, t_ok = gid[order], t[order], t_ok[order]
         masks = [(_mask_of(p, sg) & t_ok) for p in preds]
         starts = np.flatnonzero(masks[0])
+        firsts: list[np.ndarray] = []
+        lasts: list[np.ndarray] = []
+        cnts: list[np.ndarray] = []
         if contiguity == "strict":
-            idxs = [starts]
-            cur = starts
-            for k in range(1, K):
-                cur = cur + 1
-                keep = cur < n
-                keep[keep] &= masks[k][cur[keep]] & (gid[cur[keep]]
-                                                     == gid[cur[keep] - k])
-                idxs = [a[keep] for a in idxs]
-                cur = cur[keep] + 0
-                idxs.append(cur)
-        else:  # skip-till-next-match
+            # kc: positions where a new key segment begins (sorted)
+            kc = (np.flatnonzero(gid[1:] != gid[:-1]) + 1
+                  if n > 1 else np.empty(0, dtype=np.int64))
+            cur = starts.copy()
+            sgid = gid[starts]
+            for k in range(K):
+                if k == 0:
+                    good = np.ones(len(cur), dtype=bool)
+                else:
+                    inb = cur < n
+                    good = inb.copy()
+                    good[inb] = (masks[k][cur[inb]]
+                                 & (gid[cur[inb]] == sgid[inb]))
+                if quants[k] is None:
+                    j = np.ones(len(cur), dtype=np.int64)
+                    keep = good
+                else:
+                    m_k, n_k = quants[k]
+                    # greedy-possessive run length from cur: distance
+                    # to the next non-matching row or key change
+                    badk = np.flatnonzero(~masks[k])
+                    safe = np.where(good, cur, 0)
+                    if len(badk):
+                        bi = np.searchsorted(badk, safe, side="left")
+                        stop1 = np.where(bi < len(badk),
+                                         badk[np.minimum(bi,
+                                                         len(badk) - 1)],
+                                         n)
+                    else:
+                        stop1 = np.full(len(cur), n, dtype=np.int64)
+                    if len(kc):
+                        ki = np.searchsorted(kc, safe, side="right")
+                        stop2 = np.where(ki < len(kc),
+                                         kc[np.minimum(ki, len(kc) - 1)],
+                                         n)
+                    else:
+                        stop2 = np.full(len(cur), n, dtype=np.int64)
+                    runlen = np.minimum(stop1, stop2) - safe
+                    j = (runlen if n_k is None
+                         else np.minimum(runlen, n_k)).astype(np.int64)
+                    keep = good & (j >= m_k)
+                firsts = [a[keep] for a in firsts]
+                lasts = [a[keep] for a in lasts]
+                cnts = [a[keep] for a in cnts]
+                cur, sgid, j = cur[keep], sgid[keep], j[keep]
+                firsts.append(cur)
+                lasts.append(cur + j - 1)
+                cnts.append(j)
+                cur = cur + j
+        else:  # skip-till-next-match (no quantifiers by construction)
             idxs = [starts]
             cur = starts
             sgid = gid[starts]
@@ -191,39 +275,47 @@ def match_pattern(
                 idxs = [a[keep] for a in idxs]
                 cur, sgid = nxt[keep], sgid[keep]
                 idxs.append(cur)
+            firsts = lasts = idxs
+            cnts = [np.ones(len(idxs[0]), dtype=np.int64)] * K
         for na, nb, npred in absent:
             ia, ib = names.index(na), names.index(nb)
             nm = _mask_of(npred, sg) & t_ok
             npos = np.flatnonzero(nm)
-            # strictly between the bound positions; rows there are
-            # same-key by construction (key-major sort)
-            lo = np.searchsorted(npos, idxs[ia], side="right")
-            hi = np.searchsorted(npos, idxs[ib], side="left")
+            # strictly between the bound positions (last of a, first of
+            # b); rows there are same-key by construction
+            lo = np.searchsorted(npos, lasts[ia], side="right")
+            hi = np.searchsorted(npos, firsts[ib], side="left")
             keep = lo >= hi
-            idxs = [a[keep] for a in idxs]
-        first, last = idxs[0], idxs[-1]
+            firsts = [a[keep] for a in firsts]
+            lasts = [a[keep] for a in lasts]
+            cnts = [a[keep] for a in cnts]
         if within is not None:
-            keep = (t[last] - t[first]) <= int(within)
-            idxs = [a[keep] for a in idxs]
-            first = idxs[0]
+            keep = (t[lasts[-1]] - t[firsts[0]]) <= int(within)
+            firsts = [a[keep] for a in firsts]
+            lasts = [a[keep] for a in lasts]
+            cnts = [a[keep] for a in cnts]
         cols: dict[str, pa.Array] = {}
-        f_take = pa.array(first)
+        f_take = pa.array(firsts[0])
         for k in partition_by:
             cols[k] = sg.column(k).take(f_take)
-        for name, idx in zip(names, idxs):
+        for s_i, (name, idx) in enumerate(zip(names, firsts)):
             take = pa.array(idx)
             cols[f"{name}_{order_by}"] = sg.column(order_by).take(take)
             for m in measures:
                 cols[f"{name}_{m}"] = sg.column(m).take(take)
+            if quants[s_i] is not None:
+                cols[f"{name}_n"] = pa.array(cnts[s_i], type=pa.int64())
         return pa.table(cols, schema=out_schema)
 
     def _out_schema() -> pa.Schema:
         fields = [schema.field(k) for k in partition_by]
-        for name in names:
+        for s_i, name in enumerate(names):
             fields.append(pa.field(f"{name}_{order_by}",
                                    schema.field(order_by).type))
             for m in measures:
                 fields.append(pa.field(f"{name}_{m}", schema.field(m).type))
+            if quants[s_i] is not None:
+                fields.append(pa.field(f"{name}_n", pa.int64()))
         return pa.schema(fields)
 
     npreds = [p for _, _, p in absent]

@@ -1524,6 +1524,49 @@ def _op_cep_absent(sf_dir: str) -> pa.Table:
 REGISTRY["op_cep_absent"] = RawQ(_op_cep_absent, _CEP_ABSENT_SQL)
 
 
+def _op_cep_repeat(sf_dir: str) -> pa.Table:
+    """Bounded repetition (round 5): view{1,3} -> click over CONSECUTIVE
+    per-user rows (strict contiguity, the MATCH_RECOGNIZE model),
+    greedy-possessive — the run consumes up to 3 consecutive views and
+    the click must be the immediately next row. Oracle: gaps-and-islands
+    run lengths (rn - row_number over the view rows) joined to the row
+    at rn + LEAST(avail, 3)."""
+    from ..expr import F
+    from ..ops.cep import match_pattern
+
+    ds = _read_clean(f"{sf_dir}/events.parquet")
+    out = match_pattern(
+        ds, partition_by=["user_id"], order_by="ts",
+        steps=[("v", F("event_type").Equal("view"), (1, 3)),
+               ("c", F("event_type").Equal("click"))],
+        contiguity="strict", within=86_400_000_000,
+        tiebreak="event_id", num_partitions=16)
+    return _collect(out)
+
+
+REGISTRY["op_cep_repeat"] = RawQ(
+    _op_cep_repeat,
+    """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE ts IS NOT NULL),
+v AS (
+  SELECT user_id, ts, event_id, rn,
+         max(rn) OVER (PARTITION BY user_id, grp) - rn + 1 AS avail
+  FROM (SELECT *, rn - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY rn) AS grp
+        FROM o WHERE event_type = 'view'))
+SELECT v.user_id, v.ts AS v_ts, LEAST(v.avail, 3)::BIGINT AS v_n,
+       c.ts AS c_ts
+FROM v JOIN o c
+  ON c.user_id = v.user_id AND c.rn = v.rn + LEAST(v.avail, 3)
+     AND c.event_type = 'click'
+WHERE epoch_us(c.ts) - epoch_us(v.ts) <= 86400000000""",
+)
+
+
 def _streaming_cep(sf_dir: str, contiguity: str, absent=None) -> pa.Table:
     """The same funnel run CONTINUOUSLY (streaming/cep.py): events
     replayed in event-time order as 20 epoch micro-batches; partial
