@@ -95,11 +95,16 @@ class _CEPPartitionState:
     Python/numpy/Arrow — unit-testable without Ray."""
 
     def __init__(self, spec: dict):
+        from ..ops.cep import _parse_steps
+
         self.keys: list[str] = list(spec["partition_by"])
         self.order_by: str = spec["order_by"]
         self.tiebreak: str | None = spec.get("tiebreak")
-        self.steps: list[tuple[str, object]] = list(spec["steps"])
         self.contiguity: str = spec.get("contiguity", "skip")
+        # steps may carry {m,n} quantifiers (round 5; strict-only —
+        # same rule and semantics as the bounded matcher)
+        self.steps, self.quants = _parse_steps(
+            list(spec["steps"]), self.contiguity)
         self.within: int | None = spec.get("within")
         self.measures: list[str] = list(spec.get("measures") or [])
         self.lateness_us: int = int(spec.get("lateness_us", 0))
@@ -128,6 +133,8 @@ class _CEPPartitionState:
                        self.in_schema.field(self.order_by).type)]
         for m in self.measures:
             fs.append(pa.field(f"{name}_{m}", self.in_schema.field(m).type))
+        if self.quants[self.names.index(name)] is not None:
+            fs.append(pa.field(f"{name}_n", pa.int64()))
         return fs
 
     def out_schema(self) -> pa.Schema:
@@ -137,8 +144,14 @@ class _CEPPartitionState:
         return pa.schema(fields)
 
     def _partials_schema(self) -> pa.Schema:
+        # __rep: repetitions bound so far for the step the attempt is
+        # waiting at (0 = step not started); __last_t: event time of the
+        # attempt's LAST bound row (the `within` anchor for quantified
+        # final steps whose last bind precedes the completing flush)
         extra = [pa.field("__step", pa.int64()),
-                 pa.field("__start_t", pa.int64())]
+                 pa.field("__start_t", pa.int64()),
+                 pa.field("__rep", pa.int64()),
+                 pa.field("__last_t", pa.int64())]
         extra += [pa.field(f"__neg{j}", pa.bool_()) for j in range(self.J)]
         return pa.schema(list(self.out_schema()) + extra)
 
@@ -185,7 +198,10 @@ class _CEPPartitionState:
         if F is None or F.num_rows == 0:
             self._expire(W)
             return out_schema.empty_table()
-        out = self._match(F)
+        # upto is only passed by the end-of-stream flush: open
+        # quantified runs at the final step may then complete by
+        # exhaustion (the bounded matcher's "run ends at key end")
+        out = self._match(F, final=upto is not None)
         # expire AFTER matching: this band's rows may complete a partial
         # right at its horizon
         self._expire(W)
@@ -202,7 +218,7 @@ class _CEPPartitionState:
             self.partials = self.partials.filter(pa.array(~dead))
 
     # -- matcher core ------------------------------------------------------
-    def _match(self, F: pa.Table) -> pa.Table:
+    def _match(self, F: pa.Table, final: bool = False) -> pa.Table:
         K = self.K
         pt = self.partials
         gid_all = _joint_codes([F, pt], self.keys)
@@ -225,19 +241,39 @@ class _CEPPartitionState:
 
         def run_cohort(src: str, rows: np.ndarray, cur: np.ndarray,
                        gids: np.ndarray, s0: int, start_t: np.ndarray,
-                       bound0: list[np.ndarray], negs0: np.ndarray):
+                       bound0: list[np.ndarray], negs0: np.ndarray,
+                       rep0: np.ndarray, first_in_place: bool,
+                       last_t0: np.ndarray):
             """Chain steps s0..K-1 for one cohort. ``rows`` indexes the
             partials table (src='old') or is the step-0 F position
-            (src='new'); ``bound0`` = F positions already bound IN THIS
-            FLUSH (aligned with rows); ``negs0`` = carried negation
-            flags, one column per ``absent`` constraint."""
+            (src='new'); ``bound0`` = first-bind F positions already
+            recorded IN THIS FLUSH (aligned with rows); ``negs0`` =
+            carried negation flags. ``rep0``: repetitions already bound
+            for step s0 (all zero, or all >= 1 with ``first_in_place``
+            meaning step s0's first-bind columns are already recorded —
+            in bound0 for src='new', in the old partial row for
+            src='old'). ``last_t0``: event time of each attempt's last
+            bound row so far."""
             alive = np.arange(len(rows))
             bound = [b.copy() for b in bound0]
             cur = cur.copy()
             negs = negs0.copy()
+            rep = rep0.astype(np.int64).copy()
+            last_t = last_t0.astype(np.int64).copy()
+            done: dict[int, np.ndarray] = {}
+
+            def nvals_at(mask) -> dict:
+                return {f"{self.names[s]}_n": a[mask]
+                        for s, a in done.items()}
+
             for k in range(s0, K):
                 if len(alive) == 0:
                     return
+                quant = self.quants[k]
+                m_k, n_k = quant or (1, 1)
+                carried_step = (k == s0 and first_in_place)
+                if not carried_step:
+                    rep = np.zeros(len(alive), dtype=np.int64)
                 if self.contiguity == "skip":
                     pk = pks[k]
                     if len(pk):
@@ -251,29 +287,102 @@ class _CEPPartitionState:
                     # not-ok attempts stay open at step k: the next
                     # candidate simply hasn't arrived yet
                     stay = ~ok
-                    advance = ok
-                else:  # strict
-                    nxt = cur + 1
-                    inb = nxt < nF
-                    same = inb.copy()
-                    same[inb] = gidF[nxt[inb]] == gids[inb]
-                    hit = same.copy()
-                    hit[same] = masks[k][nxt[same]]
-                    # out-of-key/flush -> partial; in-key mismatch -> die
-                    stay = ~same
-                    advance = hit
-                if stay.any():
-                    new_partials.append(self._partial_rows(
-                        src, rows[alive[stay]], k,
-                        start_t[alive[stay]],
-                        [b[stay] for b in bound], F,
-                        self._accum_wait(negs[stay], k, cur[stay],
-                                         gids[stay], gidF, nposs)))
-                prev = cur[advance]
-                alive, cur = alive[advance], nxt[advance]
-                negs = self._accum_bind(negs[advance], k, prev, cur, nposs)
-                bound = [b[advance] for b in bound] + [cur]
-                gids = gids[advance]
+                    if stay.any():
+                        new_partials.append(self._partial_rows(
+                            src, rows[alive[stay]], k, k,
+                            start_t[alive[stay]],
+                            [b[stay] for b in bound], F,
+                            self._accum_wait(negs[stay], k, cur[stay],
+                                             gids[stay], gidF, nposs),
+                            np.zeros(int(stay.sum()), dtype=np.int64),
+                            last_t[stay], nvals_at(stay)))
+                    prev = cur[ok]
+                    alive, cur = alive[ok], nxt[ok]
+                    negs = self._accum_bind(negs[ok], k, prev, cur, nposs)
+                    bound = [b[ok] for b in bound] + [cur]
+                    gids, last_t = gids[ok], t[cur]
+                    rep = np.ones(len(alive), dtype=np.int64)
+                    done = {s: a[ok] for s, a in done.items()}
+                else:  # strict — inner loop binds the {m,n} run
+                    first_this = np.full(len(alive), -1, dtype=np.int64)
+                    parked = np.zeros(len(alive), dtype=bool)
+                    while True:
+                        if n_k is not None:
+                            parked |= rep >= n_k  # cap: run complete
+                        act = np.flatnonzero(~parked)
+                        if len(act) == 0:
+                            break
+                        nxt = cur[act] + 1
+                        inb = nxt < nF
+                        same = inb.copy()
+                        same[inb] = gidF[nxt[inb]] == gids[act][inb]
+                        hit = same.copy()
+                        hit[same] = masks[k][nxt[same]]
+                        staym = ~same
+                        finm = same & ~hit & (rep[act] >= m_k)
+                        diem = same & ~hit & (rep[act] < m_k)
+                        if final:
+                            # end-of-stream: no successor row will ever
+                            # arrive — a run that already has >= m reps
+                            # completes by exhaustion (bounded matcher's
+                            # "run ends at key end"); the rest can never
+                            # complete and is dropped
+                            diem |= staym & (rep[act] < m_k)
+                            finm |= staym & (rep[act] >= m_k)
+                            staym[:] = False
+                        if staym.any():
+                            sidx = act[staym]
+                            rz = rep[sidx] == 0
+                            for mzero in (True, False):
+                                which = rz if mzero else ~rz
+                                if not which.any():
+                                    continue
+                                ss = sidx[which]
+                                bnd = [b[ss] for b in bound]
+                                upto = k
+                                nv = nvals_at(ss)
+                                if not mzero:
+                                    upto = k + 1
+                                    if not carried_step:
+                                        bnd = bnd + [first_this[ss]]
+                                    nv[f"{self.names[k]}_n"] = rep[ss]
+                                new_partials.append(self._partial_rows(
+                                    src, rows[alive[ss]], k, upto,
+                                    start_t[alive[ss]], bnd, F,
+                                    self._accum_wait(
+                                        negs[ss], k, cur[ss],
+                                        gids[ss], gidF, nposs),
+                                    rep[ss], last_t[ss], nv))
+                        bidx = act[hit]
+                        if len(bidx):
+                            nxtb = cur[bidx] + 1
+                            negs[bidx] = self._accum_bind(
+                                negs[bidx], k, cur[bidx], nxtb, nposs)
+                            newf = rep[bidx] == 0
+                            first_this[bidx[newf]] = nxtb[newf]
+                            cur[bidx] = nxtb
+                            rep[bidx] += 1
+                            last_t[bidx] = t[nxtb]
+                        parked[act[finm]] = True
+                        drop = act[staym | diem]
+                        if len(drop):
+                            keepm = np.ones(len(cur), dtype=bool)
+                            keepm[drop] = False
+                            alive, cur, gids = (alive[keepm], cur[keepm],
+                                                gids[keepm])
+                            negs, rep = negs[keepm], rep[keepm]
+                            last_t = last_t[keepm]
+                            parked = parked[keepm]
+                            first_this = first_this[keepm]
+                            bound = [b[keepm] for b in bound]
+                            done = {s: a[keepm]
+                                    for s, a in done.items()}
+                    if len(alive) == 0:
+                        return
+                    if quant is not None:
+                        done[k] = rep.copy()
+                    if not carried_step:
+                        bound = bound + [first_this]
                 if self.J and len(alive):
                     dead = np.zeros(len(alive), dtype=bool)
                     for jn, (ia, ib, _p) in enumerate(self.absent):
@@ -282,56 +391,114 @@ class _CEPPartitionState:
                     if dead.any():
                         keepm = ~dead
                         alive, cur, gids = alive[keepm], cur[keepm], gids[keepm]
-                        negs = negs[keepm]
+                        negs, rep, last_t = (negs[keepm], rep[keepm],
+                                             last_t[keepm])
                         bound = [b[keepm] for b in bound]
+                        done = {s: a[keepm] for s, a in done.items()}
             if len(alive) == 0:
                 return
             ok = np.ones(len(alive), dtype=bool)
             if self.within is not None:
-                ok = (t[bound[-1]] - start_t[alive]) <= int(self.within)
+                ok = (last_t - start_t[alive]) <= int(self.within)
             if ok.any():
                 matches.append(self._match_rows(
-                    src, rows[alive[ok]], [b[ok] for b in bound], F))
+                    src, rows[alive[ok]], [b[ok] for b in bound], F,
+                    nvals_at(ok)))
 
-        # cohort 0: attempts starting in this flush
+        # cohort 0: attempts starting in this flush. Strict enters at
+        # s0=0 with rep0=1 (the start row is step 0's first bind; the
+        # cap/terminator logic then extends a quantified step 0 or
+        # moves straight on). Skip — quantifier-free — enters at s0=1
+        # as before (its branch has no cap guard against re-binding).
         starts = pks[0]
         if len(starts):
-            run_cohort("new", starts, starts.copy(), gidF[starts], 1,
-                       t[starts], [starts.copy()],
-                       np.zeros((len(starts), self.J), dtype=bool))
-        # cohorts 1..K-1: carried partials whose key has rows in F
+            if self.contiguity == "strict":
+                run_cohort("new", starts, starts.copy(), gidF[starts], 0,
+                           t[starts], [starts.copy()],
+                           np.zeros((len(starts), self.J), dtype=bool),
+                           np.ones(len(starts), dtype=np.int64), True,
+                           t[starts])
+            else:
+                run_cohort("new", starts, starts.copy(), gidF[starts], 1,
+                           t[starts], [starts.copy()],
+                           np.zeros((len(starts), self.J), dtype=bool),
+                           np.zeros(len(starts), dtype=np.int64), False,
+                           t[starts])
+        # carried partials whose key has rows in F, grouped into
+        # per-(entry-step, mid-run?) cohorts
         if pt.num_rows:
             steps_arr = pt.column("__step").to_numpy(zero_copy_only=False)
             startP = pt.column("__start_t").to_numpy(zero_copy_only=False)
+            repP = self._pt_i64(pt, "__rep")
+            lastP = self._pt_i64(pt, "__last_t", default=startP)
             lo = np.searchsorted(gidF, gidP, side="left")
             hi = np.searchsorted(gidF, gidP, side="right")
             active = lo < hi
             idle = np.flatnonzero(~active)
             if len(idle):
-                # keys absent from this flush: carry unchanged
-                new_partials.append(
-                    {"__take_old": idle, "__step": None})
+                # keys absent from this flush: carry unchanged (at the
+                # final flush, a mid-run attempt at the last step with
+                # >= m reps completes by exhaustion instead)
+                if final:
+                    fin = idle[(steps_arr[idle] == K - 1)
+                               & (repP[idle] >= np.int64(
+                                   (self.quants[K - 1] or (1, 1))[0]))]
+                    if len(fin):
+                        ok = np.ones(len(fin), dtype=bool)
+                        if self.within is not None:
+                            ok = (lastP[fin] - startP[fin]) <= int(
+                                self.within)
+                        fin = fin[ok]
+                    if len(fin):
+                        nv = ({f"{self.names[K-1]}_n": repP[fin]}
+                              if self.quants[K - 1] is not None else {})
+                        matches.append(self._cols_for_steps(
+                            "old", fin, K, [], F, pt, nv))
+                    keepi = np.setdiff1d(idle, fin,
+                                         assume_unique=True) \
+                        if len(fin) else idle
+                    if len(keepi):
+                        new_partials.append(
+                            {"__take_old": keepi, "__step": None})
+                else:
+                    new_partials.append(
+                        {"__take_old": idle, "__step": None})
             negP = (np.stack([pt.column(f"__neg{j}").to_numpy(
                         zero_copy_only=False) for j in range(self.J)],
                         axis=1)
                     if self.J else np.zeros((pt.num_rows, 0), dtype=bool))
-            for s in range(1, K):
-                sel = np.flatnonzero(active & (steps_arr == s))
-                if len(sel) == 0:
-                    continue
-                run_cohort("old", sel, lo[sel] - 1, gidP[sel], s,
-                           startP[sel], [], negP[sel])
+            for s in range(0, K):
+                for midrun in (False, True):
+                    sel = np.flatnonzero(active & (steps_arr == s)
+                                         & ((repP > 0) == midrun))
+                    if len(sel) == 0:
+                        continue
+                    run_cohort("old", sel, lo[sel] - 1, gidP[sel], s,
+                               startP[sel], [], negP[sel],
+                               repP[sel], midrun, lastP[sel])
         self.partials = self._assemble_partials(new_partials, pt)
         out = self._assemble(matches, self.out_schema())
         self.matches_out += out.num_rows
         return out
 
+    @staticmethod
+    def _pt_i64(pt: pa.Table, col: str, default=None) -> np.ndarray:
+        """Read an int64 partials column; absent (pre-round-5
+        checkpoint) -> zeros or the given default array."""
+        if col in pt.column_names:
+            return pt.column(col).to_numpy(zero_copy_only=False)
+        if default is not None:
+            return np.asarray(default, dtype=np.int64).copy()
+        return np.zeros(pt.num_rows, dtype=np.int64)
+
     # -- row assembly -------------------------------------------------------
     def _cols_for_steps(self, src: str, rows: np.ndarray, upto: int,
                         bound: list[np.ndarray], F: pa.Table,
-                        old: pa.Table) -> dict:
+                        old: pa.Table, nvals: dict | None = None) -> dict:
         """Output columns for steps [0, upto): earlier steps come from the
-        old partial row (src='old'), newly bound ones from F."""
+        old partial row (src='old'), newly bound ones from F. ``nvals``
+        overrides quantifier-count columns (``<step>_n``) with the
+        current/final repetition counts for steps active this flush."""
         cols: dict[str, pa.Array] = {}
         n_new = len(bound)
         s0 = upto - n_new  # steps 0..s0-1 are carried, s0..upto-1 new
@@ -350,22 +517,30 @@ class _CEPPartitionState:
                     cols[f.name] = (old.column(f.name).take(take_old)
                                     if src == "old" else None)
                 elif i < upto:
-                    cols[f.name] = F.column(src_col).take(
-                        pa.array(bound[i - s0])).cast(f.type)
+                    if src_col == "n" and self.quants[i] is not None:
+                        cols[f.name] = None  # filled from nvals below
+                    else:
+                        cols[f.name] = F.column(src_col).take(
+                            pa.array(bound[i - s0])).cast(f.type)
                 else:
                     cols[f.name] = pa.nulls(len(rows), f.type)
+        for fname, vals in (nvals or {}).items():
+            cols[fname] = pa.array(np.asarray(vals, dtype=np.int64),
+                                   type=pa.int64())
         return cols
 
-    def _match_rows(self, src, rows, bound, F) -> dict:
+    def _match_rows(self, src, rows, bound, F, nvals=None) -> dict:
         return self._cols_for_steps(src, rows, self.K, bound, F,
-                                    self.partials)
+                                    self.partials, nvals)
 
-    def _partial_rows(self, src, rows, step, start_t, bound, F,
-                      negs) -> dict:
-        cols = self._cols_for_steps(src, rows, step, bound, F,
-                                    self.partials)
+    def _partial_rows(self, src, rows, step, upto, start_t, bound, F,
+                      negs, rep, last_t, nvals=None) -> dict:
+        cols = self._cols_for_steps(src, rows, upto, bound, F,
+                                    self.partials, nvals)
         cols["__step"] = pa.array(np.full(len(rows), step, dtype=np.int64))
         cols["__start_t"] = pa.array(start_t.astype(np.int64))
+        cols["__rep"] = pa.array(np.asarray(rep, dtype=np.int64))
+        cols["__last_t"] = pa.array(np.asarray(last_t, dtype=np.int64))
         for j in range(self.J):
             cols[f"__neg{j}"] = pa.array(negs[:, j])
         return cols
@@ -601,12 +776,13 @@ class StreamingCEPJob:
         import json
         import os
 
+        from ..ops.cep import _parse_steps
+
         if contiguity not in ("strict", "skip"):
             raise ValueError("contiguity must be 'strict' or 'skip'")
         steps = list(steps)
-        if len(steps) < 2:
-            raise ValueError("a pattern needs at least 2 steps")
-        names = [n for n, _ in steps]
+        parsed, _quants = _parse_steps(steps, contiguity)
+        names = [n for n, _ in parsed]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate step names: {names}")
         if not partition_by:
@@ -626,7 +802,7 @@ class StreamingCEPJob:
                 raise ValueError("pass in_schema or input_files")
             in_schema = pq.read_schema(input_files[0])
         measures = list(measures or [])
-        preds = [p for _, p in steps]
+        preds = [p for _, p in parsed]
         npreds = [p for _, _, p in absent]
         # prune at the read: only key/time/measure/predicate columns ship
         cols = list(dict.fromkeys(
