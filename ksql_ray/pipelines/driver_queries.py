@@ -1622,6 +1622,40 @@ REGISTRY["streaming_cep_absent"] = RawQ(_streaming_cep_absent,
                                         _CEP_ABSENT_SQL)
 
 
+def _streaming_cep_repeat(sf_dir: str) -> pa.Table:
+    """The quantified pattern run CONTINUOUSLY (round 5): view{1,3} ->
+    click over consecutive per-user rows, replayed as 20 epoch
+    micro-batches — open {m,n} runs straddle epoch boundaries in actor
+    state (__rep / __last_t) and the end-of-stream flush completes
+    runs by exhaustion. Same oracle as op_cep_repeat."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..expr import F
+    from ..streaming.cep import StreamingCEPJob
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by(
+        [("ts", "ascending"), ("event_id", "ascending")])
+    outd = tempfile.mkdtemp(prefix="ksql_gate_scepq_")
+    job = StreamingCEPJob(
+        outd, partition_by=["user_id"], order_by="ts",
+        steps=[("v", F("event_type").Equal("view"), (1, 3)),
+               ("c", F("event_type").Equal("click"))],
+        contiguity="strict", within=86_400_000_000,
+        tiebreak="event_id", num_partitions=8, in_schema=tbl.schema)
+    chunk = max(1, tbl.num_rows // 20)
+    for i in range(0, tbl.num_rows, chunk):
+        job.process_epoch([tbl.slice(i, chunk)])
+    fin = job.finish()
+    assert fin["late_drops"] == 0, fin
+    return job.result()
+
+
+REGISTRY["streaming_cep_repeat"] = RawQ(
+    _streaming_cep_repeat, REGISTRY["op_cep_repeat"].sql)
+
+
 # winnowing rolling-hash fingerprints (ops/fingerprint.py): word-3-gram
 # md5 hashes (15 hex digits -> BIGINT, the SQL-expressible oracle form;
 # hash="fast" is the vectorized scale path, pinned by pytest), window-4
