@@ -88,6 +88,17 @@ def compare(actual: pa.Table, expected: pa.Table,
     if sort_cols:
         a = a.sort_values(sort_cols, ignore_index=True)
         e = e.sort_values(sort_cols, ignore_index=True)
+    elif len(a):
+        # list-only output (no scalar column): sort rows by their
+        # canonical rendering so the compare/hash is independent of
+        # block arrival order (VERDICT r4 "What's wrong" #2)
+        def _by_render(df: pd.DataFrame) -> pd.DataFrame:
+            keys = np.asarray(["\x1f".join(_render(v) for v in row)
+                               for row in df.itertuples(index=False)])
+            return df.iloc[np.argsort(keys, kind="stable")].reset_index(
+                drop=True)
+
+        a, e = _by_render(a), _by_render(e)
     ok = True
     for c in cols:
         av, ev = a[c], e[c]
@@ -159,6 +170,46 @@ def run_sweep(sf_dir: str, gates: list[str] | None = None,
     return out
 
 
+def gates_changed_since(ref: str,
+                        changed: list[str] | None = None) -> list[str]:
+    """Gate names whose pipeline source references a ksql_ray module
+    changed since git ``ref`` (plus every gate whose own definition
+    lives in a changed file). A cheap dev-loop filter — the FULL sweep
+    remains the pre-record standard (see README). ``changed`` overrides
+    the git diff (tests)."""
+    import inspect
+    import re
+    import subprocess
+
+    from .pipelines.driver_queries import REGISTRY
+
+    if changed is None:
+        changed = subprocess.check_output(
+            ["git", "diff", "--name-only", ref, "--", "ksql_ray"],
+            text=True).split()
+    mods = {p.rsplit("/", 1)[-1][:-3] for p in changed
+            if p.endswith(".py")}
+    mods.discard("__init__")
+    if "driver_queries" in mods or "gates" in mods:
+        # the gate definitions themselves changed — can't attribute
+        # hunks to gates cheaply, run everything
+        return list(REGISTRY)
+    if not mods:
+        return []
+    pats = [re.compile(rf"\b{re.escape(m)}\b") for m in mods]
+    sel = []
+    for name, qq in REGISTRY.items():
+        fn = getattr(qq, "fn", None) or getattr(qq, "builder_fn", None)
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            sel.append(name)  # unattributable (lambda/builtin): run it
+            continue
+        if any(p.search(src) for p in pats):
+            sel.append(name)
+    return sel
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m ksql_ray.gates",
@@ -170,9 +221,23 @@ def main(argv: list[str] | None = None) -> int:
                          "--gates given)")
     ap.add_argument("--gates", default=None,
                     help="comma-separated gate names")
+    ap.add_argument("--changed-since", default=None, metavar="GIT_REF",
+                    help="run only gates touching ksql_ray files "
+                         "changed since this git ref (dev loop; the "
+                         "full sweep is still the pre-record standard)")
     ap.add_argument("--out", default=None, help="write JSON record here")
     ap.add_argument("--float-tol", type=float, default=1e-6)
     args = ap.parse_args(argv)
+
+    if args.changed_since:
+        sel = gates_changed_since(args.changed_since)
+        if not sel:
+            print(json.dumps({"gates": 0, "failed": [],
+                              "note": "no gates touch the diff"}))
+            return 0
+        args.gates = ",".join(sel)
+        print(f"# --changed-since {args.changed_since}: "
+              f"{len(sel)} gates", flush=True)
 
     import ray
     if not ray.is_initialized():

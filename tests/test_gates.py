@@ -57,3 +57,32 @@ def test_float_tolerance_vs_hash():
     assert compare(a, e)["hash_match"]
     # a visible difference fails both
     assert not compare(pa.table({"v": [1.01]}), e)["hash_match"]
+
+
+def test_compare_list_only_output_order_insensitive():
+    # VERDICT r4 #2: no scalar column -> rows sort by canonical
+    # rendering, so block arrival order cannot flip the hash
+    a = pa.table({"lst": pa.array([[3, 1], [2], [1, 1, 1]],
+                                  type=pa.list_(pa.int64()))})
+    b = pa.table({"lst": pa.array([[1, 1, 1], [3, 1], [2]],
+                                  type=pa.list_(pa.int64()))})
+    rec = compare(a, b)
+    assert rec["hash_match"] is True and rec["err"] is None
+    c = pa.table({"lst": pa.array([[1, 1, 1], [3, 2], [2]],
+                                  type=pa.list_(pa.int64()))})
+    assert compare(a, c)["hash_match"] is False
+
+
+def test_gates_changed_since_selects_by_module():
+    from ksql_ray.gates import gates_changed_since
+
+    assert gates_changed_since("HEAD", changed=[]) == []
+    # a change to ops/bpe.py selects exactly the gates whose pipeline
+    # source references the bpe module
+    sel = gates_changed_since("HEAD", changed=["ksql_ray/ops/bpe.py"])
+    assert "op_bpe_vocab" in sel and "op_bpe_token_count" in sel
+    assert "op_funnel_rates" not in sel
+    # gate-definition files changed -> conservative full sweep
+    full = gates_changed_since(
+        "HEAD", changed=["ksql_ray/pipelines/driver_queries.py"])
+    assert len(full) > 150
