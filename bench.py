@@ -1396,6 +1396,74 @@ def run_skew_ab(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def run_skew_hot(sf_dir: str, num_cpus: int) -> dict:
+    """PLANTED hot-key proof (VERDICT r4 item #9): remap every
+    conversation whose id ends in 0/1/2 (~30% of all turns in
+    expectation) onto ONE conv_id, then run the headline A/B with
+    salting off vs on. The salted skewed stream should land within
+    ~1.3x of the uniform headline; record the row in BASELINE.md."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ksql_ray.fixtures import materialize_fixture_dir
+    from ksql_ray.streaming.driver import StreamingJob
+
+    n_turns = int(os.environ.get("KSQL_BENCH_TURNS", 4_000_000))
+    paths = materialize_fixture_dir(
+        f"/tmp/ksql_ray_transcripts_{n_turns}", n_turns=n_turns, seed=42,
+        n_files=256)
+    files = sorted(glob.glob(paths["transcripts"] + "/*.parquet"))
+    build_cat, make_query, base_pre = headline_parts(
+        paths["transcripts"], files[0], paths["conv_meta"])
+
+    def hot_pre(batch: pa.Table) -> pa.Table:
+        batch = base_pre(batch)
+        cid = batch.column("conv_id")
+        if isinstance(cid, pa.ChunkedArray):
+            cid = cid.combine_chunks()
+        # fixed-width ids 'conv-XXXXXXXX': last digit 0/1/2 -> ~30%
+        last = pc.utf8_slice_codeunits(cid, start=12, stop=13)
+        hot = pc.is_in(last, value_set=pa.array(["0", "1", "2"]))
+        newc = pc.if_else(hot, pa.scalar("conv-00000001"), cid)
+        return batch.set_column(
+            batch.column_names.index("conv_id"), "conv_id", newc)
+
+    hot_pre.input_columns = ["text", "conv_id"]
+    hot_pre.output_columns = ["token_count", "quality"]
+
+    fpe = max(2, len(files) // 4)
+    out = {"metric": "planted 30%-hot-conv A/B (salt off vs on)",
+           "turns": n_turns, "num_cpus": num_cpus, "partitions": 16}
+    for salt in (False, True):
+        best, rows = None, []
+        for trial in range(2):
+            job = StreamingJob(
+                make_query(), build_cat(),
+                f"/tmp/ksql_ray_skewhot_{salt}_{trial}_{os.getpid()}",
+                num_partitions=16, lateness_us=300_000_000,
+                pre_transform=hot_pre, salt_by_window=salt)
+            t0 = time.perf_counter()
+            job.run(files, files_per_epoch=fpe, max_inflight=2)
+            job.finish()
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+                last = (job.metrics_log[-1]["partitions"]
+                        if job.metrics_log else [])
+                rows = sorted(m.get("rows_in", 0) for m in last)
+        key = "salted" if salt else "unsalted"
+        out[key] = {
+            "sec": round(best, 2),
+            "turns_per_sec": round(n_turns / best),
+            "partition_rows_min": rows[0] if rows else 0,
+            "partition_rows_med": rows[len(rows) // 2] if rows else 0,
+            "partition_rows_max": rows[-1] if rows else 0,
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = _sf_dir()
     num_cpus = _num_cpus()
@@ -1452,6 +1520,11 @@ def main() -> None:
     ray.data.DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
+    if "--skew-hot" in sys.argv:
+        print(json.dumps(run_skew_hot(sf_dir, num_cpus)))
+        ray.shutdown()
+        return
+
     if "--skew" in sys.argv:
         print(json.dumps(run_skew_ab(sf_dir, num_cpus)))
         ray.shutdown()
@@ -1476,6 +1549,29 @@ def main() -> None:
         print(json.dumps(res))
         ray.shutdown()
         return
+
+    check = "--check" in sys.argv
+    bands = None
+    if check:
+        bpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BANDS.json")
+        if not os.path.exists(bpath):
+            print(json.dumps({"check": "no BENCH_BANDS.json — run the "
+                              "full bench once and commit the bands"}))
+            ray.shutdown()
+            sys.exit(2)
+        bands = json.load(open(bpath))
+        if (os.path.basename(sf_dir.rstrip("/"))
+                != os.path.basename(bands["sf"].rstrip("/"))
+                or num_cpus != bands["num_cpus"]):
+            print(json.dumps({
+                "check": "config mismatch", "bands_sf": bands["sf"],
+                "bands_cpus": bands["num_cpus"], "run_sf": sf_dir,
+                "run_cpus": num_cpus,
+                "note": "bands are only comparable at the recorded "
+                        "sf/num_cpus"}))
+            ray.shutdown()
+            sys.exit(2)
 
     streaming = run_streaming_headline(sf_dir, num_cpus)
     if "--single-streaming" in sys.argv:
@@ -1514,7 +1610,46 @@ def main() -> None:
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }))
+    if check:
+        # regression gate (VERDICT r4 item #5): any op/query >1.5x its
+        # recorded band, or headline throughput <1/1.5 of its band,
+        # fails the run with the offending rows printed
+        breaches = []
+        for sec, rec in (("queries", queries), ("ops", ops)):
+            for k, v in rec.items():
+                band = bands.get(sec, {}).get(k)
+                if (isinstance(band, (int, float))
+                        and isinstance(v, (int, float))
+                        and v > band * 1.5):
+                    breaches.append({"section": sec, "op": k,
+                                     "sec_now": v, "band_sec": band,
+                                     "ratio": round(v / band, 2)})
+        tps_band = bands.get("streaming_turns_per_sec")
+        tps = streaming.get("turns_per_sec")
+        if tps_band and tps and tps < tps_band / 1.5:
+            breaches.append({"section": "streaming",
+                             "op": "turns_per_sec", "now": tps,
+                             "band": tps_band,
+                             "ratio": round(tps_band / tps, 2)})
+        print(json.dumps({"check": "FAIL" if breaches else "OK",
+                          "threshold": 1.5, "breaches": breaches}))
+        ray.shutdown()
+        sys.exit(1 if breaches else 0)
     ray.shutdown()
+
+
+def write_bands(detail_line: dict, out_path: str = "BENCH_BANDS.json"):
+    """Persist a full bench run's timings as the canonical regression
+    bands for ``--check`` (call from a REPL after a quiet-host run)."""
+    bands = {"sf": detail_line["sf"], "num_cpus": detail_line["num_cpus"],
+             "queries": detail_line.get("queries", {}),
+             "ops": {k: v for k, v in detail_line.get("ops", {}).items()
+                     if isinstance(v, (int, float))},
+             "streaming_turns_per_sec":
+                 detail_line.get("streaming", {}).get("turns_per_sec")}
+    with open(out_path, "w") as f:
+        json.dump(bands, f, indent=1, sort_keys=True)
+    return bands
 
 
 if __name__ == "__main__":

@@ -95,6 +95,16 @@ def _apply_partition(fn, *slices: pa.Table) -> pa.Table:
     return fn(part)
 
 
+def _plan_split_groups(n_refs: int, num_partitions: int) -> list[int]:
+    """Group sizes for the split stage: ~max(P, 32) split tasks
+    REGARDLESS of input block count — enough parallelism to cover the
+    node with a bounded B x P ref-table (the stress test pins this:
+    2,000 tiny blocks at P=64 still make only 64 split tasks)."""
+    n_tasks = max(1, min(n_refs, max(num_partitions, 32)))
+    per = -(-n_refs // n_tasks)  # ceil
+    return [min(per, n_refs - i) for i in range(0, n_refs, per)]
+
+
 def exchange_map_groups(ds: "ray.data.Dataset", num_partitions: int,
                         fn) -> "ray.data.Dataset":
     """All-to-all exchange of ``ds`` (which already carries a dense
@@ -107,11 +117,11 @@ def exchange_map_groups(ds: "ray.data.Dataset", num_partitions: int,
     refs = mat.to_arrow_refs()
     if not refs:
         return ds.groupby("__part").map_groups(fn, batch_format="pyarrow")
-    # ~max(P, 32) split tasks regardless of input block count: enough
-    # parallelism to cover the node, bounded ref-table metadata
-    n_tasks = max(1, min(len(refs), max(num_partitions, 32)))
-    per = -(-len(refs) // n_tasks)  # ceil
-    groups = [refs[i:i + per] for i in range(0, len(refs), per)]
+    sizes = _plan_split_groups(len(refs), num_partitions)
+    groups, i = [], 0
+    for sz in sizes:
+        groups.append(refs[i:i + sz])
+        i += sz
     splits = [_split_block.options(
         num_returns=num_partitions + 1).remote(num_partitions, *g)
         for g in groups]

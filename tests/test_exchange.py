@@ -105,3 +105,38 @@ def test_chained_exchanges(ray_session):
             "n": pa.array([g.num_rows], type=pa.int64())}),
         batch_format="pyarrow"))
     assert sum(n for (n,) in two) == 7
+
+
+def test_plan_split_groups_bounded_tasks():
+    from ksql_ray.exec.exchange import _plan_split_groups
+
+    # 2,000 tiny blocks at P=64: ~64 split tasks (ceil grouping may
+    # round down by a few), all refs used exactly once
+    sizes = _plan_split_groups(2000, 64)
+    assert 32 <= len(sizes) <= 64 and sum(sizes) == 2000
+    # tiny inputs never over-split
+    assert _plan_split_groups(3, 64) == [1, 1, 1]
+    sizes = _plan_split_groups(10_000, 512)
+    assert 256 <= len(sizes) <= 512 and sum(sizes) == 10_000
+    # P below node width still gets ~32 tasks for read parallelism
+    assert 16 <= len(_plan_split_groups(2000, 4)) <= 32
+
+
+def test_high_block_count_stress_bit_equal(ray_session, monkeypatch):
+    """VERDICT r4 item #6: >= 2,000 tiny input blocks x P=64 — the
+    grouped split keeps the ref table ~P wide and stays bit-equal to
+    the sort path. The sort reference runs on a coarse 8-block layout
+    of the SAME rows (at 2,000 tiny blocks Ray's sort shuffle takes
+    ~190 s vs ~4 s direct — the measured reason this exchange exists;
+    recorded in BASELINE.md)."""
+    n = 6000
+    items = [{"k": f"k{i % 97}", "v": i} for i in range(n)]
+    fine = ray.data.from_items(items, override_num_blocks=2000)
+    got = _rows(_partition_by(fine, ["k"], 64).map_groups(
+        _sum_per_key, batch_format="pyarrow"))
+    monkeypatch.setenv("KSQL_RAY_EXCHANGE", "sort")
+    coarse = ray.data.from_items(items, override_num_blocks=8)
+    want = _rows(_partition_by(coarse, ["k"], 64).map_groups(
+        _sum_per_key, batch_format="pyarrow"))
+    assert got == want
+    assert len(got) == 97
