@@ -126,3 +126,28 @@ def test_quant_checkpoint_resume_midrun(ray_session):
     got = _norm(job2.result(), COLS)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     shutil.rmtree(ckd, ignore_errors=True)
+
+
+def test_quant_with_measures_parity(ray_session):
+    # measures columns on a quantified step come from its FIRST bound
+    # row in both engines
+    steps = [("v", F("event_type").Equal("view"), (1, 3)),
+             ("c", F("event_type").Equal("click"))]
+    tbl = _events(seed=7, n=1500)
+    kw = dict(partition_by=["user_id"], order_by="ts", steps=steps,
+              contiguity="strict", tiebreak="event_id")
+    bounded = match_pattern(ray.data.from_arrow(tbl),
+                            measures=["event_id"], num_partitions=4,
+                            **kw).take_all()
+    outd = tempfile.mkdtemp(prefix="cep_qm_")
+    job = StreamingCEPJob(outd, measures=["event_id"],
+                          num_partitions=4, in_schema=tbl.schema, **kw)
+    for i in range(0, tbl.num_rows, 200):
+        job.process_epoch([tbl.slice(i, 200)])
+    job.finish()
+    cols = ["user_id", "v_ts", "v_event_id", "v_n", "c_ts",
+            "c_event_id"]
+    a = _norm(job.result(), cols)
+    b = _norm(pd.DataFrame(bounded), cols)
+    assert len(b) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
