@@ -196,7 +196,11 @@ def gates_changed_since(ref: str,
         return list(REGISTRY)
     if not mods:
         return []
-    pats = [re.compile(rf"\b{re.escape(m)}\b") for m in mods]
+    # underscore- and case-insensitive word match: catches `ops.cep`,
+    # `_cep(...)` helper calls AND `_CEP_FUNNEL_SQL` constants (plain
+    # \b misses both — underscore is a word character)
+    pats = [re.compile(rf"(?<![A-Za-z0-9]){re.escape(m)}(?![A-Za-z0-9])",
+                       re.IGNORECASE) for m in mods]
     sel = []
     for name, qq in REGISTRY.items():
         fn = getattr(qq, "fn", None) or getattr(qq, "builder_fn", None)

@@ -388,6 +388,10 @@ def funnel_rates(
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    if any(len(tuple(s)) != 2 for s in steps):
+        raise ValueError(
+            "funnel_rates takes plain (name, pred) steps — {m,n} "
+            "quantifiers have no per-prefix EXISTS semantics")
     if contiguity not in ("strict", "skip"):
         raise ValueError("contiguity must be 'strict' or 'skip'")
     partition_by = list(partition_by)
