@@ -538,6 +538,24 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out["funnel_rates_200k"] = min2(_frates)
 
+    # quantified pattern (r5): user -> tool{1,3} -> assistant over
+    # CONSECUTIVE turns (strict contiguity, possessive run binding)
+    from ksql_ray.ops.cep import match_pattern as _match_pattern
+
+    def _cepq():
+        return _match_pattern(
+            ray.data.read_parquet(
+                paths["transcripts"],
+                columns=["conv_id", "turn_idx", "ts", "role"]),
+            partition_by=["conv_id"], order_by="ts",
+            steps=[("u", _F("role").Equal("user")),
+                   ("t", _F("role").Equal("tool"), (1, 3)),
+                   ("a", _F("role").Equal("assistant"))],
+            contiguity="strict", tiebreak="turn_idx",
+            num_partitions=32).count()
+
+    out["cep_repeat_200k"] = min2(_cepq)
+
     # streaming per-key row jobs: role-transition matrix and running
     # z-score anomalies on ingest (per-key carry state, 64 epochs)
     from ksql_ray.streaming.rows import (StreamingAnomalyJob,
