@@ -151,3 +151,45 @@ def test_quant_with_measures_parity(ray_session):
     b = _norm(pd.DataFrame(bounded), cols)
     assert len(b) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_quant_reshard_4_to_8(ray_session):
+    """Rescale a checkpoint holding open {m,n} runs (__rep/__last_t
+    re-route by key hash) from 4 to 8 partitions; the resumed job's
+    output must equal the uninterrupted 4-partition run."""
+    import shutil
+
+    tbl = _events(seed=17, n=2000)
+    kw = dict(partition_by=["user_id"], order_by="ts", steps=QSTEPS,
+              contiguity="strict", within=2_000_000,
+              tiebreak="event_id", in_schema=tbl.schema)
+
+    ref_out = tempfile.mkdtemp(prefix="cep_qr_ref_")
+    ref = StreamingCEPJob(ref_out, num_partitions=4, **kw)
+    for i in range(0, 2000, 250):
+        ref.process_epoch([tbl.slice(i, 250)])
+    ref.finish()
+    want = _norm(ref.result(), COLS)
+    assert len(want) > 0
+
+    outd = tempfile.mkdtemp(prefix="cep_qr_a_")
+    ckd = tempfile.mkdtemp(prefix="cep_qr_ck_")
+    job = StreamingCEPJob(outd, num_partitions=4, checkpoint_dir=ckd,
+                          checkpoint_every=1, **kw)
+    for i in range(0, 1000, 250):  # stop mid-stream with open runs
+        job.process_epoch([tbl.slice(i, 250)])
+
+    # SAME sink: replayed epochs' matches are already committed there
+    # (the rescale protocol — see tests/test_reshard_flows.py)
+    ckd2 = tempfile.mkdtemp(prefix="cep_qr_ck2_")
+    job2 = StreamingCEPJob(outd, num_partitions=8,
+                           checkpoint_dir=ckd2, checkpoint_every=1, **kw)
+    rs = job2.reshard_from(ckd)
+    assert rs["old_partitions"] == 4 and rs["new_partitions"] == 8
+    for i in range(0, 2000, 250):  # re-feed from the start
+        job2.process_epoch([tbl.slice(i, 250)])
+    job2.finish()
+    got = _norm(job2.result(), COLS)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    shutil.rmtree(ckd, ignore_errors=True)
+    shutil.rmtree(ckd2, ignore_errors=True)
