@@ -898,6 +898,26 @@ def run_ops_bench(sf_dir: str, num_cpus: int) -> dict:
     out["conv_stats_200k"] = min2(lambda: conversation_stats(
         turns6(), ["conv_id"]).count())
 
+    # high-block-count exchange stress (r5): 2,000 tiny input blocks x
+    # P=64 through the direct exchange — the worst-case metadata shape
+    # (the grouped split keeps ~max(P,32) split tasks; the sort path
+    # takes ~190 s on this shape, measured once in BASELINE.md)
+    from ksql_ray.ops.dedup import _partition_by as _pb2000
+
+    _x2000 = ray.data.from_items(
+        [{"k": f"k{i % 97}", "v": i} for i in range(6000)],
+        override_num_blocks=2000).materialize()
+
+    def _sum_k(group):
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        df = group.to_pandas().groupby("k", as_index=False)["v"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out["exchange_2000blk_p64"] = min2(lambda: _pb2000(
+        _x2000, ["k"], 64).map_groups(
+        _sum_k, batch_format="pyarrow").count())
+
     # corpus vocabulary shape (one term exchange + one merge task)
     from ksql_ray.ops.terms import corpus_zipf_stats
 
