@@ -330,6 +330,30 @@ class Engine:
         if fmt == "CSV":
             ds = ray.data.read_csv(rel.path, override_num_blocks=nblocks)
             return ds.select_columns(cols) if cols else ds
+        if fmt in ("ARROW", "IPC", "FEATHER"):
+            # Arrow IPC / Feather-v2 files: Ray Data ships no IPC
+            # reader, so read file bytes (one task per file — the read
+            # stays distributed) and decode each file's IPC payload
+            # zero-copy in the task; stream-format payloads fall back
+            # to open_stream
+            want = list(cols) if cols else None
+
+            def _decode_ipc(batch: pa.Table) -> pa.Table:
+                outs = []
+                for b in batch.column("bytes").to_pylist():
+                    buf = pa.BufferReader(b)
+                    try:
+                        t = pa.ipc.open_file(buf).read_all()
+                    except pa.ArrowInvalid:
+                        buf.seek(0)
+                        t = pa.ipc.open_stream(buf).read_all()
+                    outs.append(t.select(want) if want else t)
+                return (pa.concat_tables(outs, promote_options="default")
+                        if outs else batch.drop_columns(
+                            batch.column_names))
+
+            return ray.data.read_binary_files(rel.path).map_batches(
+                _decode_ipc, batch_format="pyarrow")
         # strip schema metadata (testdata files carry pandas metadata whose
         # dict values make the Arrow schema unhashable — Ray Data then logs
         # "Failed to hash the schemas" per read task); schema must cover

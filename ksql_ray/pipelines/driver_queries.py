@@ -6469,6 +6469,58 @@ REGISTRY["source_json_format"] = RawQ(
 )
 
 
+def _source_arrow_format(sf_dir: str) -> pa.Table:
+    """VALUE_FORMAT=ARROW ingestion (round 5): the events table
+    exported as 4 Arrow IPC files, registered as an ARROW-format
+    relation (exec/bounded.py dispatch -> distributed per-file IPC
+    decode over read_binary_files), and aggregated — results must
+    equal the same SQL over the original parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..catalog import Catalog, Ref, Relation
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type", "value"])
+    tbl = tbl.replace_schema_metadata(None)
+    d = tempfile.mkdtemp(prefix="ksql_ray_ipc_")
+    try:
+        n = tbl.num_rows
+        for i in range(4):
+            s = tbl.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4)
+            with pa.ipc.new_file(os.path.join(d, f"e{i}.arrow"),
+                                 s.schema) as w:
+                w.write_table(s)
+        cat = Catalog()
+        cat.create(Relation(
+            "events_a", Ref.TABLE,
+            pa.schema([("user_id", pa.int64()),
+                       ("event_type", pa.string()),
+                       ("value", pa.float64())]),
+            path=d, properties={"value_format": "ARROW"}))
+        eng = Engine(cat)
+        t = eng.table(
+            Select(F("user_id"), F("event_type"),
+                   Count(F("value")).As("c"),
+                   Sum(F("value")).As("sv"))
+            .From(Schema("events_a"))
+            .GroupBy(F("user_id"), F("event_type")))
+        return _round_cols(t, {"sv": 4})
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+REGISTRY["source_arrow_format"] = RawQ(
+    _source_arrow_format,
+    "SELECT user_id, event_type, count(value) AS c,"
+    " ROUND(sum(value), 4) AS sv "
+    "FROM events GROUP BY user_id, event_type",
+)
+
+
 def _op_auto_quality(sf_dir: str) -> pa.Table:
     from ..ops.quality import auto_quality_filter
 
